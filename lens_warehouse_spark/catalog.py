@@ -1,0 +1,49 @@
+"""Catalog: scale-factor directory -> named DataFrames / temp views.
+
+Reference parity: lens-warehouse's "catalog" is its Datomic schema — a
+fixed set of entity types declared up front (public repo
+``src/lens/schema.clj``; SURVEY.md §2.1 S1/S5). Here the fixed set is the
+ten driver tables; schemas come from parquet footers (never inferred).
+
+Scale notes: ``spark.read.parquet`` is the vectorized reader; predicate
+pushdown + column pruning reach the row-group level for free once plans
+are declarative. At 100 TB these tables would be date-partitioned
+directories — the API stays identical, only the path layout changes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+# Dims small enough to always broadcast in joins (SURVEY.md §2.3 J2).
+BROADCAST_DIMS = {"region", "nation", "supplier", "part", "customer"}
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one table (S1). Lazy; Catalyst prunes columns/predicates."""
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; have {TABLES}")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """S5: register all tables as session temp views for spark.sql()."""
+    for name in TABLES:
+        table(spark, sf_dir, name).createOrReplaceTempView(name)

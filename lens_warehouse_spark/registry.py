@@ -1,0 +1,70 @@
+"""Query/oracle registry.
+
+Every implemented operator from SURVEY.md §2 registers here as a
+``(spark, sf_dir) -> DataFrame`` callable, optionally paired with the
+equivalent DuckDB ANSI-SQL oracle string. ``__spark_entry__.py`` exposes
+these to the driver.
+
+PARITY RULES (why the queries look the way they do — the driver
+hash-compares Spark output against DuckDB at value level):
+
+1.  Alias every computed column identically on both sides (driver sorts
+    columns by name before hashing).
+2.  Timestamps out -> epoch millis BIGINT (``unix_millis`` /
+    ``epoch_ms``) or a formatted string; never raw timestamp values
+    (ns-vs-us flavor risk).
+3.  Large double sums (magnitude >~1e6, e.g. price sums) -> round to
+    integer and cast BIGINT: cross-engine summation-order error is
+    ~1e-4 absolute at 1e9 magnitude, so a 2-decimal round could flip a
+    boundary but an integer round practically cannot.
+4.  Small-magnitude aggregates (avgs, discount sums) -> round(x, 4).
+5.  Per-row arithmetic on doubles is written with the identical
+    expression tree on both sides (IEEE ops are bit-deterministic).
+6.  DuckDB sums of INTEGER produce HUGEINT -> always CAST AS BIGINT.
+7.  Never rely on output order (compare is order-insensitive), but any
+    LIMIT/top-k query must have a *unique* ordering key (add tiebreakers).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    """Decorator: register a query, optionally with its DuckDB oracle."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in QUERIES:
+            raise ValueError(f"duplicate query name {name!r}")
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle.strip()
+        return fn
+
+    return deco
+
+
+def load_all() -> None:
+    """Import every operator module so registration side-effects run."""
+    from lens_warehouse_spark.operators import (  # noqa: F401
+        aggregates,
+        cohort_queries,
+        functions,
+        joins,
+        relational,
+        timeseries,
+        windows,
+    )
+    from lens_warehouse_spark.llm import (  # noqa: F401
+        dedup,
+        textstats,
+        vector,
+    )
+    from lens_warehouse_spark.streaming import jobs  # noqa: F401

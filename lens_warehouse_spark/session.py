@@ -1,0 +1,38 @@
+"""SparkSession factory.
+
+Scale notes (100 TB design): AQE is the load-bearing setting — runtime
+shuffle-partition coalescing, skew-join splitting, and broadcast demotion
+all come from it. ``shuffle.partitions`` here is a *local* default; on a
+real cluster it is sized to ~2-3x total cores and AQE coalesces down.
+Arrow is enabled so any pandas-UDF path (minhash, vector ops) moves
+columnar batches, not pickled rows.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "lens-warehouse-spark",
+    cpus: str | int | None = None,
+    shuffle_partitions: str | int | None = None,
+) -> SparkSession:
+    """Build (or reuse) a local SparkSession with scale-sane defaults."""
+    cpus = str(cpus or os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    shuffle = str(shuffle_partitions or os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", shuffle)
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
