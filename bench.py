@@ -1,0 +1,81 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "wall_clock_total", "value": N, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": 0.1}
+
+Headline set: one per operator family, chosen to exercise the
+scan/join/agg/window/set/time/text/vector paths. The quadratic Jaccard
+baseline (l2b) is deliberately excluded — LSH (l2) is the scale path.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from lens_warehouse_spark import registry
+from lens_warehouse_spark.session import get_spark
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "j1_inner_join",
+    "j6_star_join_revenue",
+    "j8_asof_latest_event",
+    "a3_faceted_counts",
+    "a8b_cube",
+    "u5_cohort_count",
+    "w3_running_total",
+    "o5_top_k_per_group",
+    "t1_tumbling_window",
+    "t3_session_window",
+    "f7_json_extract",
+    "l1_exact_dedup",
+    "l2_minhash_neardup",
+    "l9_language_id",
+    "l3b_knn_batch",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    registry.load_all()
+    spark = get_spark("bench")
+    # Warm the JVM/session with a trivial action so timings measure queries,
+    # not session startup.
+    spark.range(1).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = registry.QUERIES[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count() if "limit" not in name else len(df.collect())
+        timings[name] = round(time.perf_counter() - t0, 3)
+        _ = n
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(
+        json.dumps(
+            {
+                "metric": "wall_clock_total",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

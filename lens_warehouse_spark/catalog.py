@@ -14,6 +14,7 @@ directories — the API stays identical, only the path layout changes.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLES = [
     "region",
@@ -33,9 +34,22 @@ BROADCAST_DIMS = {"region", "nation", "supplier", "part", "customer"}
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Scan one table (S1). Lazy; Catalyst prunes columns/predicates."""
+    """Scan one table (S1). Lazy; Catalyst prunes columns/predicates.
+
+    ``events.ts`` is nanosecond-precision on disk, which Spark's parquet
+    reader rejects (PARQUET_TYPE_ILLEGAL). We read it as raw INT64 nanos
+    via the legacy conf and rebuild a microsecond timestamp with exact
+    integer arithmetic (``div 1000`` floors, matching DuckDB's ns->us
+    truncation of the same file).
+    """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; have {TABLES}")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

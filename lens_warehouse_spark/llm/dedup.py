@@ -1,1 +1,222 @@
-"""(in progress)"""
+"""Deduplication operators L1/L2 (SURVEY.md §2.10): exact, MinHash-LSH,
+SimHash, and exact n-gram Jaccard.
+
+Pretraining-corpus dedup at 100 TB is the motivating workload:
+
+- Exact dedup is a hash-groupBy — one shuffle on a 256-bit content hash,
+  keep-first by a deterministic tiebreak.
+- MinHash-LSH turns the quadratic all-pairs problem into
+  band-bucket joins: k seeded xxhash64 minima per document, banded so
+  that documents sharing any band bucket become candidate pairs, then
+  candidates are verified with exact Jaccard. Everything is built from
+  higher-order array functions (transform / array_min / slice) — no
+  Python UDF, so the whole pipeline stays in whole-stage codegen.
+- SimHash packs 64 per-bit majority votes over token hashes into one
+  BIGINT; near-dups differ in few bits (hamming distance via
+  bit_count(xor)).
+
+Seeded-hash outputs are engine-specific, so MinHash/SimHash register as
+rows-only checks; their *semantics* (Jaccard-similar pairs collide
+w.h.p.) are property-tested in tests/test_dedup.py. Exact dedup and
+exact Jaccard have full SQL oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lens_warehouse_spark.catalog import table
+from lens_warehouse_spark.registry import register
+
+N_HASHES = 16  # minhash signature length
+N_BANDS = 4  # bands of 4 rows each: ~s-curve threshold ≈ (1/4)^(1/4) ≈ 0.71
+
+
+# ---------------------------------------------------------------------------
+# L1: exact dedup — normalize, hash, keep lowest doc_id per hash.
+# ---------------------------------------------------------------------------
+@register(
+    "l1_exact_dedup",
+    oracle="""
+SELECT CAST(min(doc_id) AS BIGINT) AS keep_doc_id,
+       count(*) AS n_copies,
+       sha256(lower(trim(text))) AS content_hash
+FROM documents
+GROUP BY sha256(lower(trim(text)))
+""",
+)
+def l1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").withColumn(
+        "content_hash", F.sha2(F.lower(F.trim(F.col("text"))), 256)
+    )
+    return docs.groupBy("content_hash").agg(
+        F.min("doc_id").alias("keep_doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    ).select("keep_doc_id", "n_copies", "content_hash")
+
+
+def minhash_signatures(df: DataFrame, text_col: str = "text", n_hashes: int = N_HASHES) -> DataFrame:
+    """Add ``sig`` (array<bigint> of length n_hashes): seeded-xxhash64
+    minima over 3-token shingles. Pure JVM expression — scales linearly,
+    no shuffle."""
+    shingles = (
+        "transform(sequence(1, greatest(size(split({t}, ' ')) - 2, 1)),"
+        " i -> concat_ws(' ', slice(split({t}, ' '), i, 3)))"
+    ).format(t=text_col)
+    mins = ", ".join(
+        f"array_min(transform(__sh, s -> xxhash64({seed}, s)))"
+        for seed in range(n_hashes)
+    )
+    return df.withColumn("__sh", F.expr(shingles)).withColumn(
+        "sig", F.expr(f"array({mins})")
+    ).drop("__sh")
+
+
+def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Band the signatures and self-join buckets into candidate pairs.
+
+    Scale shape: explode to (band_id, band_hash, id) — the join key is
+    (band_id, band_hash), so only documents agreeing on a full band
+    co-locate; the shuffle is O(n_docs * n_bands), never O(n^2).
+    """
+    r = N_HASHES // N_BANDS
+    banded = sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {N_BANDS - 1}),"
+                f" b -> struct(b AS band_id, xxhash64(concat_ws(',', slice(sig, b * {r} + 1, {r}))) AS band_hash))"
+            )
+        ).alias("band"),
+    ).select(id_col, "band.band_id", "band.band_hash")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col(f"a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def jaccard(df: DataFrame, docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Verify candidate pairs with exact token-set Jaccard."""
+    toks = docs.select(
+        F.col(id_col), F.array_distinct(F.split("text", " ")).alias("toks")
+    )
+    a = toks.select(F.col(id_col).alias("doc_a"), F.col("toks").alias("toks_a"))
+    b = toks.select(F.col(id_col).alias("doc_b"), F.col("toks").alias("toks_b"))
+    inter = F.size(F.array_intersect("toks_a", "toks_b")).cast("double")
+    union = F.size(F.array_union("toks_a", "toks_b")).cast("double")
+    return (
+        df.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select("doc_a", "doc_b", F.round(inter / union, 6).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# L2: MinHash-LSH near-dup pipeline (rows-only: seeded hashes).
+# ---------------------------------------------------------------------------
+@register("l2_minhash_neardup")
+def l2_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs).select("doc_id", "sig")
+    pairs = lsh_candidate_pairs(sigs)
+    return (
+        jaccard(pairs, docs)
+        .filter(F.col("jaccard") >= 0.7)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# L2b: exact n-gram Jaccard over all shared-token pairs (the oracle-able
+# quadratic baseline LSH approximates). Filter >= 0.5 keeps output small.
+# ---------------------------------------------------------------------------
+@register(
+    "l2b_jaccard_exact",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok,
+         len(list_distinct(string_split(text, ' '))) AS n
+  FROM documents
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         count(*) AS shared, any_value(a.n) AS na, any_value(b.n) AS nb
+  FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       round(CAST(shared AS DOUBLE) / (na + nb - shared), 6) AS jaccard
+FROM pairs
+WHERE CAST(shared AS DOUBLE) / (na + nb - shared) >= 0.5
+ORDER BY doc_a, doc_b
+""",
+)
+def l2b_jaccard_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split("text", " "))).alias("tok"),
+        F.size(F.array_distinct(F.split("text", " "))).alias("n"),
+    )
+    a = toks.select(
+        F.col("doc_id").alias("doc_a"), F.col("tok"), F.col("n").alias("na")
+    )
+    b = toks.select(
+        F.col("doc_id").alias("doc_b"), F.col("tok"), F.col("n").alias("nb")
+    )
+    pairs = (
+        a.join(b, ["tok"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.count(F.lit(1)).alias("shared"),
+            F.first("na").alias("na"),
+            F.first("nb").alias("nb"),
+        )
+    )
+    jac = F.col("shared").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("shared")
+    )
+    return (
+        pairs.filter(jac >= 0.5)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# L2c: SimHash — 64-bit signature packed from per-bit majority votes of
+# token xxhash64s; near-dup distance = bit_count(xor). Rows-only.
+# ---------------------------------------------------------------------------
+def simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Add ``simhash`` BIGINT column. One explode + one groupBy."""
+    toks = df.select(
+        "doc_id", F.explode(F.array_distinct(F.split(text_col, " "))).alias("tok")
+    ).withColumn("h", F.xxhash64("tok"))
+    votes = [
+        F.sum(
+            F.when(F.expr(f"(h >> {j}) & 1") == 1, 1).otherwise(-1)
+        ).alias(f"b{j}")
+        for j in range(64)
+    ]
+    per_doc = toks.groupBy("doc_id").agg(*votes)
+    packed = " | ".join(
+        f"(CAST(CASE WHEN b{j} > 0 THEN 1 ELSE 0 END AS BIGINT) << {j})"
+        for j in range(64)
+    )
+    return per_doc.select("doc_id", F.expr(packed).alias("simhash"))
+
+
+@register("l2c_simhash")
+def l2c_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return simhash(docs).orderBy("doc_id")

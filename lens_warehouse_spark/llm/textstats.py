@@ -1,1 +1,269 @@
-"""(in progress)"""
+"""Text analysis operators L5-L7 + language-ID + fingerprinting
+(SURVEY.md §2.10) over the ``documents`` table.
+
+These are the training-data-pipeline text ops mandated by the north
+star; the reference has no text analytics beyond fulltext search (public
+repo ``src/lens/api.clj``; /root/reference empty, SURVEY.md §0).
+
+Design: everything stays JVM-side — tokenization via ``split``,
+shingling via ``transform(sequence(...), slice)``, scoring via integer
+aggregation (exact across engines). No Python UDFs anywhere; at 100 TB
+these run inside whole-stage codegen with one shuffle per groupBy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from lens_warehouse_spark.catalog import table
+from lens_warehouse_spark.registry import register
+
+def _toks():
+    return F.split("text", " ")
+
+
+# ---------------------------------------------------------------------------
+# L5: per-document text statistics.
+# ---------------------------------------------------------------------------
+@register(
+    "l5_text_stats",
+    oracle="""
+SELECT doc_id,
+       lang,
+       CAST(length(text) AS BIGINT) AS text_len,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+       round(CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')), 6) AS chars_per_token
+FROM documents
+""",
+)
+def l5_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.length("text").cast("long").alias("text_len"),
+        F.size(_toks()).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(_toks())).cast("long").alias("n_distinct"),
+        F.round(
+            F.length("text").cast("double") / F.size(_toks()), 6
+        ).alias("chars_per_token"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# L5b: corpus-level stats faceted by lang/source.
+# ---------------------------------------------------------------------------
+@register(
+    "l5b_corpus_stats",
+    oracle="""
+SELECT lang, source,
+       count(*) AS n_docs,
+       CAST(sum(CAST(n_chars AS BIGINT)) AS BIGINT) AS total_chars,
+       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+FROM documents
+GROUP BY lang, source
+""",
+)
+def l5b_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "documents")
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.sum(F.size(_toks())).cast("long").alias("total_tokens"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# L6: quality filter — length bounds, lang whitelist, repetition ratio
+# (distinct/total tokens), chars-per-token sanity. The standard
+# pretraining-corpus gate.
+# ---------------------------------------------------------------------------
+@register(
+    "l6_quality_filter",
+    oracle="""
+SELECT doc_id
+FROM (
+  SELECT doc_id, lang, n_chars,
+         len(string_split(text, ' ')) AS n_tok,
+         len(list_distinct(string_split(text, ' '))) AS n_dist
+  FROM documents
+)
+WHERE n_chars BETWEEN 100 AND 100000
+  AND lang IN ('en', 'de', 'fr', 'es')
+  AND n_tok >= 10
+  AND CAST(n_dist AS DOUBLE) / n_tok >= 0.3
+""",
+)
+def l6_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.size(_toks()).alias("n_tok"),
+        F.size(F.array_distinct(_toks())).alias("n_dist"),
+    )
+    return df.filter(
+        F.col("n_chars").between(100, 100000)
+        & F.col("lang").isin("en", "de", "fr", "es")
+        & (F.col("n_tok") >= 10)
+        & (F.col("n_dist").cast("double") / F.col("n_tok") >= 0.3)
+    ).select("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# L7: term frequency — top-20 corpus terms (explode -> count -> top-k).
+# ---------------------------------------------------------------------------
+@register(
+    "l7_term_frequency",
+    oracle="""
+SELECT token, count(*) AS tf
+FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+GROUP BY token
+ORDER BY tf DESC, token
+LIMIT 20
+""",
+)
+def l7_term_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "documents")
+        .select(F.explode(_toks()).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .orderBy(F.col("tf").desc(), "token")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# L7b: bigram counts via positional shingling (JVM-side higher-order fns).
+# ---------------------------------------------------------------------------
+@register(
+    "l7b_bigrams",
+    oracle="""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+tok AS (
+  SELECT doc_id, unnest(l) AS w, unnest(range(1, len(l) + 1)) AS pos FROM t
+),
+bi AS (
+  SELECT doc_id, w || ' ' || lead(w, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS bigram
+  FROM tok
+)
+SELECT bigram, count(*) AS n
+FROM bi WHERE bigram IS NOT NULL
+GROUP BY bigram
+ORDER BY n DESC, bigram
+LIMIT 20
+""",
+)
+def l7b_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select("doc_id", _toks().alias("l"))
+    bigrams = docs.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(size(l) - 1, 0)),"
+                " i -> concat_ws(' ', slice(l, i, 2)))"
+            )
+        ).alias("bigram")
+    )
+    return (
+        bigrams.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "bigram")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Language ID: corpus-trained token-frequency scorer. Weights are integer
+# token counts per language (exact cross-engine); a document's score for
+# a language is the sum of its tokens' weights; argmax with lang
+# tiebreak. Fully relational — train + classify in one plan, weights side
+# broadcast at scale.
+# ---------------------------------------------------------------------------
+@register(
+    "l9_language_id",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+), w AS (
+  SELECT d.lang AS wl, token AS wt, count(*) AS cnt
+  FROM tok JOIN documents d USING (doc_id)
+  GROUP BY 1, 2
+), scores AS (
+  SELECT t.doc_id, w.wl AS cand, CAST(sum(w.cnt) AS BIGINT) AS score
+  FROM tok t JOIN w ON w.wt = t.token
+  GROUP BY 1, 2
+), ranked AS (
+  SELECT doc_id, cand,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cand) AS rn
+  FROM scores
+)
+SELECT r.doc_id, r.cand AS pred_lang, d.lang AS true_lang
+FROM ranked r JOIN documents d USING (doc_id)
+WHERE rn = 1
+""",
+)
+def l9_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", "lang", F.explode(_toks()).alias("token"))
+    weights = (
+        tok.groupBy(F.col("lang").alias("wl"), F.col("token").alias("wt"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    scores = (
+        tok.select("doc_id", "token")
+        .join(F.broadcast(weights), F.col("token") == F.col("wt"))
+        .groupBy("doc_id", F.col("wl").alias("cand"))
+        .agg(F.sum("cnt").cast("long").alias("score"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "cand")
+    pred = (
+        scores.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("cand").alias("pred_lang"))
+    )
+    return pred.join(docs.select("doc_id", F.col("lang").alias("true_lang")), "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Document fingerprint: min-md5 over 3-token shingles (rolling-hash
+# fingerprint with an engine-neutral hash).
+# ---------------------------------------------------------------------------
+@register(
+    "l10_fingerprint",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+  WHERE len(string_split(text, ' ')) >= 3
+), tok AS (
+  SELECT doc_id, unnest(l) AS w, unnest(range(1, len(l) + 1)) AS pos FROM t
+), sh AS (
+  SELECT doc_id,
+         w || ' ' || lead(w, 1) OVER dw || ' ' || lead(w, 2) OVER dw AS shingle
+  FROM tok
+  WINDOW dw AS (PARTITION BY doc_id ORDER BY pos)
+)
+SELECT doc_id, min(md5(shingle)) AS fingerprint
+FROM sh WHERE shingle IS NOT NULL
+GROUP BY doc_id
+""",
+)
+def l10_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", _toks().alias("l"))
+        .filter(F.size("l") >= 3)
+    )
+    return docs.select(
+        "doc_id",
+        F.array_min(
+            F.expr(
+                "transform(transform(sequence(1, size(l) - 2),"
+                " i -> concat_ws(' ', slice(l, i, 3))), s -> md5(s))"
+            )
+        ).alias("fingerprint"),
+    )

@@ -1,1 +1,246 @@
-"""(in progress)"""
+"""Similarity search L3/L4 (SURVEY.md §2.10) over the ``embeddings``
+table (dim=64, unit-normalized -> cosine ≡ dot product).
+
+Brute-force exact kNN is the baseline: a guarded cross join + window
+top-k. The scale path is random-hyperplane LSH: 8 seeded ±1 hyperplanes
+bucket vectors into 256 cells so the candidate join is
+bucket-co-located instead of quadratic. At 100 TB the bucketed join
+shuffles O(n) rows once; the exact path exists for verification and
+small probe sets.
+
+Precision discipline: all dot products are computed in DOUBLE on both
+engines (float32 accumulation drifts at 1e-7 — verified against
+DuckDB's ``list_dot_product``, which returns FLOAT and is therefore NOT
+used in oracles). Ranks order by round(dot, 6) with vec_id tiebreaks.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from lens_warehouse_spark.catalog import table
+from lens_warehouse_spark.registry import register
+
+# Spark-side exact double dot product of two array<float> columns.
+_DOT = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+    " CAST(0.0 AS DOUBLE), (s, v) -> s + v)"
+)
+
+# DuckDB-side equivalent (list_dot_product returns FLOAT -> not used).
+_DOT_SQL = (
+    "list_sum(list_transform(list_zip({a}, {b}),"
+    " x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+)
+
+
+def dot(a: str, b: str) -> Column:
+    return F.expr(_DOT.format(a=a, b=b))
+
+
+# ---------------------------------------------------------------------------
+# L3: exact cosine top-k for one query vector (vec_id = 0).
+# ---------------------------------------------------------------------------
+@register(
+    "l3_knn_exact",
+    oracle=f"""
+SELECT b.vec_id, b.label, round({_DOT_SQL.format(a='a.embedding', b='b.embedding')}, 6) AS cos
+FROM embeddings a JOIN embeddings b ON b.vec_id > 0
+WHERE a.vec_id = 0
+ORDER BY cos DESC, b.vec_id
+LIMIT 10
+""",
+)
+def l3_knn_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
+    cand = emb.filter(F.col("vec_id") > 0)
+    return (
+        cand.crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            F.round(dot("q_emb", "embedding"), 6).alias("cos"),
+        )
+        .orderBy(F.col("cos").desc(), "vec_id")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# L3b: batched exact top-k per query (queries = vec_id < 5, broadcast).
+# ---------------------------------------------------------------------------
+@register(
+    "l3b_knn_batch",
+    oracle=f"""
+SELECT query_id, neighbor_id, rn, cos
+FROM (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         round({_DOT_SQL.format(a='a.embedding', b='b.embedding')}, 6) AS cos,
+         row_number() OVER (
+           PARTITION BY a.vec_id
+           ORDER BY round({_DOT_SQL.format(a='a.embedding', b='b.embedding')}, 6) DESC, b.vec_id
+         ) AS rn
+  FROM embeddings a JOIN embeddings b ON b.vec_id >= 5
+  WHERE a.vec_id < 5
+) WHERE rn <= 3
+ORDER BY query_id, rn
+""",
+)
+def l3b_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    cand = emb.filter(F.col("vec_id") >= 5).select(
+        F.col("vec_id").alias("neighbor_id"), "embedding"
+    )
+    scored = cand.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "neighbor_id",
+        F.round(dot("q_emb", "embedding"), 6).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 3)
+        .select("query_id", "neighbor_id", "rn", "cos")
+        .orderBy("query_id", "rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# L4: kNN classification — majority label of the 5 nearest neighbors.
+# ---------------------------------------------------------------------------
+@register(
+    "l4_knn_classify",
+    oracle=f"""
+WITH scored AS (
+  SELECT a.vec_id AS query_id, a.label AS true_label, b.label AS nb_label,
+         row_number() OVER (
+           PARTITION BY a.vec_id
+           ORDER BY round({_DOT_SQL.format(a='a.embedding', b='b.embedding')}, 6) DESC, b.vec_id
+         ) AS rn
+  FROM embeddings a JOIN embeddings b ON b.vec_id >= 20
+  WHERE a.vec_id < 20
+), votes AS (
+  SELECT query_id, true_label, nb_label, count(*) AS n
+  FROM scored WHERE rn <= 5
+  GROUP BY query_id, true_label, nb_label
+), ranked AS (
+  SELECT query_id, true_label, nb_label,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY n DESC, nb_label
+         ) AS vr
+  FROM votes
+)
+SELECT query_id, nb_label AS pred_label, true_label
+FROM ranked WHERE vr = 1
+ORDER BY query_id
+""",
+)
+def l4_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("true_label"),
+        F.col("embedding").alias("q_emb"),
+    )
+    cand = emb.filter(F.col("vec_id") >= 20).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("nb_label"),
+        "embedding",
+    )
+    scored = cand.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "true_label",
+        "nb_label",
+        "neighbor_id",
+        F.round(dot("q_emb", "embedding"), 6).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), "neighbor_id")
+    votes = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .groupBy("query_id", "true_label", "nb_label")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    vw = Window.partitionBy("query_id").orderBy(F.col("n").desc(), "nb_label")
+    return (
+        votes.withColumn("vr", F.row_number().over(vw))
+        .filter(F.col("vr") == 1)
+        .select("query_id", F.col("nb_label").alias("pred_label"), "true_label")
+        .orderBy("query_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# L3c: ANN via random-hyperplane LSH (seeded ±1 planes -> 256 buckets).
+# Rows-only (bucketing is seed-specific); recall property-tested.
+# ---------------------------------------------------------------------------
+N_PLANES = 8
+_rng = random.Random(42)
+PLANES: list[list[float]] = [
+    [float(_rng.choice((-1, 1))) for _ in range(64)] for _ in range(N_PLANES)
+]
+
+
+def lsh_bucket(emb_col: str) -> Column:
+    """Pack sign bits of <v, plane_i> into an int bucket id."""
+    out: Column | None = None
+    for i, plane in enumerate(PLANES):
+        proj = F.expr(
+            _DOT.format(a=emb_col, b=f"array({', '.join(str(v) for v in plane)})")
+        )
+        bit = (proj > 0).cast("long") * F.lit(2**i)
+        out = bit if out is None else out + bit
+    return out
+
+
+@register("l3c_ann_lsh")
+def l3c_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 same-bucket neighbors for query vectors vec_id < 5."""
+    emb = table(spark, sf_dir, "embeddings").withColumn(
+        "bucket", lsh_bucket("embedding")
+    )
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    cand = emb.filter(F.col("vec_id") >= 5).select(
+        F.col("vec_id").alias("neighbor_id"), "embedding", "bucket"
+    )
+    scored = cand.join(
+        F.broadcast(q), F.col("bucket") == F.col("q_bucket")
+    ).select(
+        "query_id", "neighbor_id", F.round(dot("q_emb", "embedding"), 6).alias("cos")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 3)
+        .orderBy("query_id", "rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# L3d: embedding norms (sanity surface for the unit-norm invariant).
+# ---------------------------------------------------------------------------
+@register(
+    "l3d_embedding_norms",
+    oracle=f"""
+SELECT vec_id, label,
+       round(sqrt({_DOT_SQL.format(a='embedding', b='embedding')}), 4) AS norm
+FROM embeddings
+""",
+)
+def l3d_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.round(F.sqrt(dot("embedding", "embedding")), 4).alias("norm"),
+    )

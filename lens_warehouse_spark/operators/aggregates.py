@@ -1,1 +1,346 @@
-"""(in progress)"""
+"""Aggregation operators A1-A10 (SURVEY.md §2.5).
+
+Reference parity: lens-warehouse's analytics are counts — visit & subject
+counts per cohort query, faceted per study-event (public repo
+``src/lens/api.clj``; /root/reference empty, SURVEY.md §0). Numeric
+min/max/avg summaries back the UI's item-value histograms. Everything
+else here (approx distinct, rollup/cube, grouped arrays) is the
+100-TB-scale extension mandated by the north star.
+
+Scale notes: every groupBy below is a partial (map-side) + final
+HashAggregate — one shuffle of the *aggregated* keys, never raw rows.
+``approx_count_distinct`` (HLL++) replaces exact distinct counting at
+100 TB where the exact shuffle would be the bottleneck; rollup/cube
+compute all facets in ONE pass instead of the reference's
+one-datalog-query-per-facet loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lens_warehouse_spark.catalog import table
+from lens_warehouse_spark.registry import register
+
+
+# ---------------------------------------------------------------------------
+# A1: count + exact count-distinct (ref: visit & subject counts).
+# ---------------------------------------------------------------------------
+@register(
+    "a1_count_distinct",
+    oracle="""
+SELECT count(*) AS n_orders, count(DISTINCT o_custkey) AS n_customers
+FROM orders
+""",
+)
+def a1_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return table(spark, sf_dir, "orders").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A2: approximate count-distinct (HLL++) — the 100 TB path. No SQL oracle
+# (engines' sketches differ); sanity property tested in tests/ instead.
+# ---------------------------------------------------------------------------
+@register("a2_approx_count_distinct")
+def a2_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return table(spark, sf_dir, "orders").agg(
+        F.approx_count_distinct("o_custkey", 0.02).alias("approx_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A3: grouped counts / facets (ref: counts per study-event / form).
+# ---------------------------------------------------------------------------
+@register(
+    "a3_faceted_counts",
+    oracle="""
+SELECT o_orderpriority, o_orderstatus, count(*) AS n
+FROM orders
+GROUP BY o_orderpriority, o_orderstatus
+""",
+)
+def a3_faceted_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority", "o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# A4: numeric stats (ref: item-value summaries for UI).
+# stddev rounded to 2: cross-engine algorithm drift is ~1e-9, boundary 5e-3.
+# ---------------------------------------------------------------------------
+@register(
+    "a4_numeric_stats",
+    oracle="""
+SELECT c_mktsegment,
+       round(min(c_acctbal), 2) AS min_bal,
+       round(max(c_acctbal), 2) AS max_bal,
+       round(avg(c_acctbal), 4) AS avg_bal,
+       round(stddev_samp(c_acctbal), 2) AS sd_bal,
+       CAST(round(sum(c_acctbal)) AS BIGINT) AS sum_bal,
+       count(*) AS n
+FROM customer
+GROUP BY c_mktsegment
+""",
+)
+def a4_numeric_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "customer")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+            F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+            F.round(F.avg("c_acctbal"), 4).alias("avg_bal"),
+            F.round(F.stddev_samp("c_acctbal"), 2).alias("sd_bal"),
+            F.round(F.sum("c_acctbal")).cast("long").alias("sum_bal"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# A5: histogram via explicit width buckets (ref: UI value distributions).
+# Exact integer bucket edges -> deterministic across engines.
+# ---------------------------------------------------------------------------
+@register(
+    "a5_histogram",
+    oracle="""
+SELECT CAST(floor((c_acctbal - (-1000.0)) / 500.0) AS BIGINT) AS bucket,
+       count(*) AS n
+FROM customer
+GROUP BY bucket
+ORDER BY bucket
+""",
+)
+def a5_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bucket = F.floor((F.col("c_acctbal") - F.lit(-1000.0)) / F.lit(500.0))
+    return (
+        table(spark, sf_dir, "customer")
+        .groupBy(bucket.cast("long").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A5b: exact percentiles via inverse-distribution (median price per status).
+# percentile_cont is interpolation on sorted values — deterministic.
+# ---------------------------------------------------------------------------
+@register(
+    "a5b_percentiles",
+    oracle="""
+SELECT o_orderstatus,
+       round(percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice), 4) AS p50,
+       round(percentile_cont(0.9) WITHIN GROUP (ORDER BY o_totalprice), 4) AS p90
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+)
+def a5b_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("p50"),
+            F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A8: rollup — all facet levels in one pass (ref computes facets per-query).
+# ---------------------------------------------------------------------------
+@register(
+    "a8_rollup",
+    oracle="""
+SELECT coalesce(r.r_name, 'ALL')  AS region_name,
+       coalesce(n.n_name, 'ALL')  AS nation_name,
+       CAST(GROUPING(r.r_name) * 2 + GROUPING(n.n_name) AS BIGINT) AS grp,
+       count(*) AS n_suppliers
+FROM supplier s
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY ROLLUP (r.r_name, n.n_name)
+""",
+)
+def a8_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    su = table(spark, sf_dir, "supplier")
+    na = table(spark, sf_dir, "nation")
+    re = table(spark, sf_dir, "region")
+    joined = su.join(F.broadcast(na), su.s_nationkey == na.n_nationkey).join(
+        F.broadcast(re), na.n_regionkey == re.r_regionkey
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(F.grouping_id().cast("long").alias("grp"), F.count(F.lit(1)).alias("n_suppliers"))
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region_name"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation_name"),
+            "grp",
+            "n_suppliers",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# A8b: cube over two independent dims.
+# ---------------------------------------------------------------------------
+@register(
+    "a8b_cube",
+    oracle="""
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS grp,
+       count(*) AS n
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+)
+def a8b_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(F.grouping_id().cast("long").alias("grp"), F.count(F.lit(1)).alias("n"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "grp",
+            "n",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# A9: conditional aggregation (ref: per-criterion counts in one scan).
+# ---------------------------------------------------------------------------
+@register(
+    "a9_conditional_agg",
+    oracle="""
+SELECT o_orderstatus,
+       CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent,
+       CAST(sum(CASE WHEN o_totalprice > 200000 THEN 1 ELSE 0 END) AS BIGINT) AS n_big,
+       count(*) AS n
+FROM orders
+GROUP BY o_orderstatus
+""",
+)
+def a9_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.sum(F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0))
+            .cast("long")
+            .alias("n_urgent"),
+            F.sum(F.when(F.col("o_totalprice") > 200000, 1).otherwise(0))
+            .cast("long")
+            .alias("n_big"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# A10: collect children to (sorted) array — ref renders metadata trees via
+# pull-many. Emitted as a joined string: engine-neutral for value hashing.
+# ---------------------------------------------------------------------------
+@register(
+    "a10_collect_array",
+    oracle="""
+SELECT r.r_name AS region_name,
+       array_to_string(list_sort(list(n.n_name)), ',') AS nations
+FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+ORDER BY r.r_name
+""",
+)
+def a10_collect_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    na = table(spark, sf_dir, "nation")
+    re = table(spark, sf_dir, "region")
+    return (
+        na.join(F.broadcast(re), na.n_regionkey == re.r_regionkey)
+        .groupBy(F.col("r_name").alias("region_name"))
+        .agg(
+            F.concat_ws(",", F.array_sort(F.collect_list("n_name"))).alias("nations")
+        )
+        .orderBy("region_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# U1-U4 set algebra primitives (SURVEY.md §2.4) in their raw DataFrame form;
+# the full CNF cohort compiler lives in cohort_queries.py.
+# ---------------------------------------------------------------------------
+@register(
+    "u1_union_distinct",
+    oracle="""
+SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+UNION
+SELECT o_custkey FROM orders WHERE o_totalprice > 300000
+""",
+)
+def u1_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = table(spark, sf_dir, "orders")
+    a = od.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    b = od.filter(F.col("o_totalprice") > 300000).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return a.unionByName(b).distinct()
+
+
+@register(
+    "u2_intersect",
+    oracle="""
+SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+INTERSECT
+SELECT o_custkey FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+""",
+)
+def u2_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = table(spark, sf_dir, "orders")
+    a = od.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    b = od.filter(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return a.intersect(b)
+
+
+@register(
+    "u3_except",
+    oracle="""
+SELECT c_custkey AS custkey FROM customer
+EXCEPT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+""",
+)
+def u3_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cu = table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
+    open_ = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "O")
+        .select(F.col("o_custkey").alias("custkey"))
+    )
+    return cu.subtract(open_)  # EXCEPT (distinct semantics), matching SQL
+
+
+@register(
+    "u4_distinct",
+    oracle="""
+SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+""",
+)
+def u4_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return table(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()

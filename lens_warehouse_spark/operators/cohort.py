@@ -1,0 +1,242 @@
+"""Cohort query compiler (U5) — the reference's flagship capability.
+
+Reference semantics (public repo ``src/lens/api.clj``; /root/reference
+empty, SURVEY.md §0 and §2.4): a cohort query is a *conjunction of
+disjunctions* of criterion atoms (CNF). Each atom ([:form id],
+[:item id :range [lo hi]], [:code-list-item item code]) resolves via one
+datalog query to a set of subject/visit entity ids; sets are unioned
+within a disjunction (``clojure.set/union``), intersected across
+disjunctions (``clojure.set/intersection``), optionally minus exclusion
+criteria; the result is the count, also faceted per study-event.
+
+Spark-first re-expression:
+
+- An Atom compiles to a DataFrame of distinct subject keys — a
+  declarative plan, not a materialized set, so Catalyst pushes each
+  atom's predicate into the fact-table scan.
+- The naive plan (``compile_naive``) mirrors the reference exactly:
+  reduce(union) within disjunctions, reduce(intersect) across. Each
+  intersect is its own shuffle — O(n_disjunctions) shuffles.
+- The scaled plan (``compile_tagged``) rewrites CNF into ONE shuffle:
+  union all disjunction key-sets tagged with their disjunction index,
+  then ``groupBy(key).agg(countDistinct(tag)) == n_disjunctions``.
+  At 100 TB this is the difference between n sort-merge set ops over
+  the subject universe and a single hash aggregation.
+
+Subjects map to ``customer`` (c_custkey), facts to ``orders`` /
+``lineitem`` (via orders for the subject key), mirroring the reference's
+subject / visit / data-point layering.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lens_warehouse_spark.catalog import table
+
+SUBJECT_KEY = "subject_id"
+
+
+# ---------------------------------------------------------------------------
+# Atoms. Each compiles to a distinct-keyed DataFrame of subject ids.
+# ---------------------------------------------------------------------------
+@dataclass(frozen=True)
+class Atom:
+    """Base criterion. Subclasses fill ``keys``."""
+
+    def keys(self, spark: SparkSession, sf_dir: str) -> DataFrame:
+        raise NotImplementedError
+
+
+@dataclass(frozen=True)
+class SubjectAttr(Atom):
+    """Predicate on the subject dimension itself (ref: subject attrs).
+
+    e.g. ``SubjectAttr(segments=("BUILDING",))`` or a balance range.
+    """
+
+    segments: tuple[str, ...] = ()
+    min_balance: float | None = None
+    max_balance: float | None = None
+
+    def keys(self, spark: SparkSession, sf_dir: str) -> DataFrame:
+        df = table(spark, sf_dir, "customer")
+        if self.segments:
+            df = df.filter(F.col("c_mktsegment").isin(*self.segments))
+        if self.min_balance is not None:
+            df = df.filter(F.col("c_acctbal") >= self.min_balance)
+        if self.max_balance is not None:
+            df = df.filter(F.col("c_acctbal") <= self.max_balance)
+        return df.select(F.col("c_custkey").alias(SUBJECT_KEY)).distinct()
+
+
+@dataclass(frozen=True)
+class OrderAtom(Atom):
+    """Existence of an order matching predicates (ref: visit-level atom)."""
+
+    priorities: tuple[str, ...] = ()
+    statuses: tuple[str, ...] = ()
+    date_from: str | None = None  # 'YYYY-MM-DD', inclusive
+    date_to: str | None = None  # exclusive
+    min_total: float | None = None
+
+    def keys(self, spark: SparkSession, sf_dir: str) -> DataFrame:
+        df = table(spark, sf_dir, "orders")
+        if self.priorities:
+            df = df.filter(F.col("o_orderpriority").isin(*self.priorities))
+        if self.statuses:
+            df = df.filter(F.col("o_orderstatus").isin(*self.statuses))
+        if self.date_from:
+            df = df.filter(
+                F.col("o_orderdate") >= F.lit(self.date_from).cast("timestamp")
+            )
+        if self.date_to:
+            df = df.filter(
+                F.col("o_orderdate") < F.lit(self.date_to).cast("timestamp")
+            )
+        if self.min_total is not None:
+            df = df.filter(F.col("o_totalprice") >= self.min_total)
+        return df.select(F.col("o_custkey").alias(SUBJECT_KEY)).distinct()
+
+
+@dataclass(frozen=True)
+class LineitemAtom(Atom):
+    """Existence of a lineitem (data-point-level atom); subject key is
+    reached through orders — the visit->subject ref traversal."""
+
+    returnflags: tuple[str, ...] = ()
+    min_quantity: float | None = None
+    max_quantity: float | None = None
+
+    def keys(self, spark: SparkSession, sf_dir: str) -> DataFrame:
+        li = table(spark, sf_dir, "lineitem")
+        if self.returnflags:
+            li = li.filter(F.col("l_returnflag").isin(*self.returnflags))
+        if self.min_quantity is not None:
+            li = li.filter(F.col("l_quantity") >= self.min_quantity)
+        if self.max_quantity is not None:
+            li = li.filter(F.col("l_quantity") <= self.max_quantity)
+        od = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+        return (
+            li.select("l_orderkey")
+            .join(od, F.col("l_orderkey") == F.col("o_orderkey"))
+            .select(F.col("o_custkey").alias(SUBJECT_KEY))
+            .distinct()
+        )
+
+
+@dataclass(frozen=True, eq=False)
+class StaticAtom(Atom):
+    """Atom over a prebuilt key DataFrame (testing / ad-hoc sets)."""
+
+    df: "DataFrame"
+
+    def keys(self, spark: SparkSession, sf_dir: str) -> DataFrame:
+        return self.df.select(F.col(self.df.columns[0]).alias(SUBJECT_KEY)).distinct()
+
+
+@dataclass(frozen=True)
+class CohortQuery:
+    """CNF: AND of ORs of atoms, minus exclusion atoms."""
+
+    disjunctions: tuple[tuple[Atom, ...], ...]
+    exclusions: tuple[Atom, ...] = field(default=())
+
+
+# ---------------------------------------------------------------------------
+# Compilation strategies.
+# ---------------------------------------------------------------------------
+def _disjunction_keys(
+    spark: SparkSession, sf_dir: str, atoms: tuple[Atom, ...]
+) -> DataFrame:
+    dfs = [a.keys(spark, sf_dir) for a in atoms]
+    out = dfs[0]
+    for df in dfs[1:]:
+        out = out.unionByName(df)
+    return out.distinct()
+
+
+def compile_naive(
+    query: CohortQuery, spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Reference-shaped plan: union within, chained intersect across."""
+    sets = [_disjunction_keys(spark, sf_dir, d) for d in query.disjunctions]
+    out = sets[0]
+    for s in sets[1:]:
+        out = out.intersect(s)
+    for e in query.exclusions:
+        excl = e.keys(spark, sf_dir)
+        out = out.join(excl, SUBJECT_KEY, "left_anti")
+    return out
+
+
+def compile_tagged(
+    query: CohortQuery, spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """One-shuffle plan: tagged union + countDistinct(tag) == n.
+
+    Exclusions ride along as an extra tag whose presence disqualifies,
+    so the whole CNF (including NOT) is a single hash aggregation.
+    """
+    n = len(query.disjunctions)
+    tagged = [
+        _disjunction_keys(spark, sf_dir, d).withColumn("tag", F.lit(i))
+        for i, d in enumerate(query.disjunctions)
+    ]
+    union = tagged[0]
+    for t in tagged[1:]:
+        union = union.unionByName(t)
+    excl_tag = F.lit(n)
+    for e in query.exclusions:
+        union = union.unionByName(
+            e.keys(spark, sf_dir).withColumn("tag", excl_tag)
+        )
+    return (
+        union.groupBy(SUBJECT_KEY)
+        .agg(
+            F.countDistinct(F.when(F.col("tag") < n, F.col("tag"))).alias("n_met"),
+            F.max((F.col("tag") == n).cast("int")).alias("excluded"),
+        )
+        .filter((F.col("n_met") == n) & (F.col("excluded") == 0))
+        .select(SUBJECT_KEY)
+    )
+
+
+def cohort_members(
+    query: CohortQuery, spark: SparkSession, sf_dir: str, strategy: str = "tagged"
+) -> DataFrame:
+    fn = compile_tagged if strategy == "tagged" else compile_naive
+    return fn(query, spark, sf_dir)
+
+
+def cohort_count(
+    query: CohortQuery, spark: SparkSession, sf_dir: str, strategy: str = "tagged"
+) -> DataFrame:
+    """The reference's primary answer: how many subjects match."""
+    return cohort_members(query, spark, sf_dir, strategy).agg(
+        F.count(F.lit(1)).alias("n_subjects")
+    )
+
+
+def cohort_facets(
+    query: CohortQuery,
+    spark: SparkSession,
+    sf_dir: str,
+    facet_col: str = "c_mktsegment",
+    strategy: str = "tagged",
+) -> DataFrame:
+    """Faceted counts (ref: per-study-event counts): members joined back
+    to the subject dim and counted per facet value."""
+    members = cohort_members(query, spark, sf_dir, strategy)
+    cu = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias(SUBJECT_KEY), facet_col
+    )
+    return (
+        members.join(cu, SUBJECT_KEY)
+        .groupBy(F.col(facet_col).alias("facet"))
+        .agg(F.count(F.lit(1)).alias("n_subjects"))
+        .orderBy("facet")
+    )

@@ -1,1 +1,98 @@
-"""(in progress)"""
+"""Registered cohort queries (U1-U5) over the star schema.
+
+The canonical example cohort mirrors a clinical inclusion/exclusion
+criteria query (SURVEY.md §2.4): subjects = customers,
+  include: (urgent-or-high-priority order)
+       AND (order placed in 1996 OR a returned lineitem)
+  exclude: negative account balance.
+Registered with both compilation strategies — the reference-shaped
+intersect chain and the one-shuffle tagged aggregation — against the
+same SQL oracle, proving the rewrite preserves semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from lens_warehouse_spark.operators.cohort import (
+    CohortQuery,
+    LineitemAtom,
+    OrderAtom,
+    SubjectAttr,
+    cohort_count,
+    cohort_facets,
+    cohort_members,
+)
+from lens_warehouse_spark.registry import register
+
+EXAMPLE_COHORT = CohortQuery(
+    disjunctions=(
+        (OrderAtom(priorities=("1-URGENT", "2-HIGH")),),
+        (
+            OrderAtom(date_from="1996-01-01", date_to="1997-01-01"),
+            LineitemAtom(returnflags=("R",)),
+        ),
+    ),
+    exclusions=(SubjectAttr(max_balance=0.0),),
+)
+
+_MEMBERS_CTE = """
+WITH d1 AS (
+  SELECT DISTINCT o_custkey AS subject_id FROM orders
+  WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+), d2 AS (
+  SELECT DISTINCT o_custkey AS subject_id FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+  UNION
+  SELECT DISTINCT o.o_custkey FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE l.l_returnflag = 'R'
+), exc AS (
+  SELECT DISTINCT c_custkey AS subject_id FROM customer WHERE c_acctbal <= 0.0
+), members AS (
+  SELECT subject_id FROM d1
+  INTERSECT
+  SELECT subject_id FROM d2
+  EXCEPT
+  SELECT subject_id FROM exc
+)
+"""
+
+
+@register(
+    "u5_cohort_count",
+    oracle=_MEMBERS_CTE + "SELECT count(*) AS n_subjects FROM members",
+)
+def u5_cohort_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cohort_count(EXAMPLE_COHORT, spark, sf_dir, strategy="tagged")
+
+
+@register(
+    "u5_cohort_count_naive",
+    oracle=_MEMBERS_CTE + "SELECT count(*) AS n_subjects FROM members",
+)
+def u5_cohort_count_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cohort_count(EXAMPLE_COHORT, spark, sf_dir, strategy="naive")
+
+
+@register(
+    "u5_cohort_members",
+    oracle=_MEMBERS_CTE + "SELECT subject_id FROM members",
+)
+def u5_cohort_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cohort_members(EXAMPLE_COHORT, spark, sf_dir, strategy="tagged")
+
+
+@register(
+    "u5_cohort_facets",
+    oracle=_MEMBERS_CTE
+    + """
+SELECT c.c_mktsegment AS facet, count(*) AS n_subjects
+FROM members m JOIN customer c ON c.c_custkey = m.subject_id
+GROUP BY c.c_mktsegment
+ORDER BY facet
+""",
+)
+def u5_cohort_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cohort_facets(EXAMPLE_COHORT, spark, sf_dir, facet_col="c_mktsegment")

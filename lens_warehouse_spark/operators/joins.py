@@ -1,1 +1,317 @@
-"""(in progress)"""
+"""Join operators J1-J9.
+
+Reference parity (SURVEY.md §2.3): lens-warehouse's joins are datalog
+clauses sharing variables — entity-ref traversals visit->subject,
+data-point->item-def resolved by Datomic indexes (public repo
+``src/lens/api.clj``; /root/reference empty, SURVEY.md §0). Inclusion
+atoms are semi-joins ("subject HAS a matching data point"), exclusion
+criteria are anti-joins.
+
+Spark-first scale notes:
+- Dims (region/nation/customer/supplier/part) get an explicit
+  ``broadcast()`` hint — at 100 TB the fact side never shuffles for
+  these joins; AQE would usually figure it out, the hint removes doubt.
+- Fact-fact joins (lineitem-orders) are shuffle sort-merge on the join
+  key; at scale both sides would be bucketed by orderkey to make this
+  shuffle-free. AQE handles skew splitting.
+- The as-of join (J8) is the window-function formulation: one shuffle by
+  key, no point-in-time loop. The theta join (J7) keeps its small side
+  broadcast so the nested-loop never materializes a cross product of
+  two big relations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from lens_warehouse_spark.catalog import table
+from lens_warehouse_spark.operators._helpers import epoch_ms, money_sum, revenue
+from lens_warehouse_spark.registry import register
+
+
+# ---------------------------------------------------------------------------
+# J1: equi inner join, fact->fact (lineitem ⋈ orders).
+# ---------------------------------------------------------------------------
+@register(
+    "j1_inner_join",
+    oracle="""
+SELECT l.l_orderkey, l.l_linenumber, o.o_orderpriority
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderstatus = 'F' AND l.l_quantity > 45
+""",
+)
+def j1_inner_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    od = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return li.join(od, li.l_orderkey == od.o_orderkey, "inner").select(
+        "l_orderkey", "l_linenumber", "o_orderpriority"
+    )
+
+
+# ---------------------------------------------------------------------------
+# J2: broadcast dim join chain customer->nation->region.
+# ---------------------------------------------------------------------------
+@register(
+    "j2_broadcast_dim_join",
+    oracle="""
+SELECT r.r_name AS region_name, count(*) AS n_customers
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+ORDER BY r.r_name
+""",
+)
+def j2_broadcast_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cu = table(spark, sf_dir, "customer")
+    na = table(spark, sf_dir, "nation")
+    re = table(spark, sf_dir, "region")
+    return (
+        cu.join(broadcast(na), cu.c_nationkey == na.n_nationkey)
+        .join(broadcast(re), na.n_regionkey == re.r_regionkey)
+        .groupBy(F.col("r_name").alias("region_name"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("region_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# J3: left semi join — "customer HAS an urgent open order" (inclusion atom).
+# ---------------------------------------------------------------------------
+@register(
+    "j3_semi_join",
+    oracle="""
+SELECT c_custkey, c_name
+FROM customer c
+WHERE EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+)
+""",
+)
+def j3_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cu = table(spark, sf_dir, "customer")
+    urgent = table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return cu.join(
+        urgent, cu.c_custkey == urgent.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+# ---------------------------------------------------------------------------
+# J4: left anti join — exclusion criterion ("no returned lineitem").
+# ---------------------------------------------------------------------------
+@register(
+    "j4_anti_join",
+    oracle="""
+SELECT c_custkey
+FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_custkey = c.c_custkey AND l.l_returnflag = 'R'
+)
+""",
+)
+def j4_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cu = table(spark, sf_dir, "customer")
+    od = table(spark, sf_dir, "orders")
+    returned = (
+        table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .join(od, F.col("l_orderkey") == od.o_orderkey)
+        .select("o_custkey")
+    )
+    return cu.join(returned, cu.c_custkey == returned.o_custkey, "left_anti").select(
+        "c_custkey"
+    )
+
+
+# ---------------------------------------------------------------------------
+# J5: left outer join — customers with their order count (0 if none).
+# ---------------------------------------------------------------------------
+@register(
+    "j5_left_outer_join",
+    oracle="""
+SELECT c.c_custkey, CAST(coalesce(cnt, 0) AS BIGINT) AS n_orders
+FROM customer c
+LEFT JOIN (
+  SELECT o_custkey, count(*) AS cnt FROM orders GROUP BY o_custkey
+) o ON o.o_custkey = c.c_custkey
+""",
+)
+def j5_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cu = table(spark, sf_dir, "customer")
+    cnt = (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return cu.join(cnt, cu.c_custkey == cnt.o_custkey, "left").select(
+        "c_custkey", F.coalesce("cnt", F.lit(0)).cast("long").alias("n_orders")
+    )
+
+
+# ---------------------------------------------------------------------------
+# J6: multi-way star join — revenue per nation (TPC-H Q5 shape):
+# lineitem ⋈ orders ⋈ customer ⋈ supplier ⋈ nation ⋈ region, with the
+# classic "local supplier" condition c_nationkey = s_nationkey.
+# ---------------------------------------------------------------------------
+@register(
+    "j6_star_join_revenue",
+    oracle="""
+SELECT n.n_name AS nation_name,
+       CAST(round(sum(l.l_extendedprice * (1 - l.l_discount))) AS BIGINT) AS revenue
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+JOIN nation n   ON s.s_nationkey = n.n_nationkey
+JOIN region r   ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n.n_name
+ORDER BY n.n_name
+""",
+)
+def j6_star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    od = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    cu = table(spark, sf_dir, "customer")
+    su = table(spark, sf_dir, "supplier")
+    na = table(spark, sf_dir, "nation")
+    re = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .join(broadcast(cu), od.o_custkey == cu.c_custkey)
+        .join(
+            broadcast(su),
+            (li.l_suppkey == su.s_suppkey) & (cu.c_nationkey == su.s_nationkey),
+        )
+        .join(broadcast(na), su.s_nationkey == na.n_nationkey)
+        .join(broadcast(re), na.n_regionkey == re.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation_name"))
+        .agg(money_sum(revenue()).alias("revenue"))
+        .orderBy("nation_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# J7: theta (non-equi) join — nation pairs from different regions.
+# BroadcastNestedLoopJoin; both sides tiny dims, so safe at any scale.
+# ---------------------------------------------------------------------------
+@register(
+    "j7_theta_join",
+    oracle="""
+SELECT a.n_name AS nation_a, b.n_name AS nation_b
+FROM nation a JOIN nation b
+  ON a.n_nationkey < b.n_nationkey AND a.n_regionkey <> b.n_regionkey
+""",
+)
+def j7_theta_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    na = table(spark, sf_dir, "nation")
+    a = na.select(
+        F.col("n_nationkey").alias("ak"),
+        F.col("n_regionkey").alias("ar"),
+        F.col("n_name").alias("nation_a"),
+    )
+    b = na.select(
+        F.col("n_nationkey").alias("bk"),
+        F.col("n_regionkey").alias("br"),
+        F.col("n_name").alias("nation_b"),
+    )
+    return a.join(
+        broadcast(b), (F.col("ak") < F.col("bk")) & (F.col("ar") != F.col("br"))
+    ).select("nation_a", "nation_b")
+
+
+# ---------------------------------------------------------------------------
+# J7b: range join — lineitems shipped within 60 days of their order date.
+# Equi key + range residual: stays a sort-merge join on the equi key.
+# ---------------------------------------------------------------------------
+@register(
+    "j7b_range_join",
+    oracle="""
+SELECT o.o_orderpriority, count(*) AS n_fast_items
+FROM lineitem l
+JOIN orders o
+  ON l.l_orderkey = o.o_orderkey
+ AND l.l_shipdate >= o.o_orderdate
+ AND l.l_shipdate <  o.o_orderdate + INTERVAL 60 DAY
+GROUP BY o.o_orderpriority
+ORDER BY o.o_orderpriority
+""",
+)
+def j7b_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    od = table(spark, sf_dir, "orders")
+    return (
+        li.join(
+            od,
+            (li.l_orderkey == od.o_orderkey)
+            & (li.l_shipdate >= od.o_orderdate)
+            & (li.l_shipdate < od.o_orderdate + F.expr("INTERVAL 60 DAY")),
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_fast_items"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# J8: as-of join — latest event per user as of a cutoff timestamp.
+# Reference analog: "latest observation per subject at time t" resolved by
+# Datomic AVET index walk; here it is one shuffle + row_number (no loop).
+# ---------------------------------------------------------------------------
+@register(
+    "j8_asof_latest_event",
+    oracle="""
+SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, event_type
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+  ) AS rn
+  FROM events
+  WHERE ts <= TIMESTAMP '2024-01-15 00:00:00'
+) WHERE rn = 1
+""",
+)
+def j8_asof_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("ts").cast("timestamp") <= F.lit("2024-01-15 00:00:00").cast("timestamp")
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id", "event_id", epoch_ms("ts").alias("ts_ms"), "event_type"
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# J9: cross join (guarded: both sides tiny) — region x mktsegment grid.
+# ---------------------------------------------------------------------------
+@register(
+    "j9_cross_join",
+    oracle="""
+SELECT r.r_name AS region_name, s.c_mktsegment AS segment
+FROM region r CROSS JOIN (SELECT DISTINCT c_mktsegment FROM customer) s
+""",
+)
+def j9_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    re = table(spark, sf_dir, "region").select(F.col("r_name").alias("region_name"))
+    seg = (
+        table(spark, sf_dir, "customer")
+        .select(F.col("c_mktsegment").alias("segment"))
+        .distinct()
+    )
+    return re.crossJoin(broadcast(seg))

@@ -1,1 +1,194 @@
-"""(in progress)"""
+"""Batch time-series operators T1-T3 (SURVEY.md §2.9).
+
+The reference has no streaming/windowed-time analytics — imports are
+incremental Datomic transactions (public repo ``src/lens/handler.clj``;
+/root/reference empty, SURVEY.md §0). The ``events`` table is the
+driver-mandated vehicle; these are the *batch* forms (``window()`` /
+``session_window()`` work on static frames), oracle-checkable against
+DuckDB. Their structured-streaming twins live in
+``lens_warehouse_spark/streaming/jobs.py``.
+
+Parity notes: all bucket arithmetic is integer ``div`` on epoch-millis
+(never double division); Spark's session gap is half-open
+``[start, last+gap)`` so the islands oracle flags a new session at
+``gap >= 30min``, not ``>``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from lens_warehouse_spark.catalog import table
+from lens_warehouse_spark.operators._helpers import as_ts
+from lens_warehouse_spark.registry import register
+
+
+# ---------------------------------------------------------------------------
+# T1: tumbling window aggregation (6-hour buckets).
+# 6h divides the day, so Spark's epoch-aligned window() and DuckDB's
+# time_bucket agree on boundaries.
+# ---------------------------------------------------------------------------
+@register(
+    "t1_tumbling_window",
+    oracle="""
+SELECT epoch_ms(time_bucket(INTERVAL '6 hours', ts)) AS win_start_ms,
+       event_type,
+       count(*) AS n,
+       round(sum(value), 4) AS sum_value
+FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2
+""",
+)
+def t1_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    win = F.window(as_ts("ts"), "6 hours")
+    return (
+        ev.groupBy(win.alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            F.unix_millis(F.col("w.start")).alias("win_start_ms"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+        .orderBy("win_start_ms", "event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# T2: sliding window aggregation (24h windows sliding by 12h). Each event
+# lands in exactly two windows; the oracle expands them with integer
+# arithmetic on epoch millis.
+# ---------------------------------------------------------------------------
+@register(
+    "t2_sliding_window",
+    oracle="""
+WITH starts AS (
+  SELECT event_type, (epoch_ms(ts) // 43200000) * 43200000 AS s1
+  FROM events
+), expanded AS (
+  SELECT event_type, s1 AS win_start_ms FROM starts
+  UNION ALL
+  SELECT event_type, s1 - 43200000 AS win_start_ms FROM starts
+)
+SELECT win_start_ms, event_type, count(*) AS n
+FROM expanded
+GROUP BY win_start_ms, event_type
+ORDER BY win_start_ms, event_type
+""",
+)
+def t2_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    win = F.window(as_ts("ts"), "24 hours", "12 hours")
+    return (
+        ev.groupBy(win.alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.unix_millis(F.col("w.start")).alias("win_start_ms"),
+            "event_type",
+            "n",
+        )
+        .orderBy("win_start_ms", "event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# T3: session window (30-minute inactivity gap) per user. The oracle is
+# the classic gaps-and-islands rewrite: flag a new session when the gap
+# from the previous event is >= 30 min, running-sum the flags into a
+# session id, then aggregate per island.
+# ---------------------------------------------------------------------------
+@register(
+    "t3_session_window",
+    oracle="""
+WITH e AS (
+  SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events
+), flagged AS (
+  SELECT user_id, event_id, ms,
+         CASE WHEN lag(ms) OVER w IS NULL
+               OR ms - lag(ms) OVER w >= 1800000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)
+), sess AS (
+  SELECT user_id, ms,
+         sum(new_sess) OVER (
+           PARTITION BY user_id ORDER BY ms, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS sid
+  FROM flagged
+)
+SELECT user_id, min(ms) AS session_start_ms, count(*) AS n_events
+FROM sess
+GROUP BY user_id, sid
+ORDER BY user_id, session_start_ms
+""",
+)
+def t3_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window(as_ts("ts"), "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_millis(F.col("w.start")).alias("session_start_ms"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start_ms")
+    )
+
+
+# ---------------------------------------------------------------------------
+# T3b: event funnel — per user, did a 'view' precede a 'purchase'?
+# (Sequence analytics via min-timestamp comparison, one aggregation.)
+# ---------------------------------------------------------------------------
+@register(
+    "t3b_event_funnel",
+    oracle="""
+SELECT CAST(count(*) AS BIGINT) AS n_converted
+FROM (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN epoch_ms(ts) END) AS first_view,
+         max(CASE WHEN event_type = 'purchase' THEN epoch_ms(ts) END) AS last_purchase
+  FROM events
+  GROUP BY user_id
+)
+WHERE first_view IS NOT NULL AND last_purchase IS NOT NULL
+  AND first_view <= last_purchase
+""",
+)
+def t3b_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    ms = F.unix_millis(as_ts("ts"))
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", ms)).alias("first_view"),
+        F.max(F.when(F.col("event_type") == "purchase", ms)).alias("last_purchase"),
+    )
+    return per_user.filter(
+        F.col("first_view").isNotNull()
+        & F.col("last_purchase").isNotNull()
+        & (F.col("first_view") <= F.col("last_purchase"))
+    ).agg(F.count(F.lit(1)).alias("n_converted"))
+
+
+# ---------------------------------------------------------------------------
+# W4b: time-range frame — 1-hour trailing event count per event
+# (rangeBetween on epoch seconds; RANGE frames match across engines).
+# ---------------------------------------------------------------------------
+@register(
+    "w4b_range_frame",
+    oracle="""
+SELECT event_id,
+       count(*) OVER (
+         PARTITION BY user_id ORDER BY epoch_ms(ts)
+         RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW
+       ) AS n_last_hour
+FROM events
+""",
+)
+def w4b_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").withColumn("ms", F.unix_millis(as_ts("ts")))
+    w = Window.partitionBy("user_id").orderBy("ms").rangeBetween(-3600000, 0)
+    return ev.select("event_id", F.count(F.lit(1)).over(w).alias("n_last_hour"))

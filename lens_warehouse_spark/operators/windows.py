@@ -1,1 +1,213 @@
-"""(in progress)"""
+"""Window functions W1-W6 (SURVEY.md §2.6).
+
+The reference has no window functions — its Datomic peer code does ad-hoc
+equivalents (e.g. "latest datom wins" index walks); this module is the
+100-TB-native generalization. One shuffle per window partitioning; specs
+sharing a partitioning are planned into a single Window exec by Catalyst.
+
+Parity: every ORDER BY inside a window spec carries a unique tiebreaker
+column so row_number/lag frames are deterministic across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from lens_warehouse_spark.catalog import table
+from lens_warehouse_spark.operators._helpers import epoch_ms
+from lens_warehouse_spark.registry import register
+
+
+# ---------------------------------------------------------------------------
+# W1: row_number / rank / dense_rank (ties on p_size show the difference).
+# ---------------------------------------------------------------------------
+@register(
+    "w1_ranking",
+    oracle="""
+SELECT p_partkey, p_brand, p_size,
+       row_number() OVER (PARTITION BY p_brand ORDER BY p_size, p_partkey) AS rn,
+       rank()       OVER (PARTITION BY p_brand ORDER BY p_size) AS rnk,
+       dense_rank() OVER (PARTITION BY p_brand ORDER BY p_size) AS drnk
+FROM part
+""",
+)
+def w1_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w_tie = Window.partitionBy("p_brand").orderBy("p_size", "p_partkey")
+    w = Window.partitionBy("p_brand").orderBy("p_size")
+    return table(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_brand",
+        "p_size",
+        F.row_number().over(w_tie).cast("long").alias("rn"),
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# W2: lag/lead — per-user event deltas (classic sessionization precursor).
+# ---------------------------------------------------------------------------
+@register(
+    "w2_lag_lead",
+    oracle="""
+SELECT user_id, event_id,
+       epoch_ms(ts) - lag(epoch_ms(ts)) OVER w AS gap_ms,
+       lag(event_type)  OVER w AS prev_type,
+       lead(event_type) OVER w AS next_type
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+)
+def w2_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ms = epoch_ms("ts")
+    return table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        (ms - F.lag(ms).over(w)).alias("gap_ms"),
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# W3: running total (cumulative frame).
+# ---------------------------------------------------------------------------
+@register(
+    "w3_running_total",
+    oracle="""
+SELECT user_id, event_id,
+       round(sum(value) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ), 4) AS running_value
+FROM events
+""",
+)
+def w3_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.round(F.sum("value").over(w), 4).alias("running_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# W4: moving average over a row frame.
+# ---------------------------------------------------------------------------
+@register(
+    "w4_moving_average",
+    oracle="""
+SELECT user_id, event_id,
+       round(avg(value) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN 3 PRECEDING AND CURRENT ROW
+       ), 4) AS moving_avg
+FROM events
+""",
+)
+def w4_moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-3, 0)
+    return table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.round(F.avg("value").over(w), 4).alias("moving_avg"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# W5: ntile / percent_rank / cume_dist.
+# ---------------------------------------------------------------------------
+@register(
+    "w5_distribution",
+    oracle="""
+SELECT c_custkey,
+       ntile(4) OVER w AS quartile,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cume
+FROM customer
+WINDOW w AS (ORDER BY c_acctbal, c_custkey)
+""",
+)
+def w5_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# W6: first/last value in frame — first & most recent order price per
+# customer on every row.
+# ---------------------------------------------------------------------------
+@register(
+    "w6_first_last",
+    oracle="""
+SELECT o_orderkey, o_custkey,
+       round(first_value(o_totalprice) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+       ), 2) AS first_price,
+       round(last_value(o_totalprice) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+       ), 2) AS last_price
+FROM orders
+""",
+)
+def w6_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.first("o_totalprice").over(w), 2).alias("first_price"),
+        F.round(F.last("o_totalprice").over(w), 2).alias("last_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# O5: top-k per group (W1 + filter) — 3 priciest orders per segment.
+# ---------------------------------------------------------------------------
+@register(
+    "o5_top_k_per_group",
+    oracle="""
+SELECT c_mktsegment, o_orderkey, round(o_totalprice, 2) AS total_price
+FROM (
+  SELECT c.c_mktsegment, o.o_orderkey, o.o_totalprice,
+         row_number() OVER (
+           PARTITION BY c.c_mktsegment
+           ORDER BY o.o_totalprice DESC, o.o_orderkey
+         ) AS rn
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+) WHERE rn <= 3
+""",
+)
+def o5_top_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = table(spark, sf_dir, "orders")
+    cu = table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        od.join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "c_mktsegment",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("total_price"),
+        )
+    )

@@ -1,0 +1,77 @@
+"""Property tests for the cohort CNF compiler (SURVEY.md §5.2).
+
+The tagged one-shuffle plan must be semantically identical to the
+reference-shaped intersect chain, and both must match brute-force
+Python set algebra, for arbitrary CNF structures.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from lens_warehouse_spark.operators.cohort import (
+    CohortQuery,
+    StaticAtom,
+    compile_naive,
+    compile_tagged,
+)
+
+SUBJECTS = list(range(30))
+
+key_sets = st.lists(
+    st.sampled_from(SUBJECTS), min_size=0, max_size=15, unique=True
+).map(frozenset)
+
+cnf = st.tuples(
+    st.lists(st.lists(key_sets, min_size=1, max_size=3), min_size=1, max_size=3),
+    st.lists(key_sets, min_size=0, max_size=2),
+)
+
+
+def brute_force(disjunctions, exclusions):
+    result = None
+    for atoms in disjunctions:
+        dset = set().union(*atoms) if atoms else set()
+        result = dset if result is None else (result & dset)
+    for e in exclusions:
+        result -= e
+    return result or set()
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(cnf=cnf)
+def test_cohort_strategies_agree(spark, cnf):
+    disjunctions, exclusions = cnf
+
+    def to_atom(keys):
+        df = spark.createDataFrame(
+            [(int(k),) for k in sorted(keys)] or [(None,)], "subject_id long"
+        ).filter("subject_id IS NOT NULL")
+        return StaticAtom(df=df)
+
+    query = CohortQuery(
+        disjunctions=tuple(tuple(to_atom(a) for a in d) for d in disjunctions),
+        exclusions=tuple(to_atom(e) for e in exclusions),
+    )
+    expected = brute_force(
+        [[set(a) for a in d] for d in disjunctions], [set(e) for e in exclusions]
+    )
+    naive = {r.subject_id for r in compile_naive(query, spark, "").collect()}
+    tagged = {r.subject_id for r in compile_tagged(query, spark, "").collect()}
+    assert naive == expected
+    assert tagged == expected
+
+
+def test_example_cohort_counts_match_strategies(spark):
+    from lens_warehouse_spark.operators.cohort import cohort_count
+    from lens_warehouse_spark.operators.cohort_queries import EXAMPLE_COHORT
+
+    sf = "/root/testdata/sf0.001"
+    n_tagged = cohort_count(EXAMPLE_COHORT, spark, sf, "tagged").collect()[0][0]
+    n_naive = cohort_count(EXAMPLE_COHORT, spark, sf, "naive").collect()[0][0]
+    assert n_tagged == n_naive > 0
