@@ -81,6 +81,9 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     co-locate; the shuffle is O(n_docs * n_bands), never O(n^2).
     """
     r = N_HASHES // N_BANDS
+    sigs = sigs.persist()  # signature relation feeds both sides of the
+    # band self-join; without this Spark recomputes the minhash
+    # expression tree (16 x shingle hashing) twice.
     banded = sigs.select(
         F.col(id_col),
         F.explode(

@@ -70,7 +70,7 @@ class SubjectAttr(Atom):
             df = df.filter(F.col("c_acctbal") >= self.min_balance)
         if self.max_balance is not None:
             df = df.filter(F.col("c_acctbal") <= self.max_balance)
-        return df.select(F.col("c_custkey").alias(SUBJECT_KEY)).distinct()
+        return df.select(F.col("c_custkey").alias(SUBJECT_KEY))
 
 
 @dataclass(frozen=True)
@@ -99,7 +99,7 @@ class OrderAtom(Atom):
             )
         if self.min_total is not None:
             df = df.filter(F.col("o_totalprice") >= self.min_total)
-        return df.select(F.col("o_custkey").alias(SUBJECT_KEY)).distinct()
+        return df.select(F.col("o_custkey").alias(SUBJECT_KEY))
 
 
 @dataclass(frozen=True)
@@ -124,7 +124,6 @@ class LineitemAtom(Atom):
             li.select("l_orderkey")
             .join(od, F.col("l_orderkey") == F.col("o_orderkey"))
             .select(F.col("o_custkey").alias(SUBJECT_KEY))
-            .distinct()
         )
 
 
@@ -150,13 +149,17 @@ class CohortQuery:
 # Compilation strategies.
 # ---------------------------------------------------------------------------
 def _disjunction_keys(
-    spark: SparkSession, sf_dir: str, atoms: tuple[Atom, ...]
+    spark: SparkSession, sf_dir: str, atoms: tuple[Atom, ...], distinct: bool = True
 ) -> DataFrame:
+    """Union of atom key-sets. ``distinct=False`` skips the per-disjunction
+    dedup shuffle — used by the tagged plan, whose final countDistinct(tag)
+    aggregation is insensitive to duplicate (key, tag) rows, making the
+    whole CNF genuinely one shuffle."""
     dfs = [a.keys(spark, sf_dir) for a in atoms]
     out = dfs[0]
     for df in dfs[1:]:
         out = out.unionByName(df)
-    return out.distinct()
+    return out.distinct() if distinct else out
 
 
 def compile_naive(
@@ -183,7 +186,7 @@ def compile_tagged(
     """
     n = len(query.disjunctions)
     tagged = [
-        _disjunction_keys(spark, sf_dir, d).withColumn("tag", F.lit(i))
+        _disjunction_keys(spark, sf_dir, d, distinct=False).withColumn("tag", F.lit(i))
         for i, d in enumerate(query.disjunctions)
     ]
     union = tagged[0]

@@ -1,0 +1,168 @@
+"""Gap-fill operators: null/presence (P6), global sort (O1), grouping
+sets (A8c), decimal discipline (F4), map functions (F6), batch sink
+round-trip (S3).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lens_warehouse_spark.catalog import table
+from lens_warehouse_spark.registry import register
+
+
+# ---------------------------------------------------------------------------
+# P6: null / presence tests (ref: EAV attribute present on entity).
+# Formulated as a left join + isNull — the "attribute absent" shape.
+# ---------------------------------------------------------------------------
+@register(
+    "p6_null_presence",
+    oracle="""
+SELECT c.c_custkey,
+       CAST(o.o_custkey IS NOT NULL AS INT) AS has_urgent_order
+FROM customer c
+LEFT JOIN (
+  SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+) o ON o.o_custkey = c.c_custkey
+""",
+)
+def p6_null_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cu = table(spark, sf_dir, "customer")
+    urgent = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+        .distinct()
+    )
+    return cu.join(urgent, cu.c_custkey == urgent.o_custkey, "left").select(
+        "c_custkey",
+        F.col("o_custkey").isNotNull().cast("int").alias("has_urgent_order"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# O1: global sort (range-partitioned shuffle at scale).
+# ---------------------------------------------------------------------------
+@register(
+    "o1_global_sort",
+    oracle="""
+SELECT s_suppkey, s_name, round(s_acctbal, 2) AS acctbal
+FROM supplier
+ORDER BY s_acctbal DESC, s_suppkey
+""",
+)
+def o1_global_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "supplier")
+        .orderBy(F.col("s_acctbal").desc(), "s_suppkey")
+        .select("s_suppkey", "s_name", F.round("s_acctbal", 2).alias("acctbal"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# A8c: GROUPING SETS through the SQL surface (temp-view catalog, S5).
+# ---------------------------------------------------------------------------
+@register(
+    "a8c_grouping_sets",
+    oracle="""
+SELECT coalesce(o_orderstatus, 'ALL') AS status,
+       coalesce(o_orderpriority, 'ALL') AS priority,
+       count(*) AS n
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+""",
+)
+def a8c_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "orders").createOrReplaceTempView("lws_orders_gs")
+    return spark.sql(
+        """
+        SELECT coalesce(o_orderstatus, 'ALL') AS status,
+               coalesce(o_orderpriority, 'ALL') AS priority,
+               count(*) AS n
+        FROM lws_orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# F4: decimal money discipline — per-row cast to DECIMAL(12,2), exact
+# decimal sum, emitted as DOUBLE (engine-neutral schema).
+# ---------------------------------------------------------------------------
+@register(
+    "f4_decimal_money",
+    oracle="""
+SELECT o_orderstatus,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18, 2))) AS DOUBLE) AS total_decimal
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+)
+def f4_decimal_money(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_decimal")
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# F6: map functions (map built & consumed in-plan; scalar projection out).
+# ---------------------------------------------------------------------------
+@register(
+    "f6_map_functions",
+    oracle="""
+SELECT o_orderkey, o_orderpriority AS prio_from_map, 2 AS map_size
+FROM orders
+""",
+)
+def f6_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = F.create_map(
+        F.lit("status"), F.col("o_orderstatus"),
+        F.lit("priority"), F.col("o_orderpriority"),
+    )
+    return table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.element_at(m, "priority").alias("prio_from_map"),
+        F.size(m).alias("map_size"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# S3: batch sink round-trip — write partitioned parquet, read it back.
+# ---------------------------------------------------------------------------
+@register(
+    "s3_sink_roundtrip",
+    oracle="""
+SELECT o_orderstatus, count(*) AS n
+FROM orders WHERE o_totalprice > 150000
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+)
+def s3_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tag = sf_dir.strip("/").replace("/", "_")
+    out = os.path.join(tempfile.gettempdir(), f"lws_sink_{tag}")
+    (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 150000)
+        .write.mode("overwrite")
+        .partitionBy("o_orderstatus")
+        .parquet(out)
+    )
+    return (
+        spark.read.parquet(out)
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("o_orderstatus")
+    )

@@ -56,14 +56,17 @@ def load_all() -> None:
     from lens_warehouse_spark.operators import (  # noqa: F401
         aggregates,
         cohort_queries,
+        extras,
         functions,
         joins,
         relational,
         timeseries,
+        udfs,
         windows,
     )
     from lens_warehouse_spark.llm import (  # noqa: F401
         dedup,
+        multimodal,
         textstats,
         vector,
     )

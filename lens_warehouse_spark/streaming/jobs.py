@@ -1,1 +1,212 @@
-"""(in progress)"""
+"""Structured-streaming twins of the batch time ops (T4-T8,
+SURVEY.md §2.9) + the stream source/sink surface (S3/S4).
+
+The reference has no streaming — imports are incremental Datomic
+transactions through the REST layer (public repo
+``src/lens/handler.clj``; /root/reference empty, SURVEY.md §0). Here the
+``events`` table plays a replayable stream: each job stages it to a
+microsecond-timestamp parquet dir (the ns->us rebuild from catalog.py),
+reads it back with ``readStream`` and runs to completion with
+``trigger(availableNow=True)`` so results are deterministic and the
+driver can collect them like any batch DataFrame.
+
+Scale notes: every job is watermark-bounded so state stores stay O(live
+windows / live keys), not O(history). On a cluster the file source
+becomes Kafka and the memory sink becomes a Delta/parquet sink via
+``foreachBatch`` (T8 shows that path); checkpoint dirs give exactly-once.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lens_warehouse_spark.catalog import table
+from lens_warehouse_spark.registry import register
+
+
+def _staged_events(spark: SparkSession, sf_dir: str) -> str:
+    """Stage events (with us-precision ts) to a parquet dir once per
+    (session, sf_dir) — this is also the S3 batch-sink surface."""
+    tag = sf_dir.strip("/").replace("/", "_")
+    out = os.path.join(tempfile.gettempdir(), f"lws_events_{tag}")
+    marker = os.path.join(out, "_SUCCESS")
+    if not os.path.exists(marker):
+        table(spark, sf_dir, "events").write.mode("overwrite").parquet(out)
+    return out
+
+
+def _run_to_table(stream_df: DataFrame, name: str) -> DataFrame:
+    """Execute a streaming frame with availableNow into a memory sink and
+    return the materialized result."""
+    spark = stream_df.sparkSession
+    qname = f"{name}_{uuid.uuid4().hex[:8]}"
+    ckpt = os.path.join(tempfile.gettempdir(), "lws_ckpt", qname)
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(qname)
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = _staged_events(spark, sf_dir)
+    schema = table(spark, sf_dir, "events").schema
+    return spark.readStream.schema(schema).parquet(src)
+
+
+# ---------------------------------------------------------------------------
+# T4: watermarked tumbling-window aggregation (append mode: only windows
+# the watermark has closed are emitted — with availableNow over a finite
+# file source, that is every window).
+# ---------------------------------------------------------------------------
+@register("t4_stream_tumbling_watermark")
+def t4_stream_tumbling_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    agg = (
+        ev.groupBy(F.window("ts", "6 hours").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.unix_millis(F.col("w.start")).alias("win_start_ms"), "event_type", "n"
+        )
+    )
+    return _run_to_table(agg, "t4").orderBy("win_start_ms", "event_type")
+
+
+# ---------------------------------------------------------------------------
+# T5: streaming dedup within watermark (exactly-once event_id semantics).
+# ---------------------------------------------------------------------------
+@register("t5_stream_dedup")
+def t5_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    deduped = ev.dropDuplicatesWithinWatermark(["event_id"]).select(
+        "event_id", "user_id", "event_type"
+    )
+    return _run_to_table(deduped, "t5").orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# T6: stream-static broadcast join (dim enrich on the wire).
+# ---------------------------------------------------------------------------
+@register("t6_stream_static_join")
+def t6_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    categories = spark.createDataFrame(
+        [
+            ("click", "engagement"),
+            ("view", "engagement"),
+            ("purchase", "conversion"),
+            ("signup", "conversion"),
+            ("error", "ops"),
+        ],
+        "event_type string, category string",
+    )
+    ev = _events_stream(spark, sf_dir)
+    joined = ev.join(F.broadcast(categories), "event_type").select(
+        "event_id", "event_type", "category"
+    )
+    return _run_to_table(joined, "t6").orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# T7: custom stateful operator — per-user running statistics kept in an
+# explicit state store via applyInPandasWithState. With availableNow the
+# final emission per user is its end-of-stream state.
+# ---------------------------------------------------------------------------
+@register("t7_stateful_user_stats")
+def t7_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd  # noqa: PLC0415 (worker-side import pattern)
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("max_value", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("n", LongType()), StructField("mx", DoubleType())]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        n, mx = state.get if state.exists else (0, float("-inf"))
+        for pdf in pdfs:
+            n += len(pdf)
+            if len(pdf):
+                mx = max(mx, float(pdf["value"].max()))
+        state.update((n, mx))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "max_value": [mx]}
+        )
+
+    ev = _events_stream(spark, sf_dir).select("user_id", "value")
+    stateful = ev.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    qname = f"t7_{uuid.uuid4().hex[:8]}"
+    ckpt = os.path.join(tempfile.gettempdir(), "lws_ckpt", qname)
+    q = (
+        stateful.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    # keep the last update per user (final state)
+    out = spark.table(qname)
+    return (
+        out.groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"), F.max("max_value").alias("max_value"))
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# T8: foreachBatch sink — stream -> parquet (the production sink path),
+# then read the sink back. Also the S3 write surface with partitionBy.
+# ---------------------------------------------------------------------------
+@register("t8_foreach_batch_sink")
+def t8_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out_dir = os.path.join(tempfile.gettempdir(), f"lws_t8_{uuid.uuid4().hex[:8]}")
+    ckpt = os.path.join(out_dir, "_ckpt")
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).partitionBy("event_type").parquet(os.path.join(out_dir, "data"))
+
+    ev = _events_stream(spark, sf_dir).select("event_id", "event_type", "value")
+    q = (
+        ev.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    written = spark.read.parquet(os.path.join(out_dir, "data"))
+    return (
+        written.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("event_type")
+    )
