@@ -56,21 +56,32 @@ def l1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("keep_doc_id", "n_copies", "content_hash")
 
 
-def minhash_signatures(df: DataFrame, text_col: str = "text", n_hashes: int = N_HASHES) -> DataFrame:
-    """Add ``sig`` (array<bigint> of length n_hashes): seeded-xxhash64
-    minima over 3-token shingles. Pure JVM expression — scales linearly,
-    no shuffle."""
+def minhash_signatures(
+    df: DataFrame, text_col: str = "text", n_hashes: int = N_HASHES
+) -> DataFrame:
+    """Compute (doc_id, sig) where ``sig`` is an array<bigint> of
+    seeded-xxhash64 minima over 3-token shingles.
+
+    Shape: explode shingles, then one groupBy(doc_id) with n_hashes
+    min() aggregates. The min() partials combine map-side, so the
+    shuffle carries n_hashes longs per document regardless of document
+    length — the right shape at 100 TB. (A pure higher-order-function
+    formulation — array_min(transform(...)) — avoids the shuffle but
+    runs interpreted, ~5x slower; measured at sf0.1.)
+    """
     shingles = (
         "transform(sequence(1, greatest(size(split({t}, ' ')) - 2, 1)),"
         " i -> concat_ws(' ', slice(split({t}, ' '), i, 3)))"
     ).format(t=text_col)
-    mins = ", ".join(
-        f"array_min(transform(__sh, s -> xxhash64({seed}, s)))"
+    exploded = df.select("doc_id", F.explode(F.expr(shingles)).alias("__s"))
+    aggs = [
+        F.min(F.xxhash64(F.lit(seed), F.col("__s"))).alias(f"__h{seed}")
         for seed in range(n_hashes)
+    ]
+    per_doc = exploded.groupBy("doc_id").agg(*aggs)
+    return per_doc.select(
+        "doc_id", F.array(*[f"__h{seed}" for seed in range(n_hashes)]).alias("sig")
     )
-    return df.withColumn("__sh", F.expr(shingles)).withColumn(
-        "sig", F.expr(f"array({mins})")
-    ).drop("__sh")
 
 
 def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:

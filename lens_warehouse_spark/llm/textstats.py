@@ -267,3 +267,28 @@ def l10_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("fingerprint"),
     )
+
+
+# ---------------------------------------------------------------------------
+# L5c: BPE-ish regex token counting — word pieces, numbers, punctuation
+# as separate tokens (GPT-2-style pre-tokenizer shape, simplified).
+# ---------------------------------------------------------------------------
+@register(
+    "l5c_regex_tokens",
+    oracle="""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_regex_tokens,
+       CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_number_tokens
+FROM documents
+""",
+)
+def l5c_regex_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), F.lit(0)))
+        .cast("long")
+        .alias("n_regex_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit("[0-9]+"), F.lit(0)))
+        .cast("long")
+        .alias("n_number_tokens"),
+    )

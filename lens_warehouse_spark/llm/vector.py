@@ -244,3 +244,31 @@ def l3d_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         F.round(F.sqrt(dot("embedding", "embedding")), 4).alias("norm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# L2d: embedding-cosine near-duplicate detection — pairs above a high
+# cosine threshold. Exact formulation (oracle-able); at 100 TB the same
+# verify runs on LSH-bucketed candidates (l3c) instead of all pairs.
+# ---------------------------------------------------------------------------
+@register(
+    "l2d_embedding_neardup",
+    oracle=f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round({_DOT_SQL.format(a='a.embedding', b='b.embedding')}, 6) AS cos
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE {_DOT_SQL.format(a='a.embedding', b='b.embedding')} >= 0.45
+ORDER BY vec_a, vec_b
+""",
+)
+def l2d_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    d = dot("ea", "eb")
+    return (
+        a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
+        .filter(d >= 0.45)
+        .select("vec_a", "vec_b", F.round(d, 6).alias("cos"))
+        .orderBy("vec_a", "vec_b")
+    )

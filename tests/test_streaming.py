@@ -1,0 +1,74 @@
+"""Streaming twins must agree with their batch forms (SURVEY.md §2.9):
+same data through readStream + availableNow == the batch plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lens_warehouse_spark import registry
+
+registry.load_all()
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_stream_tumbling_equals_batch_up_to_watermark(spark):
+    """Append-mode semantics: the stream emits exactly the batch windows
+    whose end precedes the final watermark (max event time - 1h); later
+    windows are withheld as 'still open'."""
+    from lens_warehouse_spark.catalog import table
+    from lens_warehouse_spark.operators._helpers import as_ts
+
+    batch = {
+        (r.win_start_ms, r.event_type): r.n
+        for r in registry.QUERIES["t1_tumbling_window"](spark, SF).collect()
+    }
+    stream = {
+        (r.win_start_ms, r.event_type): r.n
+        for r in registry.QUERIES["t4_stream_tumbling_watermark"](spark, SF).collect()
+    }
+    max_ms = (
+        table(spark, SF, "events")
+        .agg(F.max(F.unix_millis(as_ts("ts"))).alias("m"))
+        .collect()[0][0]
+    )
+    watermark_ms = max_ms - 3_600_000
+    six_h = 6 * 3_600_000
+    closed = {k: v for k, v in batch.items() if k[0] + six_h <= watermark_ms}
+    assert stream == closed
+    assert set(batch) - set(stream)  # some open windows were withheld
+
+
+def test_stream_dedup_matches_distinct(spark):
+    from lens_warehouse_spark.catalog import table
+
+    n_distinct = table(spark, SF, "events").select("event_id").distinct().count()
+    n_stream = registry.QUERIES["t5_stream_dedup"](spark, SF).count()
+    assert n_stream == n_distinct
+
+
+def test_stateful_stats_match_batch_agg(spark):
+    from lens_warehouse_spark.catalog import table
+
+    batch = {
+        r.user_id: (r.n, round(r.mx, 6))
+        for r in table(spark, SF, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("value").alias("mx"))
+        .collect()
+    }
+    stream = {
+        r.user_id: (r.n_events, round(r.max_value, 6))
+        for r in registry.QUERIES["t7_stateful_user_stats"](spark, SF).collect()
+    }
+    assert stream == batch
+
+
+def test_stream_static_join_covers_all_events(spark):
+    from lens_warehouse_spark.catalog import table
+
+    n_events = table(spark, SF, "events").count()
+    joined = registry.QUERIES["t6_stream_static_join"](spark, SF)
+    assert joined.count() == n_events  # every event_type has a category
+    assert joined.filter(F.col("category").isNull()).count() == 0
