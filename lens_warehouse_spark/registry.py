@@ -61,6 +61,7 @@ def load_all() -> None:
         joins,
         relational,
         timeseries,
+        tpch,
         udfs,
         windows,
     )
