@@ -162,6 +162,7 @@ WITH toks AS (
   SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok,
          len(list_distinct(string_split(text, ' '))) AS n
   FROM documents
+  WHERE doc_id < 2000  -- quadratic baseline: bounded corpus; LSH (l2) is the scale path
 ), pairs AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          count(*) AS shared, any_value(a.n) AS na, any_value(b.n) AS nb
@@ -176,7 +177,7 @@ ORDER BY doc_a, doc_b
 """,
 )
 def l2b_jaccard_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    toks = table(spark, sf_dir, "documents").select(
+    toks = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000).select(
         "doc_id",
         F.explode(F.array_distinct(F.split("text", " "))).alias("tok"),
         F.size(F.array_distinct(F.split("text", " "))).alias("n"),

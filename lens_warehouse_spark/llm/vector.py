@@ -272,3 +272,88 @@ def l2d_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_a", "vec_b", F.round(d, 6).alias("cos"))
         .orderBy("vec_a", "vec_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# L3e: IVF-style ANN — coarse quantization against a deterministic
+# codebook (the embeddings of vec_id < 16 serve as fixed centroids), then
+# exact search within the probed cell. Fully relational and
+# oracle-checkable because the codebook is data-deterministic; a trained
+# k-means codebook swaps in without changing the plan shape.
+# ---------------------------------------------------------------------------
+N_CELLS = 16
+
+
+def _ivf_assign(emb: DataFrame, codebook: DataFrame) -> DataFrame:
+    """Assign each vector to its max-dot centroid (cell)."""
+    scored = emb.crossJoin(F.broadcast(codebook)).select(
+        "vec_id",
+        "embedding",
+        "cell_id",
+        F.round(dot("embedding", "centroid"), 6).alias("aff"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("aff").desc(), "cell_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", "cell_id")
+    )
+
+
+@register(
+    "l3e_ann_ivf",
+    oracle=f"""
+WITH codebook AS (
+  SELECT vec_id AS cell_id, embedding AS centroid FROM embeddings WHERE vec_id < {N_CELLS}
+), assigned AS (
+  SELECT vec_id, embedding, cell_id FROM (
+    SELECT e.vec_id, e.embedding, c.cell_id,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY round({_DOT_SQL.format(a='e.embedding', b='c.centroid')}, 6) DESC, c.cell_id
+           ) AS rn
+    FROM embeddings e CROSS JOIN codebook c
+  ) WHERE rn = 1
+), probes AS (
+  SELECT * FROM assigned WHERE vec_id < 5
+), cands AS (
+  SELECT * FROM assigned WHERE vec_id >= 5
+)
+SELECT query_id, neighbor_id, rn, cos FROM (
+  SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round({_DOT_SQL.format(a='p.embedding', b='c.embedding')}, 6) AS cos,
+         row_number() OVER (
+           PARTITION BY p.vec_id
+           ORDER BY round({_DOT_SQL.format(a='p.embedding', b='c.embedding')}, 6) DESC, c.vec_id
+         ) AS rn
+  FROM probes p JOIN cands c ON p.cell_id = c.cell_id
+) WHERE rn <= 3
+ORDER BY query_id, rn
+""",
+)
+def l3e_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    codebook = emb.filter(F.col("vec_id") < N_CELLS).select(
+        F.col("vec_id").alias("cell_id"), F.col("embedding").alias("centroid")
+    )
+    assigned = _ivf_assign(emb, codebook).persist()
+    probes = assigned.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("cell_id").alias("q_cell"),
+    )
+    cands = assigned.filter(F.col("vec_id") >= 5).select(
+        F.col("vec_id").alias("neighbor_id"), "embedding", "cell_id"
+    )
+    scored = cands.join(
+        F.broadcast(probes), F.col("cell_id") == F.col("q_cell")
+    ).select(
+        "query_id", "neighbor_id", F.round(dot("q_emb", "embedding"), 6).alias("cos")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 3)
+        .select("query_id", "neighbor_id", "rn", "cos")
+        .orderBy("query_id", "rn")
+    )

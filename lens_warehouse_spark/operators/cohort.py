@@ -211,7 +211,11 @@ def compile_tagged(
 def cohort_members(
     query: CohortQuery, spark: SparkSession, sf_dir: str, strategy: str = "tagged"
 ) -> DataFrame:
-    fn = compile_tagged if strategy == "tagged" else compile_naive
+    fn = {
+        "tagged": compile_tagged,
+        "naive": compile_naive,
+        "fused": lambda q, s, d: compile_fused(q, s, d),
+    }[strategy]
     return fn(query, spark, sf_dir)
 
 
@@ -242,4 +246,114 @@ def cohort_facets(
         .groupBy(F.col(facet_col).alias("facet"))
         .agg(F.count(F.lit(1)).alias("n_subjects"))
         .orderBy("facet")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fused compilation: one scan per source table, regardless of atom count.
+# ---------------------------------------------------------------------------
+def _atom_condition(atom: Atom) -> "F.Column":
+    """Predicate Column for an atom on its source table's columns."""
+    cond = F.lit(True)
+    if isinstance(atom, SubjectAttr):
+        if atom.segments:
+            cond = cond & F.col("c_mktsegment").isin(*atom.segments)
+        if atom.min_balance is not None:
+            cond = cond & (F.col("c_acctbal") >= atom.min_balance)
+        if atom.max_balance is not None:
+            cond = cond & (F.col("c_acctbal") <= atom.max_balance)
+    elif isinstance(atom, OrderAtom):
+        if atom.priorities:
+            cond = cond & F.col("o_orderpriority").isin(*atom.priorities)
+        if atom.statuses:
+            cond = cond & F.col("o_orderstatus").isin(*atom.statuses)
+        if atom.date_from:
+            cond = cond & (
+                F.col("o_orderdate") >= F.lit(atom.date_from).cast("timestamp")
+            )
+        if atom.date_to:
+            cond = cond & (
+                F.col("o_orderdate") < F.lit(atom.date_to).cast("timestamp")
+            )
+        if atom.min_total is not None:
+            cond = cond & (F.col("o_totalprice") >= atom.min_total)
+    elif isinstance(atom, LineitemAtom):
+        if atom.returnflags:
+            cond = cond & F.col("l_returnflag").isin(*atom.returnflags)
+        if atom.min_quantity is not None:
+            cond = cond & (F.col("l_quantity") >= atom.min_quantity)
+        if atom.max_quantity is not None:
+            cond = cond & (F.col("l_quantity") <= atom.max_quantity)
+    else:
+        raise TypeError(f"atom {type(atom).__name__} not fusable")
+    return cond
+
+
+_ATOM_SOURCE = {SubjectAttr: "customer", OrderAtom: "orders", LineitemAtom: "lineitem"}
+_SOURCE_KEY = {"customer": "c_custkey", "orders": "o_custkey", "lineitem": None}
+
+
+def compile_fused(
+    query: CohortQuery, spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Tagged-aggregation plan with per-table atom fusion.
+
+    compile_tagged scans a fact table once per atom; clinical criteria
+    sets routinely have dozens of atoms over the same observation table,
+    so at 100 TB the scan count dominates. Here every source table is
+    scanned ONCE: each row emits the tags of all atoms it satisfies
+    (explode of a when()-guarded tag array), then the same single-shuffle
+    countDistinct(tag) finishes the CNF. Falls back to compile_tagged
+    for atom types without fusion support (e.g. StaticAtom).
+    """
+    n = len(query.disjunctions)
+    work: list[tuple[Atom, int]] = [
+        (a, i) for i, d in enumerate(query.disjunctions) for a in d
+    ] + [(e, n) for e in query.exclusions]
+    if not all(type(a) in _ATOM_SOURCE for a, _ in work):
+        return compile_tagged(query, spark, sf_dir)
+
+    per_table: dict[str, list[tuple[Atom, int]]] = {}
+    for a, tag in work:
+        per_table.setdefault(_ATOM_SOURCE[type(a)], []).append((a, tag))
+
+    parts: list[DataFrame] = []
+    for tname, atoms in per_table.items():
+        src = table(spark, sf_dir, tname)
+        tag_array = F.array(
+            *[F.when(_atom_condition(a), F.lit(tag)) for a, tag in atoms]
+        )
+        any_cond = None
+        for a, _ in atoms:
+            c = _atom_condition(a)
+            any_cond = c if any_cond is None else (any_cond | c)
+        tagged = (
+            src.filter(any_cond)
+            .select(
+                *( [F.col("l_orderkey")] if tname == "lineitem"
+                   else [F.col(_SOURCE_KEY[tname]).alias(SUBJECT_KEY)] ),
+                F.explode(
+                    F.filter(tag_array, lambda x: x.isNotNull())
+                ).alias("tag"),
+            )
+        )
+        if tname == "lineitem":
+            od = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+            tagged = (
+                tagged.join(od, F.col("l_orderkey") == F.col("o_orderkey"))
+                .select(F.col("o_custkey").alias(SUBJECT_KEY), "tag")
+            )
+        parts.append(tagged)
+
+    union = parts[0]
+    for p in parts[1:]:
+        union = union.unionByName(p)
+    return (
+        union.groupBy(SUBJECT_KEY)
+        .agg(
+            F.countDistinct(F.when(F.col("tag") < n, F.col("tag"))).alias("n_met"),
+            F.max((F.col("tag") == n).cast("int")).alias("excluded"),
+        )
+        .filter((F.col("n_met") == n) & (F.col("excluded") == 0))
+        .select(SUBJECT_KEY)
     )

@@ -96,3 +96,12 @@ ORDER BY facet
 )
 def u5_cohort_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cohort_facets(EXAMPLE_COHORT, spark, sf_dir, facet_col="c_mktsegment")
+
+
+@register(
+    "u5_cohort_count_fused",
+    oracle=_MEMBERS_CTE + "SELECT count(*) AS n_subjects FROM members",
+)
+def u5_cohort_count_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same CNF, fused compilation: one scan per source table."""
+    return cohort_count(EXAMPLE_COHORT, spark, sf_dir, strategy="fused")

@@ -210,3 +210,22 @@ def t8_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# T9: streaming session window (30-min gap) per user — the streaming twin
+# of t3_session_window. Append mode emits sessions the watermark closed.
+# ---------------------------------------------------------------------------
+@register("t9_stream_session_window")
+def t9_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    sess = (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_millis(F.col("w.start")).alias("session_start_ms"),
+            "n_events",
+        )
+    )
+    return _run_to_table(sess, "t9").orderBy("user_id", "session_start_ms")

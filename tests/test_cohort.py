@@ -74,4 +74,5 @@ def test_example_cohort_counts_match_strategies(spark):
     sf = "/root/testdata/sf0.001"
     n_tagged = cohort_count(EXAMPLE_COHORT, spark, sf, "tagged").collect()[0][0]
     n_naive = cohort_count(EXAMPLE_COHORT, spark, sf, "naive").collect()[0][0]
-    assert n_tagged == n_naive > 0
+    n_fused = cohort_count(EXAMPLE_COHORT, spark, sf, "fused").collect()[0][0]
+    assert n_tagged == n_naive == n_fused > 0

@@ -72,3 +72,19 @@ def test_stream_static_join_covers_all_events(spark):
     joined = registry.QUERIES["t6_stream_static_join"](spark, SF)
     assert joined.count() == n_events  # every event_type has a category
     assert joined.filter(F.col("category").isNull()).count() == 0
+
+
+def test_stream_session_window_subset_of_batch(spark):
+    """Streamed sessions (closed by watermark) must appear identically in
+    the batch session computation."""
+    batch = {
+        (r.user_id, r.session_start_ms): r.n_events
+        for r in registry.QUERIES["t3_session_window"](spark, SF).collect()
+    }
+    stream = {
+        (r.user_id, r.session_start_ms): r.n_events
+        for r in registry.QUERIES["t9_stream_session_window"](spark, SF).collect()
+    }
+    assert stream  # something was emitted
+    for key, n in stream.items():
+        assert batch.get(key) == n
