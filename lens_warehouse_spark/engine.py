@@ -58,6 +58,11 @@ class LensWarehouse:
         return self.spark.sql(query)
 
     # -- cohort queries (ref: the flagship capability) ---------------------
+    def cohort_from_json(self, obj: dict) -> CohortQuery:
+        from lens_warehouse_spark.operators.wire import cohort_from_json
+
+        return cohort_from_json(obj)
+
     def cohort_members(self, query: CohortQuery, strategy: str = "tagged") -> DataFrame:
         return cohort_members(query, self.spark, self.sf_dir, strategy)
 

@@ -166,3 +166,91 @@ def s3_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("o_orderstatus")
     )
+
+
+# ---------------------------------------------------------------------------
+# S3b: upsert / merge — the reference's import path (EP-3) is Datomic
+# transact: re-asserting an entity id replaces its attribute values.
+# Merge-on-read expression: union(base, updates), keep the newest row per
+# key (updates win over base; later updates win over earlier).
+# ---------------------------------------------------------------------------
+@register(
+    "s3b_upsert_merge",
+    oracle="""
+WITH base AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice, 0 AS version FROM orders
+), updates AS (
+  SELECT o_orderkey, 'X' AS o_orderstatus, round(o_totalprice * 1.1, 2) AS o_totalprice,
+         1 AS version
+  FROM orders WHERE o_orderkey % 100 = 0
+), merged AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY o_orderkey ORDER BY version DESC
+  ) AS rn
+  FROM (SELECT * FROM base UNION ALL SELECT * FROM updates)
+)
+SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS totalprice
+FROM merged WHERE rn = 1
+""",
+)
+def s3b_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    od = table(spark, sf_dir, "orders")
+    base = od.select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", F.lit(0).alias("version")
+    )
+    updates = (
+        od.filter(F.col("o_orderkey") % 100 == 0)
+        .select(
+            "o_orderkey",
+            F.lit("X").alias("o_orderstatus"),
+            F.round(F.col("o_totalprice") * 1.1, 2).alias("o_totalprice"),
+            F.lit(1).alias("version"),
+        )
+    )
+    w = Window.partitionBy("o_orderkey").orderBy(F.col("version").desc())
+    return (
+        base.unionByName(updates)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.round("o_totalprice", 2).alias("totalprice"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# S3c: import validation — the reference validates entities with
+# Prismatic schema before transacting (EP-3). Relational form: per-rule
+# violation counts over the incoming batch; a real pipeline routes
+# violators to a quarantine sink.
+# ---------------------------------------------------------------------------
+@register(
+    "s3c_validate_import",
+    oracle="""
+SELECT
+  CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_key,
+  CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS nonpositive_price,
+  CAST(sum(CASE WHEN o_orderstatus NOT IN ('F', 'O', 'P') THEN 1 ELSE 0 END) AS BIGINT) AS bad_status,
+  CAST(sum(CASE WHEN o_orderdate < TIMESTAMP '1990-01-01 00:00:00'
+                  OR o_orderdate >= TIMESTAMP '2030-01-01 00:00:00' THEN 1 ELSE 0 END) AS BIGINT) AS bad_date,
+  count(*) AS n_rows
+FROM orders
+""",
+)
+def s3c_validate_import(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = table(spark, sf_dir, "orders")
+    flag = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("long")  # noqa: E731
+    return od.agg(
+        flag(F.col("o_orderkey").isNull()).alias("null_key"),
+        flag(F.col("o_totalprice") <= 0).alias("nonpositive_price"),
+        flag(~F.col("o_orderstatus").isin("F", "O", "P")).alias("bad_status"),
+        flag(
+            (F.col("o_orderdate") < F.lit("1990-01-01 00:00:00").cast("timestamp"))
+            | (F.col("o_orderdate") >= F.lit("2030-01-01 00:00:00").cast("timestamp"))
+        ).alias("bad_date"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )

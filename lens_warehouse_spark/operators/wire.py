@@ -1,0 +1,95 @@
+"""Wire-format surfaces of the reference's two read endpoints.
+
+EP-1 (cohort query): lens-warehouse receives the CNF as a
+transit/EDN-encoded query param and parses it in the Liberator
+resource's ``malformed?`` hook (public repo ``src/lens/handler.clj``;
+/root/reference empty, SURVEY.md §3.1). Here the wire format is JSON:
+
+    {
+      "include": [                      # AND of ORs (CNF)
+        [ {"type": "order", "priorities": ["1-URGENT"]} ],
+        [ {"type": "order", "date_from": "1996-01-01", "date_to": "1997-01-01"},
+          {"type": "lineitem", "returnflags": ["R"]} ]
+      ],
+      "exclude": [ {"type": "subject", "max_balance": 0.0} ]
+    }
+
+EP-2 (browse pagination): page-size chunks with next-page keys
+(``src/lens/util.clj`` paginate + hypermedia next links) — here a
+keyset ``paginate`` helper that returns the page plus the continuation
+token, the scalable alternative to OFFSET.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from lens_warehouse_spark.operators.cohort import (
+    Atom,
+    CohortQuery,
+    LineitemAtom,
+    OrderAtom,
+    SubjectAttr,
+)
+
+_ATOM_TYPES = {
+    "subject": (SubjectAttr, {"segments", "min_balance", "max_balance"}),
+    "order": (
+        OrderAtom,
+        {"priorities", "statuses", "date_from", "date_to", "min_total"},
+    ),
+    "lineitem": (LineitemAtom, {"returnflags", "min_quantity", "max_quantity"}),
+}
+
+
+def atom_from_json(obj: dict[str, Any]) -> Atom:
+    kind = obj.get("type")
+    if kind not in _ATOM_TYPES:
+        raise ValueError(f"unknown atom type {kind!r}; expected {sorted(_ATOM_TYPES)}")
+    cls, allowed = _ATOM_TYPES[kind]
+    kwargs = {}
+    for k, v in obj.items():
+        if k == "type":
+            continue
+        if k not in allowed:
+            raise ValueError(f"unknown field {k!r} for atom type {kind!r}")
+        kwargs[k] = tuple(v) if isinstance(v, list) else v
+    return cls(**kwargs)
+
+
+def cohort_from_json(obj: dict[str, Any]) -> CohortQuery:
+    """Parse the JSON wire format into a CohortQuery (EP-1 malformed? hook)."""
+    include = obj.get("include")
+    if not include or not isinstance(include, list):
+        raise ValueError("'include' must be a non-empty list of disjunctions")
+    disjunctions = []
+    for d in include:
+        if not d or not isinstance(d, list):
+            raise ValueError("each disjunction must be a non-empty list of atoms")
+        disjunctions.append(tuple(atom_from_json(a) for a in d))
+    exclusions = tuple(atom_from_json(a) for a in obj.get("exclude", []))
+    return CohortQuery(disjunctions=tuple(disjunctions), exclusions=exclusions)
+
+
+def paginate(
+    df: DataFrame,
+    key_col: str,
+    page_size: int,
+    after: Any | None = None,
+) -> tuple[list, Any | None]:
+    """Keyset pagination (EP-2): one page of rows ordered by ``key_col``
+    strictly after ``after``, plus the next-page token (or None at end).
+
+    Keyset beats OFFSET at scale: the predicate pushes into the scan, so
+    page N costs the same as page 1 instead of skipping N*page_size rows.
+    """
+    q = df
+    if after is not None:
+        q = q.filter(F.col(key_col) > F.lit(after))
+    rows = q.orderBy(key_col).limit(page_size + 1).collect()
+    page = rows[:page_size]
+    next_token = page[-1][key_col] if len(rows) > page_size else None
+    return page, next_token
