@@ -357,3 +357,101 @@ def compile_fused(
         .filter((F.col("n_met") == n) & (F.col("excluded") == 0))
         .select(SUBJECT_KEY)
     )
+
+
+# ---------------------------------------------------------------------------
+# Visit-level resolution. The reference's atoms resolve to VISIT eid sets
+# (one datalog query per atom over visit/data-point entities), and the
+# endpoint reports visit counts alongside subject counts (SURVEY.md §2.4).
+# Mapping: visit = order (o_orderkey), subject = customer (o_custkey).
+# ---------------------------------------------------------------------------
+VISIT_KEY = "visit_id"
+
+
+def _visit_keys(atom: Atom, spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(subject_id, visit_id) pairs whose visit satisfies the atom.
+    Subject-level atoms qualify ALL visits of matching subjects."""
+    od = table(spark, sf_dir, "orders")
+    if isinstance(atom, OrderAtom):
+        df = od
+        if atom.priorities:
+            df = df.filter(F.col("o_orderpriority").isin(*atom.priorities))
+        if atom.statuses:
+            df = df.filter(F.col("o_orderstatus").isin(*atom.statuses))
+        if atom.date_from:
+            df = df.filter(
+                F.col("o_orderdate") >= F.lit(atom.date_from).cast("timestamp")
+            )
+        if atom.date_to:
+            df = df.filter(
+                F.col("o_orderdate") < F.lit(atom.date_to).cast("timestamp")
+            )
+        if atom.min_total is not None:
+            df = df.filter(F.col("o_totalprice") >= atom.min_total)
+        return df.select(
+            F.col("o_custkey").alias(SUBJECT_KEY),
+            F.col("o_orderkey").alias(VISIT_KEY),
+        )
+    if isinstance(atom, LineitemAtom):
+        li = table(spark, sf_dir, "lineitem")
+        if atom.returnflags:
+            li = li.filter(F.col("l_returnflag").isin(*atom.returnflags))
+        if atom.min_quantity is not None:
+            li = li.filter(F.col("l_quantity") >= atom.min_quantity)
+        if atom.max_quantity is not None:
+            li = li.filter(F.col("l_quantity") <= atom.max_quantity)
+        return (
+            li.select("l_orderkey")
+            .join(od.select("o_orderkey", "o_custkey"),
+                  F.col("l_orderkey") == F.col("o_orderkey"))
+            .select(
+                F.col("o_custkey").alias(SUBJECT_KEY),
+                F.col("o_orderkey").alias(VISIT_KEY),
+            )
+        )
+    if isinstance(atom, SubjectAttr):
+        subjects = atom.keys(spark, sf_dir)
+        return od.join(
+            subjects, od.o_custkey == F.col(SUBJECT_KEY), "left_semi"
+        ).select(
+            F.col("o_custkey").alias(SUBJECT_KEY),
+            F.col("o_orderkey").alias(VISIT_KEY),
+        )
+    raise TypeError(f"atom {type(atom).__name__} has no visit-level form")
+
+
+def compile_visits_tagged(
+    query: CohortQuery, spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Visit-level CNF: same one-shuffle tagged aggregation, keyed by
+    (subject_id, visit_id)."""
+    n = len(query.disjunctions)
+    parts: list[DataFrame] = []
+    for i, d in enumerate(query.disjunctions):
+        for a in d:
+            parts.append(_visit_keys(a, spark, sf_dir).withColumn("tag", F.lit(i)))
+    for e in query.exclusions:
+        parts.append(_visit_keys(e, spark, sf_dir).withColumn("tag", F.lit(n)))
+    union = parts[0]
+    for p in parts[1:]:
+        union = union.unionByName(p)
+    return (
+        union.groupBy(SUBJECT_KEY, VISIT_KEY)
+        .agg(
+            F.countDistinct(F.when(F.col("tag") < n, F.col("tag"))).alias("n_met"),
+            F.max((F.col("tag") == n).cast("int")).alias("excluded"),
+        )
+        .filter((F.col("n_met") == n) & (F.col("excluded") == 0))
+        .select(SUBJECT_KEY, VISIT_KEY)
+    )
+
+
+def cohort_visit_counts(
+    query: CohortQuery, spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The reference's headline answer shape: visit count + subject count."""
+    members = compile_visits_tagged(query, spark, sf_dir)
+    return members.agg(
+        F.count(F.lit(1)).alias("n_visits"),
+        F.countDistinct(SUBJECT_KEY).alias("n_subjects"),
+    )

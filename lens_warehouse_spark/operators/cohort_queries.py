@@ -105,3 +105,80 @@ def u5_cohort_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
 def u5_cohort_count_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same CNF, fused compilation: one scan per source table."""
     return cohort_count(EXAMPLE_COHORT, spark, sf_dir, strategy="fused")
+
+
+_VISIT_MEMBERS_CTE = """
+WITH d1 AS (
+  SELECT o_custkey AS subject_id, o_orderkey AS visit_id FROM orders
+  WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+), d2 AS (
+  SELECT o_custkey AS subject_id, o_orderkey AS visit_id FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+  UNION
+  SELECT o.o_custkey, o.o_orderkey FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE l.l_returnflag = 'R'
+), exc AS (
+  SELECT o.o_custkey AS subject_id, o.o_orderkey AS visit_id
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  WHERE c.c_acctbal <= 0.0
+), members AS (
+  SELECT subject_id, visit_id FROM d1
+  INTERSECT
+  SELECT subject_id, visit_id FROM d2
+  EXCEPT
+  SELECT subject_id, visit_id FROM exc
+)
+"""
+
+
+@register(
+    "u5b_cohort_visit_counts",
+    oracle=_VISIT_MEMBERS_CTE
+    + """
+SELECT count(*) AS n_visits, count(DISTINCT subject_id) AS n_subjects
+FROM members
+""",
+)
+def u5b_cohort_visit_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Visit-level CNF resolution (ref: atoms -> visit eid sets; the
+    endpoint reports visit AND subject counts)."""
+    from lens_warehouse_spark.operators.cohort import cohort_visit_counts
+
+    return cohort_visit_counts(EXAMPLE_COHORT, spark, sf_dir)
+
+
+@register(
+    "u5c_cohort_visit_facets",
+    oracle=_VISIT_MEMBERS_CTE
+    + """
+SELECT o.o_orderpriority AS facet,
+       count(*) AS n_visits,
+       count(DISTINCT m.subject_id) AS n_subjects
+FROM members m JOIN orders o ON o.o_orderkey = m.visit_id
+GROUP BY o.o_orderpriority
+ORDER BY facet
+""",
+)
+def u5c_cohort_visit_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-study-event faceting analog: visit counts per order priority
+    (ref: counts faceted per study-event-def)."""
+    from pyspark.sql import functions as F
+
+    from lens_warehouse_spark.catalog import table as _table
+    from lens_warehouse_spark.operators.cohort import compile_visits_tagged
+
+    members = compile_visits_tagged(EXAMPLE_COHORT, spark, sf_dir)
+    od = _table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey"), F.col("o_orderpriority").alias("facet")
+    )
+    return (
+        members.join(od, members.visit_id == F.col("o_orderkey"))
+        .groupBy("facet")
+        .agg(
+            F.count(F.lit(1)).alias("n_visits"),
+            F.countDistinct("subject_id").alias("n_subjects"),
+        )
+        .orderBy("facet")
+    )
