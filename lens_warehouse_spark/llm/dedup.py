@@ -235,3 +235,80 @@ def simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
 def l2c_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     return simhash(docs).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# L2e: near-dup group resolution — connected components over the
+# candidate-pair graph via iterative min-label propagation, so every
+# document maps to one canonical survivor (the pretraining-dedup
+# "keep one per cluster" step).
+#
+# Scale shape: each iteration is one groupBy(doc) min(label) over the
+# edge list; components with diameter d converge in O(log d) doubled
+# iterations. localCheckpoint() truncates lineage so plans don't grow
+# exponentially — the standard Spark iterative-algorithm discipline.
+# ---------------------------------------------------------------------------
+def neardup_components(
+    pairs: DataFrame, ids: DataFrame, max_iters: int = 10
+) -> DataFrame:
+    """(doc_id, canonical_id): min doc_id reachable via pair edges.
+
+    ``pairs``: (doc_a, doc_b) undirected edges; ``ids``: (doc_id) universe.
+    Documents with no edges are their own canonical.
+    """
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    labels = ids.select(
+        F.col("doc_id"), F.col("doc_id").alias("canonical_id")
+    ).localCheckpoint()
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .groupBy(F.col("src").alias("doc_id"))
+            .agg(F.min("canonical_id").alias("nb_min"))
+        )
+        updated = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("canonical_id"),
+                    F.coalesce("nb_min", F.col("canonical_id")),
+                ).alias("canonical_id"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            updated.join(
+                labels.select("doc_id", F.col("canonical_id").alias("old")),
+                "doc_id",
+            )
+            .filter(F.col("canonical_id") != F.col("old"))
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+@register("l2e_neardup_groups")
+def l2e_neardup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical survivor per near-dup cluster (LSH pairs -> components).
+    Rows-only (pairs come from seeded LSH); convergence property-tested."""
+    docs = table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs).select("doc_id", "sig")
+    pairs = (
+        jaccard(lsh_candidate_pairs(sigs), docs)
+        .filter(F.col("jaccard") >= 0.7)
+        .select("doc_a", "doc_b")
+    )
+    comp = neardup_components(pairs, docs.select("doc_id"))
+    return comp.filter(F.col("doc_id") != F.col("canonical_id")).orderBy("doc_id")

@@ -139,3 +139,136 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("total_qty").desc(), "o_orderkey")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Q7 shape: volume shipping between two nation pairs — self-aliased dim
+# joins with a symmetric pair predicate.
+# ---------------------------------------------------------------------------
+@register(
+    "q7_nation_volume",
+    oracle="""
+SELECT supp_nation, cust_nation, l_year,
+       CAST(round(sum(volume)) AS BIGINT) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(year(l.l_shipdate) AS INT) AS l_year,
+         l.l_extendedprice * (1 - l.l_discount) AS volume
+  FROM lineitem l
+  JOIN orders o   ON o.o_orderkey = l.l_orderkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+  JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+)
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+""",
+)
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    od = table(spark, sf_dir, "orders")
+    su = table(spark, sf_dir, "supplier")
+    cu = table(spark, sf_dir, "customer")
+    n1 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+        | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    )
+    return (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .join(broadcast(su), li.l_suppkey == su.s_suppkey)
+        .join(broadcast(cu), od.o_custkey == cu.c_custkey)
+        .join(broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .select(
+            "supp_nation",
+            "cust_nation",
+            F.year(F.col("l_shipdate").cast("timestamp")).alias("l_year"),
+            revenue().alias("volume"),
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(money_sum(F.col("volume")).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q11 shape: important stock — grouped value with a HAVING against a
+# correlated-free scalar subquery (Catalyst rewrites it to a join).
+# Exercised through the SQL surface to showcase subquery decorrelation.
+# ---------------------------------------------------------------------------
+@register(
+    "q11_important_stock",
+    oracle="""
+SELECT s.s_nationkey AS nationkey,
+       CAST(round(sum(ps.total)) AS BIGINT) AS value
+FROM (
+  SELECT l_suppkey, sum(l_extendedprice) AS total
+  FROM lineitem GROUP BY l_suppkey
+) ps
+JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+GROUP BY s.s_nationkey
+HAVING sum(ps.total) > (
+  SELECT sum(l_extendedprice) * 0.01 FROM lineitem
+)
+ORDER BY nationkey
+""",
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("lws_q11_lineitem")
+    table(spark, sf_dir, "supplier").createOrReplaceTempView("lws_q11_supplier")
+    return spark.sql(
+        """
+        SELECT s.s_nationkey AS nationkey,
+               CAST(round(sum(ps.total)) AS BIGINT) AS value
+        FROM (
+          SELECT l_suppkey, sum(l_extendedprice) AS total
+          FROM lws_q11_lineitem GROUP BY l_suppkey
+        ) ps
+        JOIN lws_q11_supplier s ON s.s_suppkey = ps.l_suppkey
+        GROUP BY s.s_nationkey
+        HAVING sum(ps.total) > (
+          SELECT sum(l_extendedprice) * 0.01 FROM lws_q11_lineitem
+        )
+        ORDER BY nationkey
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# P9: correlated EXISTS subquery through SQL (decorrelation showcase —
+# Catalyst RewriteCorrelatedScalarSubquery / RewritePredicateSubquery).
+# ---------------------------------------------------------------------------
+@register(
+    "p9_correlated_subquery",
+    oracle="""
+SELECT c_custkey
+FROM customer c
+WHERE c_acctbal > (
+  SELECT coalesce(avg(o_totalprice), 1e18) FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+) * 0.001
+""",
+)
+def p9_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "customer").createOrReplaceTempView("lws_p9_customer")
+    table(spark, sf_dir, "orders").createOrReplaceTempView("lws_p9_orders")
+    return spark.sql(
+        """
+        SELECT c_custkey
+        FROM lws_p9_customer c
+        WHERE c_acctbal > (
+          SELECT coalesce(avg(o_totalprice), 1e18) FROM lws_p9_orders o
+          WHERE o.o_custkey = c.c_custkey
+        ) * 0.001
+        """
+    )

@@ -93,3 +93,17 @@ def test_lsh_ann_recall_on_testdata(spark):
         F.col("vec_id") == F.col("v2"),
     )
     assert twice.filter(F.col("bucket") != F.col("b2")).count() == 0
+
+
+def test_connected_components_chain_and_singletons(spark):
+    from lens_warehouse_spark.llm.dedup import neardup_components
+
+    # chain 1-2-3-4, pair (10,11), singletons 20,21
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "doc_a long, doc_b long"
+    )
+    ids = spark.createDataFrame(
+        [(i,) for i in [1, 2, 3, 4, 10, 11, 20, 21]], "doc_id long"
+    )
+    out = {r.doc_id: r.canonical_id for r in neardup_components(pairs, ids).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 21}
