@@ -17,7 +17,11 @@ hash-compares Spark output against DuckDB at value level):
     integer and cast BIGINT: cross-engine summation-order error is
     ~1e-4 absolute at 1e9 magnitude, so a 2-decimal round could flip a
     boundary but an integer round practically cannot.
-4.  Small-magnitude aggregates (avgs, discount sums) -> round(x, 4).
+4.  Small-magnitude aggregates (discount sums) -> round(x, 4). CAUTION
+    on averages of low-precision (2-decimal) data: when the group count
+    is 2^a*5^b the true average can terminate exactly ON a rounding
+    boundary (observed: 589.18/16 = 36.82375 flipping between engines
+    at round-4) — emit the rounded SUM plus the count instead.
 5.  Per-row arithmetic on doubles is written with the identical
     expression tree on both sides (IEEE ops are bit-deterministic).
 6.  DuckDB sums of INTEGER produce HUGEINT -> always CAST AS BIGINT.

@@ -229,3 +229,100 @@ def t9_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _run_to_table(sess, "t9").orderBy("user_id", "session_start_ms")
+
+
+# ---------------------------------------------------------------------------
+# T7b: same per-user running stats on the Spark 4 arbitrary-state API
+# (transformWithStateInPandas + ValueState). The state-store contract is
+# explicit typed state handles — the forward path for custom stateful
+# operators (RocksDB-backed at scale).
+#
+# Gated: the API's driver worker needs google.protobuf, absent from this
+# container (pip installs disallowed) — registered only when importable;
+# applyInPandasWithState (t7) covers the capability meanwhile.
+# ---------------------------------------------------------------------------
+try:
+    from google.protobuf import descriptor as _pb_descriptor  # noqa: F401
+    _HAS_PROTOBUF = True
+except ImportError:
+    _HAS_PROTOBUF = False
+
+
+def _register_if(name):
+    return register(name) if _HAS_PROTOBUF else (lambda fn: fn)
+
+
+@_register_if("t7b_transform_with_state")
+def t7b_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("max_value", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("n", LongType()), StructField("mx", DoubleType())]
+    )
+
+    class UserStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self.state = handle.getValueState("stats", state_schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, mx = (
+                self.state.get() if self.state.exists() else (0, float("-inf"))
+            )
+            for pdf in rows:
+                n += len(pdf)
+                if len(pdf):
+                    mx = max(mx, float(pdf["value"].max()))
+            self.state.update((n, mx))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "max_value": [mx]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    # transformWithState requires the RocksDB state-store provider
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    ev = _events_stream(spark, sf_dir).select("user_id", "value")
+    stateful = ev.groupBy("user_id").transformWithStateInPandas(
+        UserStats(),
+        outputStructType=out_schema,
+        outputMode="Update",
+        timeMode="None",
+    )
+    qname = f"t7b_{uuid.uuid4().hex[:8]}"
+    ckpt = os.path.join(tempfile.gettempdir(), "lws_ckpt", qname)
+    q = (
+        stateful.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    out = spark.table(qname)
+    return (
+        out.groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"), F.max("max_value").alias("max_value"))
+        .orderBy("user_id")
+    )
