@@ -69,11 +69,14 @@ def minhash_signatures(
     formulation — array_min(transform(...)) — avoids the shuffle but
     runs interpreted, ~5x slower; measured at sf0.1.)
     """
+    # hoist split() into a column so tokenization runs once per row,
+    # not once per shingle inside the higher-order expression
+    toks = df.select("doc_id", F.split(text_col, " ").alias("__t"))
     shingles = (
-        "transform(sequence(1, greatest(size(split({t}, ' ')) - 2, 1)),"
-        " i -> concat_ws(' ', slice(split({t}, ' '), i, 3)))"
-    ).format(t=text_col)
-    exploded = df.select("doc_id", F.explode(F.expr(shingles)).alias("__s"))
+        "transform(sequence(1, greatest(size(__t) - 2, 1)),"
+        " i -> concat_ws(' ', slice(__t, i, 3)))"
+    )
+    exploded = toks.select("doc_id", F.explode(F.expr(shingles)).alias("__s"))
     aggs = [
         F.min(F.xxhash64(F.lit(seed), F.col("__s"))).alias(f"__h{seed}")
         for seed in range(n_hashes)

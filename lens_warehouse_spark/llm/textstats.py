@@ -292,3 +292,167 @@ def l5c_regex_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_number_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# L11: deterministic hash-based sampling — the training-pipeline
+# "reproducible p% subset" op. Bucketing on an md5 prefix of the key is
+# engine-neutral (unlike xxhash/TABLESAMPLE), so the sample is identical
+# everywhere: here, in the oracle, and on a 1000-executor cluster.
+# ---------------------------------------------------------------------------
+@register(
+    "l11_deterministic_sample",
+    oracle="""
+SELECT lang, count(*) AS n_sampled
+FROM (
+  SELECT lang,
+         CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) AS bucket
+  FROM documents
+)
+WHERE bucket < CAST(0.2 * 65536 AS INT)
+GROUP BY lang
+ORDER BY lang
+""",
+)
+def l11_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
+    ).cast("int")
+    return (
+        table(spark, sf_dir, "documents")
+        .withColumn("bucket", bucket)
+        .filter(F.col("bucket") < int(0.2 * 65536))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# L11b: deterministic train/val/test split assignment (90/5/5 by hash
+# bucket) — reproducible across engines, sessions, and cluster sizes.
+# ---------------------------------------------------------------------------
+@register(
+    "l11b_split_assignment",
+    oracle="""
+SELECT split, lang, count(*) AS n
+FROM (
+  SELECT lang,
+         CASE WHEN bucket < 58982 THEN 'train'
+              WHEN bucket < 62259 THEN 'val'
+              ELSE 'test' END AS split
+  FROM (
+    SELECT lang,
+           CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) AS bucket
+    FROM documents
+  )
+)
+GROUP BY split, lang
+ORDER BY split, lang
+""",
+)
+def l11b_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
+    ).cast("int")
+    split = (
+        F.when(bucket < 58982, "train")  # floor(0.9 * 65536)
+        .when(bucket < 62259, "val")  # floor(0.95 * 65536)
+        .otherwise("test")
+    )
+    return (
+        table(spark, sf_dir, "documents")
+        .select("lang", split.alias("split"))
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("split", "lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# L11c: mixture sampling — per-language acceptance rates (the corpus
+# up/down-weighting step of pretraining-data assembly), deterministic
+# via the same hash bucketing.
+# ---------------------------------------------------------------------------
+MIXTURE_RATES = {"en": 0.9, "de": 0.5, "fr": 0.5, "es": 0.3, "zh": 0.1}
+
+
+@register(
+    "l11c_mixture_sample",
+    oracle="""
+SELECT lang, count(*) AS n_kept
+FROM (
+  SELECT lang,
+         CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) AS bucket,
+         CASE lang WHEN 'en' THEN 0.9 WHEN 'de' THEN 0.5 WHEN 'fr' THEN 0.5
+                   WHEN 'es' THEN 0.3 WHEN 'zh' THEN 0.1 ELSE 0.0 END AS rate
+  FROM documents
+)
+WHERE bucket < CAST(rate * 65536 AS INT)
+GROUP BY lang
+ORDER BY lang
+""",
+)
+def l11c_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
+    ).cast("int")
+    rate = F.lit(0.0)
+    expr = F.when(F.lit(False), 0.0)
+    for lang, r in MIXTURE_RATES.items():
+        expr = expr.when(F.col("lang") == lang, r)
+    rate = expr.otherwise(0.0)
+    return (
+        table(spark, sf_dir, "documents")
+        .withColumn("bucket", bucket)
+        .withColumn("rate", rate)
+        .filter(F.col("bucket") < (F.col("rate") * 65536).cast("int"))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# L12: document chunking — fixed-size token windows (the tokenize->pack
+# precursor: long docs become N training-sequence chunks).
+# ---------------------------------------------------------------------------
+CHUNK_TOKENS = 32
+
+
+@register(
+    "l12_chunking",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), chunks AS (
+  SELECT doc_id, toks,
+         unnest(range(CAST(ceil(len(toks) / {CHUNK_TOKENS}.0) AS INT))) AS chunk_idx
+  FROM t
+)
+SELECT doc_id,
+       CAST(chunk_idx AS INT) AS chunk_idx,
+       array_to_string(toks[(chunk_idx * {CHUNK_TOKENS} + 1):((chunk_idx + 1) * {CHUNK_TOKENS})], ' ') AS chunk_text,
+       CAST(len(toks[(chunk_idx * {CHUNK_TOKENS} + 1):((chunk_idx + 1) * {CHUNK_TOKENS})]) AS INT) AS n_chunk_tokens
+FROM chunks
+""",
+)
+def l12_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k = CHUNK_TOKENS
+    docs = table(spark, sf_dir, "documents").select("doc_id", _toks().alias("toks"))
+    return docs.select(
+        "doc_id",
+        "toks",
+        F.explode(
+            F.sequence(F.lit(0), F.ceil(F.size("toks") / F.lit(float(k))).cast("int") - 1)
+        ).alias("chunk_idx"),
+    ).select(
+        "doc_id",
+        "chunk_idx",
+        F.concat_ws(" ", F.slice("toks", F.col("chunk_idx") * k + 1, k)).alias(
+            "chunk_text"
+        ),
+        F.size(F.slice("toks", F.col("chunk_idx") * k + 1, k)).alias(
+            "n_chunk_tokens"
+        ),
+    )
