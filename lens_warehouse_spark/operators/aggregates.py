@@ -344,3 +344,62 @@ SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
 )
 def u4_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()
+
+
+# ---------------------------------------------------------------------------
+# A13: PIVOT — status counts spread across priority columns (explicit
+# value list -> deterministic schema; oracle via conditional aggregation).
+# ---------------------------------------------------------------------------
+@register(
+    "a13_pivot",
+    oracle="""
+SELECT o_orderstatus,
+       CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS urgent,
+       CAST(sum(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS high,
+       CAST(sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS low
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+)
+def a13_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pivoted = (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .pivot("o_orderpriority", ["1-URGENT", "2-HIGH", "5-LOW"])
+        .agg(F.count(F.lit(1)))
+    )
+    return pivoted.select(
+        "o_orderstatus",
+        F.coalesce(F.col("1-URGENT"), F.lit(0)).cast("long").alias("urgent"),
+        F.coalesce(F.col("2-HIGH"), F.lit(0)).cast("long").alias("high"),
+        F.coalesce(F.col("5-LOW"), F.lit(0)).cast("long").alias("low"),
+    ).orderBy("o_orderstatus")
+
+
+# ---------------------------------------------------------------------------
+# A14: UNPIVOT / melt — wide stats back to long (id, metric, value).
+# ---------------------------------------------------------------------------
+@register(
+    "a14_unpivot",
+    oracle="""
+SELECT s_suppkey, metric, round(value, 2) AS value
+FROM (
+  SELECT s_suppkey, 'acctbal' AS metric, s_acctbal AS value FROM supplier
+  UNION ALL
+  SELECT s_suppkey, 'nationkey' AS metric, CAST(s_nationkey AS DOUBLE) AS value FROM supplier
+)
+ORDER BY s_suppkey, metric
+""",
+)
+def a14_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    su = table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        F.col("s_acctbal").alias("acctbal"),
+        F.col("s_nationkey").cast("double").alias("nationkey"),
+    )
+    return (
+        su.unpivot("s_suppkey", ["acctbal", "nationkey"], "metric", "value")
+        .select("s_suppkey", "metric", F.round("value", 2).alias("value"))
+        .orderBy("s_suppkey", "metric")
+    )
