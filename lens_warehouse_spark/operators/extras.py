@@ -254,3 +254,24 @@ def s3c_validate_import(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bad_date"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+
+
+# ---------------------------------------------------------------------------
+# S5b: catalog introspection — describe a table's columns (ref: Datomic
+# schema IS the catalog; browse endpoints render entity attributes).
+# ---------------------------------------------------------------------------
+@register(
+    "s5b_catalog_describe",
+    oracle="""
+SELECT column_name, CAST(ordinal_position AS INT) AS ordinal
+FROM information_schema.columns
+WHERE table_name = 'orders'
+ORDER BY ordinal
+""",
+)
+def s5b_catalog_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    schema = table(spark, sf_dir, "orders").schema
+    rows = [(f.name, i + 1) for i, f in enumerate(schema.fields)]
+    return spark.createDataFrame(rows, "column_name string, ordinal int").orderBy(
+        "ordinal"
+    )
