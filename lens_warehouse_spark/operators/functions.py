@@ -205,3 +205,55 @@ def f9_hash_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sha2(F.col("text"), 256).alias("text_sha"),
         F.md5(F.col("lang")).alias("lang_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# F1b: string distance + padding/reversal family.
+# ---------------------------------------------------------------------------
+@register(
+    "f1b_string_distance",
+    oracle="""
+SELECT p_partkey,
+       CAST(levenshtein(p_brand, 'Brand#10') AS INT) AS edit_dist,
+       lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS padded_id,
+       reverse(p_brand) AS brand_rev,
+       left(p_type, 5) AS type_head,
+       right(p_type, 4) AS type_tail
+FROM part
+""",
+)
+def f1b_string_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.levenshtein("p_brand", F.lit("Brand#10")).alias("edit_dist"),
+        F.lpad(F.col("p_partkey").cast("string"), 8, "0").alias("padded_id"),
+        F.reverse("p_brand").alias("brand_rev"),
+        F.substring("p_type", 1, 5).alias("type_head"),
+        F.col("p_type").substr(F.length("p_type") - 3, F.lit(4)).alias("type_tail"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F5b: higher-order array functions — filter / exists / aggregate lambdas
+# (the Catalyst lambda surface; DuckDB mirrors with list_* lambdas).
+# ---------------------------------------------------------------------------
+@register(
+    "f5b_higher_order_arrays",
+    oracle="""
+SELECT doc_id,
+       CAST(len(list_filter(string_split(text, ' '), t -> length(t) > 5)) AS INT) AS n_long_tokens,
+       CAST(list_sum(list_transform(string_split(text, ' '), t -> length(t))) AS BIGINT) AS total_chars,
+       CAST(length(list_filter(string_split(text, ' '), t -> t = 'join')) > 0 AS BOOLEAN) AS mentions_join
+FROM documents
+""",
+)
+def f5b_higher_order_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = F.split("text", " ")
+    return table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.filter(toks, lambda t: F.length(t) > 5)).alias("n_long_tokens"),
+        F.aggregate(
+            toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+        ).alias("total_chars"),
+        F.exists(toks, lambda t: t == F.lit("join")).alias("mentions_join"),
+    )
