@@ -39,6 +39,12 @@ HEADLINE = [
     "l2_minhash_neardup",
     "l9_language_id",
     "l3b_knn_batch",
+    "q3_shipping_priority",
+    "q10_returned_items",
+    "u5b_cohort_visit_counts",
+    "l11_deterministic_sample",
+    "l13_tfidf_top_terms",
+    "l12_chunking",
 ]
 
 
