@@ -403,3 +403,45 @@ def a14_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "metric", F.round("value", 2).alias("value"))
         .orderBy("s_suppkey", "metric")
     )
+
+
+# ---------------------------------------------------------------------------
+# U2b/U3b: bag-semantics set operations (INTERSECT ALL / EXCEPT ALL) —
+# multiplicities preserved, unlike the set-semantics forms above.
+# ---------------------------------------------------------------------------
+@register(
+    "u2b_intersect_all",
+    oracle="""
+SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+INTERSECT ALL
+SELECT o_custkey FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+""",
+)
+def u2b_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = table(spark, sf_dir, "orders")
+    a = od.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    b = od.filter(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return a.intersectAll(b)
+
+
+@register(
+    "u3b_except_all",
+    oracle="""
+SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+EXCEPT ALL
+SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+""",
+)
+def u3b_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = table(spark, sf_dir, "orders")
+    a = od.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    b = od.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return a.exceptAll(b)

@@ -315,3 +315,36 @@ def j9_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return re.crossJoin(broadcast(seg))
+
+
+# ---------------------------------------------------------------------------
+# J5b: full outer join — unmatched rows survive from BOTH sides.
+# ---------------------------------------------------------------------------
+@register(
+    "j5b_full_outer_join",
+    oracle="""
+SELECT coalesce(c.c_custkey, o.o_custkey) AS custkey,
+       CAST(c.c_custkey IS NOT NULL AS INT) AS has_dim_row,
+       CAST(coalesce(o.cnt, 0) AS BIGINT) AS n_orders
+FROM (SELECT c_custkey FROM customer WHERE c_acctbal > 9000) c
+FULL OUTER JOIN (
+  SELECT o_custkey, count(*) AS cnt FROM orders GROUP BY o_custkey
+) o ON o.o_custkey = c.c_custkey
+""",
+)
+def j5b_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rich = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9000)
+        .select("c_custkey")
+    )
+    cnt = (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return rich.join(cnt, rich.c_custkey == cnt.o_custkey, "full_outer").select(
+        F.coalesce("c_custkey", "o_custkey").alias("custkey"),
+        F.col("c_custkey").isNotNull().cast("int").alias("has_dim_row"),
+        F.coalesce("cnt", F.lit(0)).cast("long").alias("n_orders"),
+    )
