@@ -507,3 +507,35 @@ def l13_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "term", "tfidf", "rn")
         .orderBy("doc_id", "rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# L14: text cleaning / redaction — normalization + pattern scrubbing (the
+# canonicalize step that feeds exact dedup). Pure regexp, engine-neutral.
+# ---------------------------------------------------------------------------
+@register(
+    "l14_text_cleaning",
+    oracle="""
+SELECT doc_id,
+       trim(regexp_replace(regexp_replace(lower(text), '[0-9]+', '<num>', 'g'),
+                           ' +', ' ', 'g')) AS clean_text,
+       CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS INT) AS n_digits
+FROM documents
+""",
+)
+def l14_text_cleaning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lowered = F.lower(F.col("text"))
+    return table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(lowered, F.lit("[0-9]+"), F.lit("<num>")),
+                F.lit(" +"),
+                F.lit(" "),
+            )
+        ).alias("clean_text"),
+        (
+            F.length("text")
+            - F.length(F.regexp_replace(F.col("text"), F.lit("[0-9]"), F.lit("")))
+        ).cast("int").alias("n_digits"),
+    )
