@@ -1,0 +1,49 @@
+"""SURVEY.md §2.12 must stay truthful: every registered query appears in
+the inventory mapping, and every query name the mapping mentions exists.
+"""
+
+from __future__ import annotations
+
+import re
+
+from lens_warehouse_spark import registry
+
+registry.load_all()
+
+
+def _survey_query_names() -> set[str]:
+    text = open("/root/repo/SURVEY.md").read()
+    section = text.split("## §2.12")[1]
+    names = set(re.findall(r"`([a-z][a-z0-9_]+)`", section))
+    # filter to things that look like query ids (prefix_rest)
+    return {n for n in names if re.match(r"^[a-z]+[0-9]+[a-z]?_", n)}
+
+
+def test_every_registered_query_is_in_survey():
+    survey = _survey_query_names()
+    missing = set(registry.QUERIES) - survey
+    assert not missing, f"queries not documented in SURVEY §2.12: {sorted(missing)}"
+
+
+def test_every_survey_query_exists():
+    survey = _survey_query_names()
+    # names documented but never registered (stale docs). u5_cohort_count_*
+    # variants are spelled with a shared prefix in the table.
+    phantom = {
+        n
+        for n in survey
+        if n not in registry.QUERIES
+        and not any(q.startswith(n) for q in registry.QUERIES)
+    }
+    assert not phantom, f"SURVEY §2.12 mentions unknown queries: {sorted(phantom)}"
+
+
+def test_oracle_counts_match_survey_totals():
+    text = open("/root/repo/SURVEY.md").read()
+    m = re.search(
+        r"Totals: (\d+) `queries\(\)` entries, (\d+) with full DuckDB oracles",
+        text,
+    )
+    assert m, "SURVEY totals line missing"
+    assert int(m.group(1)) == len(registry.QUERIES)
+    assert int(m.group(2)) == len(registry.ORACLES)
