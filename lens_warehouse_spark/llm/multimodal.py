@@ -137,3 +137,58 @@ def l8b_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 "frame_idx": pd.Series(idxs, dtype="int32")})
 
     return mm.mapInPandas(sample_frames, out_schema)
+
+
+def resize_image(blob: bytes, width: int, height: int) -> bytes:
+    """Resize an image payload. STUB: no media libs in this container.
+
+    Real deployments: PIL ``Image.open(...).resize((width, height))``;
+    the mapInPandas batch plumbing below is already shaped for it.
+    """
+    raise NotImplementedError("media codecs unavailable in this environment")
+
+
+# ---------------------------------------------------------------------------
+# L8c: resize stage — 1:1 media transform over Arrow batches. The codec
+# is stubbed with a deterministic byte-truncation fake, so the Spark
+# plumbing (schema, batch shape, metadata rewrite) is fully oracle-checked.
+# ---------------------------------------------------------------------------
+@register(
+    "l8c_resize",
+    oracle="""
+SELECT doc_id,
+       64 AS target_w,
+       64 AS target_h,
+       CAST(least(length(text), 64 * 64) AS BIGINT) AS resized_bytes
+FROM documents
+""",
+)
+def l8c_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    target_w, target_h = 64, 64
+    mm = multimodal_frame(spark, sf_dir).select("doc_id", "blob")
+    out_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("target_w", IntegerType()),
+            StructField("target_h", IntegerType()),
+            StructField("resized_bytes", LongType()),
+        ]
+    )
+
+    def resize_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cap = target_w * target_h
+        for pdf in batches:
+            # deterministic fake for the stubbed codec: truncate payload
+            resized = pdf["blob"].map(lambda b: min(len(b), cap))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "target_w": pd.Series([target_w] * len(pdf), dtype="int32"),
+                    "target_h": pd.Series([target_h] * len(pdf), dtype="int32"),
+                    "resized_bytes": resized.astype("int64"),
+                }
+            )
+
+    return mm.mapInPandas(resize_batch, out_schema)

@@ -107,3 +107,18 @@ def test_connected_components_chain_and_singletons(spark):
     )
     out = {r.doc_id: r.canonical_id for r in neardup_components(pairs, ids).collect()}
     assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 21}
+
+
+def test_deterministic_sample_rate_is_close(spark):
+    """md5-bucket sampling hits the requested rate within binomial noise."""
+    from lens_warehouse_spark import registry
+
+    registry.load_all()
+    total = 500
+    sampled = (
+        registry.QUERIES["l11_deterministic_sample"](spark, "/root/testdata/sf0.001")
+        .agg({"n_sampled": "sum"})
+        .collect()[0][0]
+    )
+    # 20% of 500 = 100; 4 sigma of binomial(500, .2) ~ 36
+    assert abs(sampled - 0.2 * total) < 40, sampled
