@@ -41,7 +41,7 @@ HEADLINE = [
     "l3b_knn_batch",
     "q3_shipping_priority",
     "q10_returned_items",
-    "u5b_cohort_visit_counts",
+    "u5d_cohort_visit_counts_fused",
     "l11_deterministic_sample",
     "l13_tfidf_top_terms",
     "l12_chunking",

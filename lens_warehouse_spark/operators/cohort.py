@@ -455,3 +455,78 @@ def cohort_visit_counts(
         F.count(F.lit(1)).alias("n_visits"),
         F.countDistinct(SUBJECT_KEY).alias("n_subjects"),
     )
+
+
+def compile_visits_fused(
+    query: CohortQuery, spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Visit-level CNF with atom fusion: ONE orders ⋈ broadcast(customer)
+    pass evaluates every order-level and subject-level atom as a row
+    condition (subject attrs are just columns of the joined row);
+    lineitem atoms ride a single lineitem ⋈ orders branch. Same single
+    countDistinct(tag) shuffle as compile_visits_tagged."""
+    n = len(query.disjunctions)
+    work: list[tuple[Atom, int]] = [
+        (a, i) for i, d in enumerate(query.disjunctions) for a in d
+    ] + [(e, n) for e in query.exclusions]
+    if not all(type(a) in _ATOM_SOURCE for a, _ in work):
+        return compile_visits_tagged(query, spark, sf_dir)
+
+    od = table(spark, sf_dir, "orders")
+    cu = table(spark, sf_dir, "customer")
+    base = od.join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
+
+    row_atoms = [(a, t) for a, t in work if not isinstance(a, LineitemAtom)]
+    li_atoms = [(a, t) for a, t in work if isinstance(a, LineitemAtom)]
+
+    parts: list[DataFrame] = []
+    if row_atoms:
+        tag_array = F.array(
+            *[F.when(_atom_condition(a), F.lit(t)) for a, t in row_atoms]
+        )
+        any_cond = None
+        for a, _ in row_atoms:
+            c = _atom_condition(a)
+            any_cond = c if any_cond is None else (any_cond | c)
+        parts.append(
+            base.filter(any_cond).select(
+                F.col("o_custkey").alias(SUBJECT_KEY),
+                F.col("o_orderkey").alias(VISIT_KEY),
+                F.explode(F.filter(tag_array, lambda x: x.isNotNull())).alias("tag"),
+            )
+        )
+    if li_atoms:
+        li = table(spark, sf_dir, "lineitem")
+        tag_array = F.array(
+            *[F.when(_atom_condition(a), F.lit(t)) for a, t in li_atoms]
+        )
+        any_cond = None
+        for a, _ in li_atoms:
+            c = _atom_condition(a)
+            any_cond = c if any_cond is None else (any_cond | c)
+        tagged = li.filter(any_cond).select(
+            "l_orderkey",
+            F.explode(F.filter(tag_array, lambda x: x.isNotNull())).alias("tag"),
+        )
+        parts.append(
+            tagged.join(
+                od.select("o_orderkey", "o_custkey"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            ).select(
+                F.col("o_custkey").alias(SUBJECT_KEY),
+                F.col("o_orderkey").alias(VISIT_KEY),
+                "tag",
+            )
+        )
+    union = parts[0]
+    for p in parts[1:]:
+        union = union.unionByName(p)
+    return (
+        union.groupBy(SUBJECT_KEY, VISIT_KEY)
+        .agg(
+            F.countDistinct(F.when(F.col("tag") < n, F.col("tag"))).alias("n_met"),
+            F.max((F.col("tag") == n).cast("int")).alias("excluded"),
+        )
+        .filter((F.col("n_met") == n) & (F.col("excluded") == 0))
+        .select(SUBJECT_KEY, VISIT_KEY)
+    )

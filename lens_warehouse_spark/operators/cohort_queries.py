@@ -182,3 +182,24 @@ def u5c_cohort_visit_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("facet")
     )
+
+
+@register(
+    "u5d_cohort_visit_counts_fused",
+    oracle=_VISIT_MEMBERS_CTE
+    + """
+SELECT count(*) AS n_visits, count(DISTINCT subject_id) AS n_subjects
+FROM members
+""",
+)
+def u5d_cohort_visit_counts_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Visit-level CNF, fused: one orders x customer pass for all
+    order/subject atoms."""
+    from pyspark.sql import functions as F
+
+    from lens_warehouse_spark.operators.cohort import compile_visits_fused
+
+    return compile_visits_fused(EXAMPLE_COHORT, spark, sf_dir).agg(
+        F.count(F.lit(1)).alias("n_visits"),
+        F.countDistinct("subject_id").alias("n_subjects"),
+    )
