@@ -76,3 +76,80 @@ def test_example_cohort_counts_match_strategies(spark):
     n_naive = cohort_count(EXAMPLE_COHORT, spark, sf, "naive").collect()[0][0]
     n_fused = cohort_count(EXAMPLE_COHORT, spark, sf, "fused").collect()[0][0]
     assert n_tagged == n_naive == n_fused > 0
+
+
+# ---------------------------------------------------------------------------
+# Randomized real-atom strategy agreement: _atom_condition (fused plans)
+# must match Atom.keys() (tagged/naive plans) for arbitrary atom configs,
+# not just the example cohort.
+# ---------------------------------------------------------------------------
+import random as _random
+
+from lens_warehouse_spark.operators.cohort import (
+    LineitemAtom,
+    OrderAtom,
+    SubjectAttr,
+    compile_fused,
+    compile_tagged,
+    compile_visits_fused,
+    compile_visits_tagged,
+)
+
+_SF = "/root/testdata/sf0.001"
+
+
+def _random_atom(rng):
+    kind = rng.choice(["order", "order", "lineitem", "subject"])
+    if kind == "order":
+        return OrderAtom(
+            priorities=tuple(
+                rng.sample(
+                    ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"],
+                    rng.randint(0, 2),
+                )
+            ),
+            statuses=tuple(rng.sample(["F", "O", "P"], rng.randint(0, 1))),
+            date_from=rng.choice([None, "1996-01-01", "1998-06-01"]),
+            date_to=rng.choice([None, "1999-01-01"]),
+            min_total=rng.choice([None, 150000.0]),
+        )
+    if kind == "lineitem":
+        return LineitemAtom(
+            returnflags=tuple(rng.sample(["A", "N", "R"], rng.randint(0, 2))),
+            min_quantity=rng.choice([None, 25.0]),
+            max_quantity=rng.choice([None, 45.0]),
+        )
+    return SubjectAttr(
+        segments=tuple(
+            rng.sample(
+                ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"],
+                rng.randint(0, 2),
+            )
+        ),
+        min_balance=rng.choice([None, 0.0]),
+        max_balance=rng.choice([None, 5000.0]),
+    )
+
+
+def test_all_strategies_agree_on_random_real_atoms(spark):
+    rng = _random.Random(1234)
+    for trial in range(6):
+        query = CohortQuery(
+            disjunctions=tuple(
+                tuple(_random_atom(rng) for _ in range(rng.randint(1, 2)))
+                for _ in range(rng.randint(1, 3))
+            ),
+            exclusions=tuple(_random_atom(rng) for _ in range(rng.randint(0, 1))),
+        )
+        subj = {
+            frozenset(r.subject_id for r in fn(query, spark, _SF).collect())
+            for fn in (compile_naive, compile_tagged, compile_fused)
+        }
+        assert len(subj) == 1, f"trial {trial}: subject strategies disagree: {query}"
+        vis = {
+            frozenset(
+                (r.subject_id, r.visit_id) for r in fn(query, spark, _SF).collect()
+            )
+            for fn in (compile_visits_tagged, compile_visits_fused)
+        }
+        assert len(vis) == 1, f"trial {trial}: visit strategies disagree: {query}"
