@@ -539,3 +539,66 @@ def l14_text_cleaning(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.length(F.regexp_replace(F.col("text"), F.lit("[0-9]"), F.lit("")))
         ).cast("int").alias("n_digits"),
     )
+
+
+# ---------------------------------------------------------------------------
+# L15: sequence packing — pack documents into fixed-capacity training
+# sequences (first-fit-decreasing per partition). Exact bin packing is
+# inherently sequential, so the distributed form partitions by a hash
+# prefix, packs within each partition in pandas (Arrow batches), and
+# emits (seq_id, doc_id, offset). Deterministic given the sort; the
+# capacity invariant is property-tested (tests/test_packing.py).
+# ---------------------------------------------------------------------------
+SEQ_CAPACITY = 128  # tokens per packed sequence
+
+
+def pack_documents(docs: DataFrame, capacity: int = SEQ_CAPACITY, n_shards: int = 8) -> DataFrame:
+    """(doc_id, n_tokens) -> (shard, seq_id, doc_id, offset, n_tokens).
+
+    Docs longer than ``capacity`` are truncated to it (real pipelines
+    chunk first — see l12_chunking)."""
+    import pandas as pd
+
+    sized = docs.select(
+        "doc_id",
+        F.least(F.size(F.split("text", " ")), F.lit(capacity)).alias("n_tokens"),
+        F.pmod(F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10).cast("int"), F.lit(n_shards)).alias("shard"),
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["n_tokens", "doc_id"], ascending=[False, True])
+        bins: list[int] = []  # remaining capacity per bin
+        out_seq, out_off = [], []
+        for n in pdf["n_tokens"]:
+            n = int(n)
+            for b, rem in enumerate(bins):
+                if rem >= n:
+                    out_seq.append(b)
+                    out_off.append(capacity - rem)
+                    bins[b] = rem - n
+                    break
+            else:
+                out_seq.append(len(bins))
+                out_off.append(0)
+                bins.append(capacity - n)
+        return pd.DataFrame(
+            {
+                "shard": pdf["shard"].astype("int32"),
+                "seq_id": pd.Series(out_seq, dtype="int64").values,
+                "doc_id": pdf["doc_id"].values,
+                "offset": pd.Series(out_off, dtype="int64").values,
+                "n_tokens": pdf["n_tokens"].astype("int64").values,
+            }
+        )
+
+    return sized.groupBy("shard").applyInPandas(
+        pack, "shard int, seq_id long, doc_id long, offset long, n_tokens long"
+    )
+
+
+@register("l15_sequence_packing")
+def l15_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only (bin assignment is shard-local); invariants tested."""
+    return pack_documents(table(spark, sf_dir, "documents")).orderBy(
+        "shard", "seq_id", "offset"
+    )
