@@ -245,6 +245,160 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Q2 shape: minimum-cost supplier per part. The testdata has no partsupp
+# table, so the part<->supplier bridge (and its "supplycost") is derived
+# from lineitem: cost(part, supp) = min unit price ever charged. The
+# per-part minimum is a correlated MIN subquery -> Catalyst decorrelates
+# to an aggregate + join. min() selects an actual IEEE value computed
+# with the identical expression tree on both sides, so the equality join
+# on it is bit-deterministic (parity rule 5).
+# ---------------------------------------------------------------------------
+@register(
+    "q2_min_cost_supplier",
+    oracle="""
+WITH bridge AS (
+  SELECT l_partkey, l_suppkey, min(l_extendedprice / l_quantity) AS unit_cost
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+)
+SELECT p.p_partkey, p.p_brand, s.s_suppkey, s.s_name, n.n_name AS nation_name,
+       b.unit_cost AS unit_cost
+FROM part p
+JOIN bridge b ON b.l_partkey = p.p_partkey
+JOIN supplier s ON s.s_suppkey = b.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE p.p_type = 'ECONOMY' AND p.p_size < 15
+  AND b.unit_cost = (
+    SELECT min(b2.unit_cost) FROM bridge b2 WHERE b2.l_partkey = p.p_partkey
+  )
+ORDER BY p.p_partkey, s.s_suppkey
+""",
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    bridge = (
+        li.groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
+    )
+    best = (
+        bridge.groupBy("l_partkey")
+        .agg(F.min("unit_cost").alias("best_cost"))
+        .select(F.col("l_partkey").alias("bp_partkey"), "best_cost")
+    )
+    pa = table(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "ECONOMY") & (F.col("p_size") < 15)
+    )
+    su = table(spark, sf_dir, "supplier")
+    na = table(spark, sf_dir, "nation")
+    return (
+        bridge.join(
+            best,
+            (F.col("l_partkey") == F.col("bp_partkey"))
+            & (F.col("unit_cost") == F.col("best_cost")),
+        )
+        .drop("bp_partkey", "best_cost")
+        .join(broadcast(pa), F.col("l_partkey") == pa.p_partkey)
+        .join(broadcast(su), F.col("l_suppkey") == su.s_suppkey)
+        .join(broadcast(na), su.s_nationkey == na.n_nationkey)
+        .select(
+            "p_partkey",
+            "p_brand",
+            "s_suppkey",
+            "s_name",
+            F.col("n_name").alias("nation_name"),
+            F.col("unit_cost").alias("unit_cost"),
+        )
+        .orderBy("p_partkey", "s_suppkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q16 shape: supplier diversity per part attribute group, excluding a
+# denylist of suppliers via NOT IN (anti-join showcase).
+# ---------------------------------------------------------------------------
+@register(
+    "q16_parts_supplier_count",
+    oracle="""
+SELECT p.p_brand, p.p_type, p.p_size,
+       count(DISTINCT l.l_suppkey) AS supplier_cnt
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_size IN (5, 10, 15, 20)
+  AND l.l_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+  )
+GROUP BY p.p_brand, p.p_type, p.p_size
+ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+""",
+)
+def q16_parts_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    pa = table(spark, sf_dir, "part").filter(F.col("p_size").isin(5, 10, 15, 20))
+    deny = (
+        table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        li.join(broadcast(deny), li.l_suppkey == deny.s_suppkey, "left_anti")
+        .join(broadcast(pa), li.l_partkey == pa.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q20 shape: suppliers shipping excess volume of a part family — a
+# semi-join chain gated by a scalar subquery over an aggregate of
+# aggregates. l_quantity is integer-valued double, so sums (and the
+# half-average threshold) are exact in both engines.
+# ---------------------------------------------------------------------------
+@register(
+    "q20_excess_suppliers",
+    oracle="""
+WITH vol AS (
+  SELECT l.l_suppkey, sum(l.l_quantity) AS qty
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE p.p_name LIKE 'large%'
+  GROUP BY l.l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, n.n_name AS nation_name,
+       CAST(v.qty AS BIGINT) AS qty
+FROM supplier s
+JOIN vol v ON v.l_suppkey = s.s_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE v.qty > (SELECT 0.5 * avg(qty) FROM vol)
+ORDER BY s.s_suppkey
+""",
+)
+def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    pa = table(spark, sf_dir, "part").filter(F.col("p_name").like("large%"))
+    su = table(spark, sf_dir, "supplier")
+    na = table(spark, sf_dir, "nation")
+    vol = (
+        li.join(broadcast(pa), li.l_partkey == pa.p_partkey, "left_semi")
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    threshold = vol.agg((F.lit(0.5) * F.avg("qty")).alias("t"))
+    return (
+        vol.join(broadcast(threshold))
+        .filter(F.col("qty") > F.col("t"))
+        .join(broadcast(su), F.col("l_suppkey") == su.s_suppkey)
+        .join(broadcast(na), su.s_nationkey == na.n_nationkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("n_name").alias("nation_name"),
+            F.col("qty").cast("long").alias("qty"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+# ---------------------------------------------------------------------------
 # P9: correlated EXISTS subquery through SQL (decorrelation showcase —
 # Catalyst RewriteCorrelatedScalarSubquery / RewritePredicateSubquery).
 # ---------------------------------------------------------------------------
