@@ -208,9 +208,54 @@ def compile_tagged(
     )
 
 
+def estimate_plan_cost(query: CohortQuery) -> dict[str, dict[str, int]]:
+    """Static cost model for strategy choice — counts the two quantities
+    that dominate at 100 TB: fact-table SCANS (IO) and SHUFFLES (network).
+
+    No data statistics needed: the numbers follow from the CNF shape.
+    A lineitem atom costs an extra scan+shuffle (the orders traversal to
+    reach the subject key). ``naive`` pays one distinct per disjunction,
+    one shuffle per intersect, one per anti-join; ``tagged`` folds the
+    whole CNF into a single hash aggregation; ``fused`` additionally
+    collapses same-table atoms into one scan.
+    """
+    atoms = [a for d in query.disjunctions for a in d] + list(query.exclusions)
+    n_disj = len(query.disjunctions)
+    n_excl = len(query.exclusions)
+    n_li = sum(isinstance(a, LineitemAtom) for a in atoms)
+    scans = len(atoms) + n_li  # lineitem atoms scan orders too
+    tables = {
+        _ATOM_SOURCE.get(type(a), f"static:{id(a)}") for a in atoms
+    } | ({"orders"} if n_li else set())
+    return {
+        "naive": {
+            "scans": scans,
+            "shuffles": n_disj + (n_disj - 1) + n_excl + n_li,
+        },
+        "tagged": {"scans": scans, "shuffles": 1 + n_li},
+        "fused": {"scans": len(tables), "shuffles": 1 + (1 if n_li else 0)},
+    }
+
+
+def choose_strategy(query: CohortQuery) -> str:
+    """Pick the cheapest strategy by (shuffles, scans).
+
+    Falls back to ``tagged`` when an atom type has no fused form —
+    mirrors compile_fused's own fallback, but choosing it up front keeps
+    the reported choice honest.
+    """
+    atoms = [a for d in query.disjunctions for a in d] + list(query.exclusions)
+    costs = estimate_plan_cost(query)
+    if not all(type(a) in _ATOM_SOURCE for a in atoms):
+        del costs["fused"]
+    return min(costs, key=lambda s: (costs[s]["shuffles"], costs[s]["scans"]))
+
+
 def cohort_members(
     query: CohortQuery, spark: SparkSession, sf_dir: str, strategy: str = "tagged"
 ) -> DataFrame:
+    if strategy == "auto":
+        strategy = choose_strategy(query)
     fn = {
         "tagged": compile_tagged,
         "naive": compile_naive,

@@ -107,6 +107,16 @@ def u5_cohort_count_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cohort_count(EXAMPLE_COHORT, spark, sf_dir, strategy="fused")
 
 
+@register(
+    "u5e_cohort_count_auto",
+    oracle=_MEMBERS_CTE + "SELECT count(*) AS n_subjects FROM members",
+)
+def u5e_cohort_count_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cost-based strategy choice: a static (shuffles, scans) model picks
+    naive/tagged/fused from the CNF shape (see cohort.choose_strategy)."""
+    return cohort_count(EXAMPLE_COHORT, spark, sf_dir, strategy="auto")
+
+
 _VISIT_MEMBERS_CTE = """
 WITH d1 AS (
   SELECT o_custkey AS subject_id, o_orderkey AS visit_id FROM orders

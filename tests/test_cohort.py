@@ -153,3 +153,34 @@ def test_all_strategies_agree_on_random_real_atoms(spark):
             for fn in (compile_visits_tagged, compile_visits_fused)
         }
         assert len(vis) == 1, f"trial {trial}: visit strategies disagree: {query}"
+
+
+def test_choose_strategy_cost_model():
+    from lens_warehouse_spark.operators.cohort import (
+        choose_strategy,
+        estimate_plan_cost,
+    )
+    from lens_warehouse_spark.operators.cohort_queries import EXAMPLE_COHORT
+
+    # Multi-atom CNF with repeated tables -> fused (fewest scans, 1 shuffle).
+    assert choose_strategy(EXAMPLE_COHORT) == "fused"
+    costs = estimate_plan_cost(EXAMPLE_COHORT)
+    assert costs["fused"]["scans"] < costs["tagged"]["scans"]
+    assert costs["tagged"]["shuffles"] < costs["naive"]["shuffles"]
+
+    # Single subject-dim atom -> naive is already minimal (one distinct,
+    # no tag machinery).
+    single = CohortQuery(disjunctions=((SubjectAttr(segments=("BUILDING",)),),))
+    assert choose_strategy(single) == "naive"
+    assert estimate_plan_cost(single)["naive"]["shuffles"] == 1
+
+
+def test_auto_strategy_matches_explicit(spark):
+    from lens_warehouse_spark.operators.cohort import cohort_members
+    from lens_warehouse_spark.operators.cohort_queries import EXAMPLE_COHORT
+
+    auto = {r.subject_id for r in
+            cohort_members(EXAMPLE_COHORT, spark, _SF, strategy="auto").collect()}
+    fused = {r.subject_id for r in
+             cohort_members(EXAMPLE_COHORT, spark, _SF, strategy="fused").collect()}
+    assert auto == fused
