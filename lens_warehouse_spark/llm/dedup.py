@@ -87,14 +87,42 @@ def minhash_signatures(
     )
 
 
-def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def plan_lsh(threshold: float, n_hashes: int = N_HASHES) -> tuple[int, int]:
+    """Choose (bands, rows) for a target Jaccard threshold.
+
+    The LSH S-curve crosses 50% collision probability near
+    t = (1/b)^(1/r); pick the divisor pair of ``n_hashes`` whose curve
+    threshold is closest to (and biased slightly below, for recall) the
+    requested similarity. Standard MMDS ch.3 construction.
+    """
+    best: tuple[float, int, int] | None = None
+    for r in range(1, n_hashes + 1):
+        if n_hashes % r:
+            continue
+        b = n_hashes // r
+        t = (1.0 / b) ** (1.0 / r)
+        # prefer curves at-or-below the threshold (candidate recall over
+        # precision — the exact-Jaccard verify step restores precision)
+        penalty = (threshold - t) if t <= threshold else 2.0 * (t - threshold)
+        if best is None or penalty < best[0]:
+            best = (penalty, b, r)
+    assert best is not None
+    return best[1], best[2]
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    n_bands: int = N_BANDS,
+    n_hashes: int = N_HASHES,
+) -> DataFrame:
     """Band the signatures and self-join buckets into candidate pairs.
 
     Scale shape: explode to (band_id, band_hash, id) — the join key is
     (band_id, band_hash), so only documents agreeing on a full band
     co-locate; the shuffle is O(n_docs * n_bands), never O(n^2).
     """
-    r = N_HASHES // N_BANDS
+    r = n_hashes // n_bands
     sigs = sigs.persist()  # signature relation feeds both sides of the
     # band self-join; without this Spark recomputes the minhash
     # expression tree (16 x shingle hashing) twice.
@@ -102,7 +130,7 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:
         F.col(id_col),
         F.explode(
             F.expr(
-                f"transform(sequence(0, {N_BANDS - 1}),"
+                f"transform(sequence(0, {n_bands - 1}),"
                 f" b -> struct(b AS band_id, xxhash64(concat_ws(',', slice(sig, b * {r} + 1, {r}))) AS band_hash))"
             )
         ).alias("band"),
@@ -152,6 +180,29 @@ def l2_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= 0.7)
         .orderBy("doc_a", "doc_b")
     )
+
+
+def minhash_neardup(
+    docs: DataFrame, threshold: float, n_hashes: int = N_HASHES
+) -> DataFrame:
+    """Threshold-driven near-dup pipeline: (bands, rows) are derived from
+    the requested Jaccard threshold via plan_lsh, then candidates are
+    verified with exact Jaccard at that threshold."""
+    n_bands, _ = plan_lsh(threshold, n_hashes)
+    sigs = minhash_signatures(docs, n_hashes=n_hashes).select("doc_id", "sig")
+    pairs = lsh_candidate_pairs(sigs, n_bands=n_bands, n_hashes=n_hashes)
+    return (
+        jaccard(pairs, docs)
+        .filter(F.col("jaccard") >= threshold)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@register("l2f_minhash_threshold")
+def l2f_minhash_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Configurable-threshold MinHash-LSH (threshold 0.5 -> wider bands
+    than the default 0.71 curve). Rows-only: seeded hashes."""
+    return minhash_neardup(table(spark, sf_dir, "documents"), threshold=0.5)
 
 
 # ---------------------------------------------------------------------------

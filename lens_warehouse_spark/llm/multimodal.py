@@ -139,6 +139,133 @@ def l8b_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.mapInPandas(sample_frames, out_schema)
 
 
+# ---------------------------------------------------------------------------
+# L8d: frame-hash dedup — per-frame content hashes (sha inside the
+# mapInPandas worker, bytes never reach the driver), then the standard
+# hash-groupBy dedup over (frame_hash). Finds identical frames ACROSS
+# videos — the multimodal analog of L1 exact text dedup. The fake frame
+# payload is blob-prefix + frame index, deterministic -> full oracle.
+# ---------------------------------------------------------------------------
+@register(
+    "l8d_frame_hash_dedup",
+    oracle="""
+WITH frames AS (
+  SELECT doc_id,
+         CAST(unnest(range(CAST(doc_id % 5 AS INT))) AS INT) AS frame_idx
+  FROM documents WHERE doc_id % 5 > 0
+), hashed AS (
+  SELECT f.doc_id, f.frame_idx,
+         md5(substring(d.text, 1, 32) || '#' || CAST(f.frame_idx AS VARCHAR))
+           AS frame_hash
+  FROM frames f JOIN documents d ON d.doc_id = f.doc_id
+)
+SELECT frame_hash,
+       count(*) AS n_copies,
+       CAST(min(doc_id) AS BIGINT) AS keep_doc_id
+FROM hashed
+GROUP BY frame_hash
+HAVING count(*) > 1
+ORDER BY frame_hash
+""",
+)
+def l8d_frame_hash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+
+    import pandas as pd
+
+    mm = multimodal_frame(spark, sf_dir).select("doc_id", "blob")
+    out_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("frame_idx", IntegerType()),
+            StructField("frame_hash", StringType()),
+        ]
+    )
+
+    def hash_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Real pipeline: decode container, extract frame bytes, hash them.
+        # Deterministic fake frame payload: first 32 payload bytes + index.
+        for pdf in batches:
+            ids, idxs, hashes = [], [], []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                head = bytes(blob)[:32]
+                for i in range(int(doc_id) % 5):
+                    ids.append(int(doc_id))
+                    idxs.append(i)
+                    hashes.append(
+                        hashlib.md5(head + b"#" + str(i).encode()).hexdigest()
+                    )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame_hash": pd.Series(hashes, dtype="object"),
+                }
+            )
+
+    return (
+        mm.mapInPandas(hash_frames, out_schema)
+        .groupBy("frame_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+        .filter(F.col("n_copies") > 1)
+        .orderBy("frame_hash")
+    )
+
+
+# ---------------------------------------------------------------------------
+# L8e: blob-manifest pointer join — the engine-side table carries only
+# blob_path pointers; asset facts (size, store node, checksum) live in an
+# external manifest keyed by path. At 100 TB both sides are large, so
+# this is a plain hash join on the pointer (bucketable by path in real
+# deployments); no broadcast assumption. Manifest is synthesized
+# deterministically here, standing in for an object-store listing.
+# ---------------------------------------------------------------------------
+@register(
+    "l8e_blob_manifest_join",
+    oracle="""
+WITH manifest AS (
+  SELECT concat('blob://store/', CAST(doc_id AS VARCHAR)) AS blob_path,
+         CAST(doc_id % 16 AS INT) AS store_node,
+         CAST(length(text) AS BIGINT) AS asset_bytes
+  FROM documents
+)
+SELECT d.doc_id, m.store_node, m.asset_bytes,
+       CAST(d.n_chars AS BIGINT) AS n_chars
+FROM (
+  SELECT doc_id, n_chars,
+         concat('blob://store/', CAST(doc_id AS VARCHAR)) AS blob_path
+  FROM documents
+) d
+JOIN manifest m ON m.blob_path = d.blob_path
+WHERE m.asset_bytes > 512
+""",
+)
+def l8e_blob_manifest_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    manifest = docs.select(
+        F.concat(F.lit("blob://store/"), F.col("doc_id").cast("string")).alias(
+            "m_path"
+        ),
+        (F.col("doc_id") % 16).cast("int").alias("store_node"),
+        F.length("text").cast("long").alias("asset_bytes"),
+    )
+    side = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.concat(F.lit("blob://store/"), F.col("doc_id").cast("string")).alias(
+            "blob_path"
+        ),
+    )
+    return (
+        side.join(manifest, side.blob_path == manifest.m_path)
+        .filter(F.col("asset_bytes") > 512)
+        .select("doc_id", "store_node", "asset_bytes", "n_chars")
+    )
+
+
 def resize_image(blob: bytes, width: int, height: int) -> bytes:
     """Resize an image payload. STUB: no media libs in this container.
 

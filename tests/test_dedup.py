@@ -122,3 +122,38 @@ def test_deterministic_sample_rate_is_close(spark):
     )
     # 20% of 500 = 100; 4 sigma of binomial(500, .2) ~ 36
     assert abs(sampled - 0.2 * total) < 40, sampled
+
+
+def test_plan_lsh_curve_placement():
+    from lens_warehouse_spark.llm.dedup import plan_lsh
+
+    for n_hashes in (16, 32, 64):
+        prev_bands = None
+        for threshold in (0.3, 0.5, 0.7, 0.9):
+            b, r = plan_lsh(threshold, n_hashes)
+            assert b * r == n_hashes
+            t = (1.0 / b) ** (1.0 / r)
+            # curve threshold lands near (biased below) the request
+            assert t <= threshold + 0.15, (n_hashes, threshold, b, r, t)
+            # monotone: higher threshold -> no more bands (longer rows)
+            if prev_bands is not None:
+                assert b <= prev_bands, (n_hashes, threshold)
+            prev_bands = b
+
+
+def test_threshold_pipeline_superset_of_default(spark):
+    """At a lower threshold the thresholded pipeline must return a
+    superset of the default 0.7 pipeline's pairs (recall monotonicity)."""
+    from lens_warehouse_spark.catalog import table
+    from lens_warehouse_spark.llm.dedup import l2_minhash_neardup, minhash_neardup
+
+    docs = table(spark, "/root/testdata/sf0.001", "documents")
+    low = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_neardup(docs, threshold=0.5).collect()
+    }
+    default = {
+        (r.doc_a, r.doc_b)
+        for r in l2_minhash_neardup(spark, "/root/testdata/sf0.001").collect()
+    }
+    assert default <= low
