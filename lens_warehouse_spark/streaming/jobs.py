@@ -232,6 +232,75 @@ def t9_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# T4b: the T4 watermarked tumbling aggregation on the RocksDB state-store
+# provider — the provider that holds at 100 TB (state spills to local
+# SSD instead of executor heap; changelog checkpointing bounds commit
+# cost). Provider choice must not change results: tests assert t4b == t4.
+# ---------------------------------------------------------------------------
+@register("t4b_stream_tumbling_rocksdb")
+def t4b_stream_tumbling_rocksdb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        ev = _events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+        agg = (
+            ev.groupBy(F.window("ts", "6 hours").alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(
+                F.unix_millis(F.col("w.start")).alias("win_start_ms"),
+                "event_type",
+                "n",
+            )
+        )
+        out = _run_to_table(agg, "t4b")
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+    return out.orderBy("win_start_ms", "event_type")
+
+
+# ---------------------------------------------------------------------------
+# T10: rate-micro-batch source — the unbounded-input surface (no file
+# staging). rate-micro-batch emits a deterministic value sequence per
+# batch (unlike plain `rate`, which is wall-clock-driven), so the
+# aggregate over one bounded run is reproducible; still registered
+# rows-only because batch *count* is trigger-dependent.
+# ---------------------------------------------------------------------------
+@register("t10_rate_source")
+def t10_rate_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", 1000)
+        .option("numPartitions", 4)
+        .option("startTimestamp", 0)
+        .load()
+    )
+    qname = f"t10_{uuid.uuid4().hex[:8]}"
+    ckpt = os.path.join(tempfile.gettempdir(), "lws_ckpt", qname)
+    q = (
+        src.select("value")
+        .writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(qname).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+        F.sum("value").alias("sum_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # T7b: same per-user running stats on the Spark 4 arbitrary-state API
 # (transformWithStateInPandas + ValueState). The state-store contract is
 # explicit typed state handles — the forward path for custom stateful

@@ -88,3 +88,35 @@ def test_stream_session_window_subset_of_batch(spark):
     assert stream  # something was emitted
     for key, n in stream.items():
         assert batch.get(key) == n
+
+
+def test_rocksdb_provider_matches_default_provider(spark):
+    """State-store provider choice (RocksDB vs default HDFS-backed) must
+    not change watermarked-aggregation results."""
+    default = {
+        tuple(r)
+        for r in registry.QUERIES["t4_stream_tumbling_watermark"](
+            spark, SF
+        ).collect()
+    }
+    rocks = {
+        tuple(r)
+        for r in registry.QUERIES["t4b_stream_tumbling_rocksdb"](
+            spark, SF
+        ).collect()
+    }
+    assert rocks == default
+    # conf restored after the run
+    assert (
+        spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+        is None
+    )
+
+
+def test_rate_source_deterministic(spark):
+    """rate-micro-batch under availableNow emits exactly one deterministic
+    batch: values 0..rowsPerBatch-1."""
+    row = registry.QUERIES["t10_rate_source"](spark, SF).collect()[0]
+    assert (row.n, row.min_value, row.max_value, row.sum_value) == (
+        1000, 0, 999, 999 * 1000 // 2,
+    )
