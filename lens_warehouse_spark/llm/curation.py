@@ -1,0 +1,170 @@
+"""Corpus-curation operators L16-L18: benchmark decontamination,
+repetition-based quality filtering, per-domain corpus statistics.
+
+The standard pretraining hygiene pipeline at 100 TB:
+
+- Decontamination: drop/flag training documents sharing long n-grams
+  with an evaluation benchmark. The benchmark gram set is tiny (MBs),
+  so the join side is broadcastable; the corpus side explodes to
+  (gram, doc) pairs and never materializes a cross product.
+- Repetition filter (Gopher-style): documents whose duplicate-n-gram
+  fraction is high are boilerplate/spam; computed per-document with
+  map-side-combinable counts, one shuffle on doc_id.
+- Domain stats: per-source aggregates that feed mixture weighting and
+  blocklists; a plain partial-aggregated groupBy.
+
+All three are pure DataFrame ops with full DuckDB oracles — ratios are
+emitted as (numerator, denominator) counts per the parity rules in
+registry.py (rule 4: never round a ratio near a boundary).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lens_warehouse_spark.catalog import table
+from lens_warehouse_spark.registry import register
+
+GRAM_N = 5  # decontamination n-gram length (words)
+_BENCH_MOD = 97  # stand-in eval set: doc_id % 97 == 0
+
+
+def _grams_expr(n: int) -> str:
+    """Spark SQL: word n-grams of the pre-split token array ``__t``."""
+    return (
+        f"transform(sequence(1, greatest(size(__t) - {n - 1}, 0)),"
+        f" i -> concat_ws(' ', slice(__t, i, {n})))"
+    )
+
+
+def word_ngrams(df: DataFrame, n: int, text_col: str = "text") -> DataFrame:
+    """(doc_id, gram) pairs; documents shorter than n words emit none."""
+    toks = df.select("doc_id", F.split(text_col, " ").alias("__t"))
+    return toks.select("doc_id", F.explode(F.expr(_grams_expr(n))).alias("gram"))
+
+
+# ---------------------------------------------------------------------------
+# L16: benchmark decontamination — flag corpus documents sharing any
+# 5-gram with the (stand-in) benchmark set. Benchmark grams broadcast;
+# corpus grams stream through the join, so the plan is one broadcast
+# hash join + one aggregation regardless of corpus size.
+# ---------------------------------------------------------------------------
+@register(
+    "l16_decontamination",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), grams AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(len(t) - {GRAM_N - 1}, 0) + 1),
+                               i -> array_to_string(t[i:i+{GRAM_N - 1}], ' '))) AS gram
+  FROM toks
+), bench_grams AS (
+  SELECT DISTINCT gram FROM grams WHERE doc_id % {_BENCH_MOD} = 0
+)
+SELECT g.doc_id,
+       count(DISTINCT g.gram) AS n_contaminated_grams
+FROM grams g
+JOIN bench_grams b ON b.gram = g.gram
+WHERE g.doc_id % {_BENCH_MOD} <> 0
+GROUP BY g.doc_id
+ORDER BY g.doc_id
+""",
+)
+def l16_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    grams = word_ngrams(docs, GRAM_N)
+    bench = (
+        grams.filter(F.col("doc_id") % _BENCH_MOD == 0)
+        .select("gram")
+        .distinct()
+    )
+    corpus = grams.filter(F.col("doc_id") % _BENCH_MOD != 0)
+    return (
+        corpus.join(F.broadcast(bench), "gram")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("gram").alias("n_contaminated_grams"))
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# L17: repetition filter — documents dominated by repeated 3-grams.
+# Emits (total, distinct) gram counts and the boolean flag; the ratio
+# comparison 1 - distinct/total > 0.2 is rewritten integer-exact as
+# 5 * (total - distinct) > total, so no float crosses the wire.
+# ---------------------------------------------------------------------------
+@register(
+    "l17_repetition_filter",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), grams AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+                               i -> array_to_string(t[i:i+2], ' '))) AS gram
+  FROM toks
+), per_doc AS (
+  SELECT doc_id, count(*) AS n_grams, count(DISTINCT gram) AS n_distinct
+  FROM grams GROUP BY doc_id
+)
+SELECT doc_id, n_grams, n_distinct,
+       (5 * (n_grams - n_distinct) > n_grams) AS is_repetitive
+FROM per_doc
+ORDER BY doc_id
+""",
+)
+def l17_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    grams = word_ngrams(docs, 3)
+    return (
+        grams.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.countDistinct("gram").alias("n_distinct"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_distinct",
+            (
+                F.lit(5) * (F.col("n_grams") - F.col("n_distinct"))
+                > F.col("n_grams")
+            ).alias("is_repetitive"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# L18: per-domain corpus stats — the aggregate that feeds mixture
+# weights and domain blocklists. `source` stands in for the URL domain.
+# Partial aggregation combines map-side; the shuffle carries one row
+# per (domain) per task.
+# ---------------------------------------------------------------------------
+@register(
+    "l18_domain_stats",
+    oracle="""
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       count(DISTINCT lang) AS n_langs,
+       CAST(max(n_chars) AS BIGINT) AS max_chars
+FROM documents
+GROUP BY source
+ORDER BY source
+""",
+)
+def l18_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.max("n_chars").cast("long").alias("max_chars"),
+        )
+        .orderBy("source")
+    )

@@ -70,6 +70,7 @@ def load_all() -> None:
         windows,
     )
     from lens_warehouse_spark.llm import (  # noqa: F401
+        curation,
         dedup,
         multimodal,
         textstats,
