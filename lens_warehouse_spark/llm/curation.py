@@ -168,3 +168,53 @@ def l18_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# L19: int8 scalar quantization of embeddings — the 4x memory/IO lever
+# for vector search at 100 TB (float32 -> int8 + per-dim scale).
+# Per-dimension min/max are order-independent aggregates and the
+# quantization expression tree is identical on both engines (float ->
+# double widening is exact), so the op is fully oracle-checked.
+# Long format (vec_id, dim, q) keeps the comparison array-free.
+# ---------------------------------------------------------------------------
+@register(
+    "l19_scalar_quantization",
+    oracle="""
+WITH vals AS (
+  SELECT e.vec_id, i AS dim, CAST(e.embedding[i] AS DOUBLE) AS val
+  FROM embeddings e, range(1, 65) t(i)
+), stats AS (
+  SELECT dim, min(val) AS mn, max(val) AS mx FROM vals GROUP BY dim
+)
+SELECT v.vec_id, v.dim,
+       CAST(floor((v.val - s.mn) * 255.0 / (s.mx - s.mn)) AS INT) - 128 AS q
+FROM vals v JOIN stats s ON s.dim = v.dim
+WHERE v.vec_id < 100
+ORDER BY v.vec_id, v.dim
+""",
+)
+def l19_scalar_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    vals = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "fval")
+    ).select(
+        "vec_id",
+        (F.col("pos") + 1).cast("long").alias("dim"),
+        F.col("fval").cast("double").alias("val"),
+    )
+    stats = vals.groupBy("dim").agg(
+        F.min("val").alias("mn"), F.max("val").alias("mx")
+    )
+    q = (
+        F.floor(
+            (F.col("val") - F.col("mn")) * F.lit(255.0) / (F.col("mx") - F.col("mn"))
+        ).cast("int")
+        - 128
+    )
+    return (
+        vals.join(F.broadcast(stats), "dim")
+        .filter(F.col("vec_id") < 100)
+        .select("vec_id", "dim", q.alias("q"))
+        .orderBy("vec_id", "dim")
+    )
