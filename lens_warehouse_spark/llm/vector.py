@@ -357,3 +357,101 @@ def l3e_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id", "rn", "cos")
         .orderBy("query_id", "rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# L3f: k-means codebook training (Lloyd's iterations) for IVF — the
+# "trained codebook swaps in" path promised by l3e. Each iteration is
+# one assign (broadcast cross-score + per-vector argmax) and one update
+# (per-cell, per-dimension mean); localCheckpoint() truncates lineage so
+# the plan stays flat across iterations — the standard Spark iterative-
+# algorithm discipline. Rows-only: centroid means are float sums whose
+# partial-aggregation order is nondeterministic; convergence properties
+# are asserted in tests instead (inertia non-increasing).
+# ---------------------------------------------------------------------------
+def update_centroids(assigned: DataFrame) -> DataFrame:
+    """Spherical k-means update: per-cell dimension-wise SUM, then
+    L2-normalize. Under dot-product assignment the objective
+    sum(dot(x, c_assigned)) with ||c|| = 1 is non-decreasing — a plain
+    mean (without normalization) shrinks centroid norms and breaks the
+    guarantee for dot affinity."""
+    summed = (
+        assigned.select("cell_id", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("cell_id", "pos")
+        .agg(F.sum("v").alias("m"))
+        .groupBy("cell_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s.m,
+            ).alias("raw")
+        )
+    )
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform("raw", lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return summed.select(
+        "cell_id",
+        F.when(
+            norm > 0, F.transform("raw", lambda x: x / norm)
+        ).otherwise(F.col("raw")).alias("centroid"),
+    )
+
+
+def train_codebook(
+    emb: DataFrame, k: int = N_CELLS, iters: int = 3
+) -> DataFrame:
+    """Lloyd's k-means under dot-product affinity. Deterministic seed:
+    the embeddings of the k lowest vec_ids are the initial centroids."""
+    codebook = emb.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cell_id"), F.col("embedding").alias("centroid")
+    )
+    for _ in range(iters):
+        assigned = _ivf_assign(emb, codebook)
+        codebook = update_centroids(assigned).localCheckpoint()
+    return codebook
+
+
+def mean_best_affinity(emb: DataFrame, codebook: DataFrame) -> float:
+    """Mean max-dot affinity of every vector to its nearest centroid —
+    the (negated) k-means objective under dot similarity."""
+    scored = emb.crossJoin(F.broadcast(codebook)).select(
+        "vec_id", F.expr(_DOT.format(a="embedding", b="centroid")).alias("aff")
+    )
+    best = scored.groupBy("vec_id").agg(F.max("aff").alias("best"))
+    return float(best.agg(F.avg("best")).collect()[0][0])
+
+
+@register("l3f_ann_ivf_trained")
+def l3f_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF search against a Lloyd's-trained codebook: same probe plan as
+    l3e, better cells. Rows-only (float centroid means)."""
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    codebook = train_codebook(emb, k=N_CELLS, iters=3)
+    assigned = _ivf_assign(emb, codebook).persist()
+    probes = assigned.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("cell_id").alias("q_cell"),
+    )
+    cands = assigned.filter(F.col("vec_id") >= 5).select(
+        F.col("vec_id").alias("neighbor_id"), "embedding", "cell_id"
+    )
+    scored = cands.join(
+        F.broadcast(probes), F.col("cell_id") == F.col("q_cell")
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.round(dot("q_emb", "embedding"), 6).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 3)
+        .select("query_id", "neighbor_id", "rn", "cos")
+        .orderBy("query_id", "rn")
+    )

@@ -1,0 +1,65 @@
+"""Vector-op property tests: spherical k-means convergence (SURVEY.md
+§5 model — semantics of seeded/iterative ops are property-tested where
+value-level oracles can't apply)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lens_warehouse_spark.catalog import table
+from lens_warehouse_spark.llm.vector import (
+    N_CELLS,
+    _ivf_assign,
+    mean_best_affinity,
+    train_codebook,
+    update_centroids,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_spherical_kmeans_objective_monotone(spark):
+    emb = table(spark, SF, "embeddings").select("vec_id", "embedding")
+    cb = emb.filter(F.col("vec_id") < N_CELLS).select(
+        F.col("vec_id").alias("cell_id"), F.col("embedding").alias("centroid")
+    )
+    prev = mean_best_affinity(emb, cb)
+    for _ in range(3):
+        cb = update_centroids(_ivf_assign(emb, cb)).localCheckpoint()
+        cur = mean_best_affinity(emb, cb)
+        # assignment rounds affinities to 6 decimals for tie-breaks, so
+        # allow that much slack on the otherwise-guaranteed monotonicity
+        assert cur >= prev - 1e-5
+        prev = cur
+
+
+def test_trained_codebook_unit_norm(spark):
+    emb = table(spark, SF, "embeddings").select("vec_id", "embedding")
+    cb = train_codebook(emb, iters=2)
+    norms = cb.select(
+        F.sqrt(
+            F.aggregate(
+                F.transform("centroid", lambda x: x * x),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+        ).alias("n")
+    ).collect()
+    assert all(abs(r.n - 1.0) < 1e-9 for r in norms)
+    assert cb.count() <= N_CELLS
+
+
+def test_trained_ivf_query_shape(spark):
+    from lens_warehouse_spark.registry import QUERIES, load_all
+
+    load_all()
+    out = QUERIES["l3f_ann_ivf_trained"](spark, SF)
+    rows = out.collect()
+    assert out.columns == ["query_id", "neighbor_id", "rn", "cos"]
+    # top-3 per probe, probes are vec_id < 5
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r.query_id, []).append(r.rn)
+    for q, rns in per_q.items():
+        assert q < 5
+        assert sorted(rns) == list(range(1, len(rns) + 1))
