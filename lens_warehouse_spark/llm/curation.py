@@ -218,3 +218,98 @@ def l19_scalar_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "dim", q.alias("q"))
         .orderBy("vec_id", "dim")
     )
+
+
+# ---------------------------------------------------------------------------
+# L19b: quantized ANN — brute-force top-k over the int8 vectors from the
+# L19 quantization. Integer dot products are EXACT (no float summation
+# order anywhere), so unlike the float ANN baselines this one is fully
+# value-oracle-checked including the scores. At scale this is the
+# memory-resident rerank tier: 4x more vectors per executor, exact
+# integer SIMD, float rerank only for the final candidates.
+# ---------------------------------------------------------------------------
+@register(
+    "l19b_quantized_knn",
+    oracle="""
+WITH vals AS (
+  SELECT e.vec_id, i AS dim, CAST(e.embedding[i] AS DOUBLE) AS val
+  FROM embeddings e, range(1, 65) t(i)
+), stats AS (
+  SELECT dim, min(val) AS mn, max(val) AS mx FROM vals GROUP BY dim
+), arrs AS (
+  SELECT list(mn ORDER BY dim) AS mns, list(mx ORDER BY dim) AS mxs FROM stats
+), quant AS (
+  SELECT e.vec_id,
+         list_transform(range(1, 65),
+           i -> CAST(floor((CAST(e.embedding[i] AS DOUBLE) - a.mns[i]) * 255.0
+                           / (a.mxs[i] - a.mns[i])) AS BIGINT) - 128) AS q
+  FROM embeddings e CROSS JOIN arrs a
+)
+SELECT query_id, neighbor_id, rn, int_dot FROM (
+  SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id,
+         CAST(list_sum(list_transform(range(1, 65), i -> p.q[i] * c.q[i])) AS BIGINT) AS int_dot,
+         row_number() OVER (
+           PARTITION BY p.vec_id
+           ORDER BY list_sum(list_transform(range(1, 65), i -> p.q[i] * c.q[i])) DESC,
+                    c.vec_id
+         ) AS rn
+  FROM quant p JOIN quant c ON p.vec_id < 5 AND c.vec_id >= 5
+) WHERE rn <= 3
+ORDER BY query_id, rn
+""",
+)
+def l19b_quantized_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    vals = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "fval")
+    ).select(
+        "vec_id",
+        (F.col("pos") + 1).cast("long").alias("dim"),
+        F.col("fval").cast("double").alias("val"),
+    )
+    arrs = (
+        vals.groupBy("dim")
+        .agg(F.min("val").alias("mn"), F.max("val").alias("mx"))
+        .groupBy()
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "mn"))), lambda s: s.mn
+            ).alias("mns"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "mx"))), lambda s: s.mx
+            ).alias("mxs"),
+        )
+    )
+    quant = emb.crossJoin(F.broadcast(arrs)).select(
+        "vec_id",
+        F.expr(
+            "transform(sequence(1, 64),"
+            " i -> CAST(floor((CAST(element_at(embedding, i) AS DOUBLE)"
+            "                  - element_at(mns, i)) * 255.0D"
+            "                 / (element_at(mxs, i) - element_at(mns, i))) AS BIGINT)"
+            "      - 128)"
+        ).alias("q"),
+    )
+    probes = quant.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("qp")
+    )
+    cands = quant.filter(F.col("vec_id") >= 5).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("q").alias("qc")
+    )
+    int_dot = F.expr(
+        "aggregate(zip_with(qp, qc, (x, y) -> x * y), CAST(0 AS BIGINT), (s, v) -> s + v)"
+    )
+    scored = cands.join(F.broadcast(probes)).select(
+        "query_id", "neighbor_id", int_dot.alias("int_dot")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("int_dot").desc(), "neighbor_id"
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 3)
+        .select("query_id", "neighbor_id", "rn", "int_dot")
+        .orderBy("query_id", "rn")
+    )

@@ -426,3 +426,84 @@ def p9_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) * 0.001
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Q21 shape: suppliers who alone were late on a multi-supplier order —
+# the EXISTS + NOT-EXISTS double correlated subquery (Catalyst rewrites
+# both into semi/anti joins). This lineitem has no commit/receipt dates,
+# so "late" is shipping >60 days after the order date.
+# ---------------------------------------------------------------------------
+_Q21_BODY = """
+SELECT s.s_name, count(*) AS numwait
+FROM {supplier} s
+JOIN {lineitem} l1 ON l1.l_suppkey = s.s_suppkey
+JOIN {orders} o ON o.o_orderkey = l1.l_orderkey
+WHERE o.o_orderstatus = 'F'
+  AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+  AND EXISTS (
+    SELECT 1 FROM {lineitem} l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM {lineitem} l3
+    JOIN {orders} o3 ON o3.o_orderkey = l3.l_orderkey
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY
+  )
+GROUP BY s.s_name
+ORDER BY numwait DESC, s.s_name
+LIMIT 20
+"""
+
+
+@register(
+    "q21_waiting_suppliers",
+    oracle=_Q21_BODY.format(
+        supplier="supplier", lineitem="lineitem", orders="orders"
+    ),
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "supplier").createOrReplaceTempView("lws_q21_supplier")
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("lws_q21_lineitem")
+    table(spark, sf_dir, "orders").createOrReplaceTempView("lws_q21_orders")
+    return spark.sql(
+        _Q21_BODY.format(
+            supplier="lws_q21_supplier",
+            lineitem="lws_q21_lineitem",
+            orders="lws_q21_orders",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q22 shape: rich customers with no urgent orders — scalar subquery
+# threshold (above-average balance) + NOT EXISTS anti-join, grouped by
+# segment. (Predicate adapted: this generator gives every customer
+# orders, so plain no-orders would be empty at every SF.)
+# ---------------------------------------------------------------------------
+_Q22_BODY = """
+SELECT c.c_mktsegment,
+       count(*) AS numcust,
+       CAST(round(sum(c.c_acctbal)) AS BIGINT) AS totacctbal
+FROM {customer} c
+WHERE c.c_acctbal > (
+    SELECT avg(c2.c_acctbal) FROM {customer} c2 WHERE c2.c_acctbal > 0.0
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM {orders} o
+    WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+  )
+GROUP BY c.c_mktsegment
+ORDER BY c.c_mktsegment
+"""
+
+
+@register(
+    "q22_global_sales_opportunity",
+    oracle=_Q22_BODY.format(customer="customer", orders="orders"),
+)
+def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "customer").createOrReplaceTempView("lws_q22_customer")
+    table(spark, sf_dir, "orders").createOrReplaceTempView("lws_q22_orders")
+    return spark.sql(_Q22_BODY.format(customer="lws_q22_customer", orders="lws_q22_orders"))
