@@ -45,6 +45,7 @@ HEADLINE = [
     "l11_deterministic_sample",
     "l13_tfidf_top_terms",
     "l12_chunking",
+    "l20_curation_pipeline",
 ]
 
 

@@ -313,3 +313,105 @@ def l19b_quantized_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id", "rn", "int_dot")
         .orderBy("query_id", "rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# L20: the end-to-end curation pipeline as ONE declarative plan — the
+# flagship training-data demo: exact dedup (keep lowest doc_id per
+# content hash) -> repetition filter -> benchmark decontamination
+# (anti-join) -> length quality gate -> deterministic 50% md5-bucket
+# sample. Catalyst sees the whole thing: filters push into the scan,
+# the dedup keep-first and gram aggregations share the corpus scan via
+# exchange reuse, and each stage is a hash shuffle or broadcast
+# anti-join — nothing driver-side, nothing iterative.
+# ---------------------------------------------------------------------------
+@register(
+    "l20_curation_pipeline",
+    oracle=f"""
+WITH keep AS (  -- exact dedup: keep lowest doc_id per normalized hash
+  SELECT min(doc_id) AS doc_id
+  FROM documents GROUP BY md5(lower(trim(text)))
+), toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), grams3 AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+                               i -> array_to_string(t[i:i+2], ' '))) AS gram
+  FROM toks
+), repetitive AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, count(*) AS n_grams, count(DISTINCT gram) AS n_distinct
+    FROM grams3 GROUP BY doc_id
+  ) WHERE 5 * (n_grams - n_distinct) > n_grams
+), grams5 AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(len(t) - {GRAM_N - 1}, 0) + 1),
+                               i -> array_to_string(t[i:i+{GRAM_N - 1}], ' '))) AS gram
+  FROM toks
+), contaminated AS (
+  SELECT DISTINCT g.doc_id
+  FROM grams5 g
+  JOIN (SELECT DISTINCT gram FROM grams5 WHERE doc_id % {_BENCH_MOD} = 0) b
+    ON b.gram = g.gram
+  WHERE g.doc_id % {_BENCH_MOD} <> 0
+)
+SELECT d.lang, d.source, count(*) AS n_docs,
+       CAST(sum(d.n_chars) AS BIGINT) AS total_chars
+FROM documents d
+JOIN keep k ON k.doc_id = d.doc_id
+WHERE d.doc_id NOT IN (SELECT doc_id FROM repetitive)
+  AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+  AND d.doc_id % {_BENCH_MOD} <> 0
+  AND d.n_chars BETWEEN 64 AND 100000
+  AND CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 4)) AS INT)
+      < CAST(0.5 * 65536 AS INT)
+GROUP BY d.lang, d.source
+ORDER BY d.lang, d.source
+""",
+)
+def l20_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    keep = (
+        docs.groupBy(F.md5(F.lower(F.trim("text"))).alias("h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    grams3 = word_ngrams(docs, 3)
+    repetitive = (
+        grams3.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.countDistinct("gram").alias("n_distinct"),
+        )
+        .filter(
+            F.lit(5) * (F.col("n_grams") - F.col("n_distinct")) > F.col("n_grams")
+        )
+        .select("doc_id")
+    )
+    grams5 = word_ngrams(docs, GRAM_N)
+    bench = (
+        grams5.filter(F.col("doc_id") % _BENCH_MOD == 0).select("gram").distinct()
+    )
+    contaminated = (
+        grams5.filter(F.col("doc_id") % _BENCH_MOD != 0)
+        .join(F.broadcast(bench), "gram")
+        .select("doc_id")
+        .distinct()
+    )
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
+    ).cast("int")
+    return (
+        docs.join(keep, "doc_id", "left_semi")
+        .join(repetitive, "doc_id", "left_anti")
+        .join(contaminated, "doc_id", "left_anti")
+        .filter(F.col("doc_id") % _BENCH_MOD != 0)
+        .filter(F.col("n_chars").between(64, 100000))
+        .filter(bucket < int(0.5 * 65536))
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .orderBy("lang", "source")
+    )
