@@ -275,3 +275,52 @@ def s5b_catalog_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "column_name string, ordinal int").orderBy(
         "ordinal"
     )
+
+
+# ---------------------------------------------------------------------------
+# S3b: multi-format round-trip — the engine's source/sink surface beyond
+# parquet. Events write as CSV (header), JSON-lines, and ORC, read back
+# with explicit schemas (CSV/JSON types would otherwise be inferred),
+# and each format must reproduce identical aggregates. At scale these
+# are the ingest formats; parquet/ORC are the columnar resting formats.
+# ---------------------------------------------------------------------------
+@register(
+    "s3b_multiformat_roundtrip",
+    oracle="""
+SELECT fmt, n, total
+FROM (
+  SELECT 'csv' AS fmt, count(*) AS n,
+         CAST(round(sum(value)) AS BIGINT) AS total FROM events
+  UNION ALL
+  SELECT 'json', count(*), CAST(round(sum(value)) AS BIGINT) FROM events
+  UNION ALL
+  SELECT 'orc', count(*), CAST(round(sum(value)) AS BIGINT) FROM events
+)
+ORDER BY fmt
+""",
+)
+def s3b_multiformat_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select("event_id", "value")
+    tag = sf_dir.strip("/").replace("/", "_")
+    base = os.path.join(tempfile.gettempdir(), f"lws_fmt_{tag}")
+    outs = []
+    for fmt in ("csv", "json", "orc"):
+        path = os.path.join(base, fmt)
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            w = ev.write.mode("overwrite")
+            (w.option("header", True) if fmt == "csv" else w).format(fmt).save(path)
+        r = spark.read
+        if fmt == "csv":
+            r = r.option("header", True)
+        back = r.schema("event_id BIGINT, value DOUBLE").format(fmt).load(path)
+        outs.append(
+            back.agg(
+                F.lit(fmt).alias("fmt"),
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.sum("value")).cast("long").alias("total"),
+            ).select("fmt", "n", "total")
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("fmt")
