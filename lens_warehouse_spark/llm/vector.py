@@ -455,3 +455,52 @@ def l3f_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id", "rn", "cos")
         .orderBy("query_id", "rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# L3g: multi-probe LSH ANN — each query also probes the N_PLANES buckets
+# at Hamming distance 1 (one sign bit flipped). Candidate set is a
+# strict superset of l3c's at (N_PLANES+1)x the probe fan-out but the
+# same corpus-side layout: at 100 TB, multi-probe buys recall WITHOUT
+# re-bucketing or additional hash tables — only the (tiny, broadcast)
+# query side explodes. Rows-only (seeded planes); recall dominance over
+# single-probe is property-tested.
+# ---------------------------------------------------------------------------
+@register("l3g_ann_lsh_multiprobe")
+def l3g_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings").withColumn(
+        "bucket", lsh_bucket("embedding")
+    )
+    probe_buckets = F.array(
+        F.col("bucket"),
+        *[
+            F.col("bucket").bitwiseXOR(F.lit(2**i))
+            for i in range(N_PLANES)
+        ],
+    )
+    q = (
+        emb.filter(F.col("vec_id") < 5)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.explode(probe_buckets).alias("q_bucket"),
+        )
+    )
+    cand = emb.filter(F.col("vec_id") >= 5).select(
+        F.col("vec_id").alias("neighbor_id"), "embedding", "bucket"
+    )
+    scored = (
+        cand.join(F.broadcast(q), F.col("bucket") == F.col("q_bucket"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(dot("q_emb", "embedding"), 6).alias("cos"),
+        )
+        .distinct()  # a neighbor can collide on several probes
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 3)
+        .orderBy("query_id", "rn")
+    )

@@ -63,3 +63,33 @@ def test_trained_ivf_query_shape(spark):
     for q, rns in per_q.items():
         assert q < 5
         assert sorted(rns) == list(range(1, len(rns) + 1))
+
+
+def test_multiprobe_recall_dominates_single_probe(spark):
+    """Multi-probe candidates are a superset of single-probe candidates,
+    so recall@3 against the exact top-3 can only improve."""
+    from lens_warehouse_spark.registry import QUERIES, load_all
+
+    load_all()
+    exact = QUERIES["l3b_knn_batch"](spark, SF).collect()
+    single = QUERIES["l3c_ann_lsh"](spark, SF).collect()
+    multi = QUERIES["l3g_ann_lsh_multiprobe"](spark, SF).collect()
+
+    def top(rows):
+        out = {}
+        for r in rows:
+            out.setdefault(r.query_id, set()).add(r.neighbor_id)
+        return out
+
+    ex, si, mu = top(exact), top(single), top(multi)
+    rec_s = sum(len(si.get(q, set()) & ex[q]) for q in ex) / sum(
+        len(v) for v in ex.values()
+    )
+    rec_m = sum(len(mu.get(q, set()) & ex[q]) for q in ex) / sum(
+        len(v) for v in ex.values()
+    )
+    assert rec_m >= rec_s
+    # candidate-set dominance per query: every single-probe hit appears
+    # in the multi-probe result unless displaced by a >= scoring one
+    for q in si:
+        assert len(mu.get(q, set())) >= len(si[q])
