@@ -85,13 +85,47 @@ class LensWarehouse:
         )
 
     def near_duplicates(self, threshold: float = 0.7) -> DataFrame:
+        """LSH banding (bands/rows planned from the threshold via
+        plan_lsh) + exact-Jaccard verification."""
+        from lens_warehouse_spark.llm.dedup import minhash_neardup
+
+        return minhash_neardup(self.table("documents"), threshold)
+
+    def neardup_groups(self, threshold: float = 0.7) -> DataFrame:
+        """(doc_id, canonical_id) — connected components over near-dup
+        pairs; keep-one-per-cluster resolution."""
+        from lens_warehouse_spark.llm.dedup import neardup_components
+
         docs = self.table("documents")
-        sigs = minhash_signatures(docs).select("doc_id", "sig")
-        pairs = lsh_candidate_pairs(sigs)
-        return jaccard(pairs, docs).filter(F.col("jaccard") >= threshold)
+        pairs = self.near_duplicates(threshold).select("doc_a", "doc_b")
+        return neardup_components(pairs, docs.select("doc_id"))
 
     def simhashes(self) -> DataFrame:
         return simhash(self.table("documents"))
+
+    # -- curation pipeline ---------------------------------------------------
+    def decontaminate(self, bench_mod: int = 97) -> DataFrame:
+        """Corpus documents sharing a 5-gram with the benchmark set."""
+        from lens_warehouse_spark.llm.curation import GRAM_N, word_ngrams
+
+        docs = self.table("documents")
+        grams = word_ngrams(docs, GRAM_N)
+        bench = (
+            grams.filter(F.col("doc_id") % bench_mod == 0).select("gram").distinct()
+        )
+        return (
+            grams.filter(F.col("doc_id") % bench_mod != 0)
+            .join(F.broadcast(bench), "gram")
+            .groupBy("doc_id")
+            .agg(F.countDistinct("gram").alias("n_contaminated_grams"))
+        )
+
+    def curate(self) -> DataFrame:
+        """Per-(lang, source) counts surviving the full curation pipeline
+        (dedup -> repetition -> decontamination -> quality -> sample)."""
+        from lens_warehouse_spark.llm.curation import l20_curation_pipeline
+
+        return l20_curation_pipeline(self.spark, self.sf_dir)
 
     # -- similarity search -------------------------------------------------
     def knn(self, query_vec_id: int, k: int = 10) -> DataFrame:
@@ -106,6 +140,22 @@ class LensWarehouse:
             .orderBy(F.col("cos").desc(), "vec_id")
             .limit(k)
         )
+
+    def ann(self, k: int = 3, multiprobe: bool = True) -> DataFrame:
+        """Approximate top-k via hyperplane LSH buckets (optionally
+        multi-probe at Hamming distance 1) for probe vectors vec_id<5."""
+        from lens_warehouse_spark.registry import QUERIES, load_all
+
+        load_all()
+        name = "l3g_ann_lsh_multiprobe" if multiprobe else "l3c_ann_lsh"
+        return QUERIES[name](self.spark, self.sf_dir).filter(F.col("rn") <= k)
+
+    def train_ivf_codebook(self, k: int = 16, iters: int = 3) -> DataFrame:
+        """Spherical-k-means IVF codebook over the embeddings table."""
+        from lens_warehouse_spark.llm.vector import train_codebook
+
+        emb = self.table("embeddings").select("vec_id", "embedding")
+        return train_codebook(emb, k=k, iters=iters)
 
     # -- time / sessions ---------------------------------------------------
     def sessionize(self, gap: str = "30 minutes") -> DataFrame:

@@ -25,3 +25,31 @@ def test_engine_surface(spark):
     assert knn[0].cos >= knn[-1].cos
     assert lw.sessionize().count() > 0
     assert lw.simhashes().count() == 500
+
+
+def test_engine_curation_surface(spark):
+    lw = LensWarehouse(spark, SF)
+    nd = lw.near_duplicates(0.5)
+    assert set(nd.columns) == {"doc_a", "doc_b", "jaccard"}
+    groups = lw.neardup_groups(0.5)
+    assert set(groups.columns) == {"doc_id", "canonical_id"}
+    # canonical assignment covers every document exactly once
+    assert groups.count() == lw.table("documents").count()
+    cont = lw.decontaminate()
+    assert set(cont.columns) == {"doc_id", "n_contaminated_grams"}
+    cur = lw.curate()
+    assert cur.columns == ["lang", "source", "n_docs", "total_chars"]
+    assert cur.count() > 0
+
+
+def test_engine_ann_surface(spark):
+    lw = LensWarehouse(spark, SF)
+    single = lw.ann(k=3, multiprobe=False)
+    multi = lw.ann(k=3, multiprobe=True)
+    assert set(single.columns) == set(multi.columns)
+    # multi-probe serves at least as many queries (superset candidates)
+    assert multi.select("query_id").distinct().count() >= \
+        single.select("query_id").distinct().count()
+    cb = lw.train_ivf_codebook(k=8, iters=1)
+    assert set(cb.columns) == {"cell_id", "centroid"}
+    assert cb.count() <= 8
