@@ -208,7 +208,25 @@ def compile_tagged(
     )
 
 
-def estimate_plan_cost(query: CohortQuery) -> dict[str, dict[str, int]]:
+_ROWCOUNT_CACHE: dict[str, int] = {}
+
+
+def table_rows(sf_dir: str, tname: str) -> int:
+    """Row count from the parquet footer — metadata only, no Spark job.
+    This is exactly the statistic a cluster catalog would serve."""
+    key = f"{sf_dir}/{tname}"
+    if key not in _ROWCOUNT_CACHE:
+        import pyarrow.parquet as pq
+
+        _ROWCOUNT_CACHE[key] = pq.ParquetFile(
+            f"{sf_dir}/{tname}.parquet"
+        ).metadata.num_rows
+    return _ROWCOUNT_CACHE[key]
+
+
+def estimate_plan_cost(
+    query: CohortQuery, sf_dir: str | None = None
+) -> dict[str, dict[str, int]]:
     """Static cost model for strategy choice — counts the two quantities
     that dominate at 100 TB: fact-table SCANS (IO) and SHUFFLES (network).
 
@@ -223,29 +241,44 @@ def estimate_plan_cost(query: CohortQuery) -> dict[str, dict[str, int]]:
     n_disj = len(query.disjunctions)
     n_excl = len(query.exclusions)
     n_li = sum(isinstance(a, LineitemAtom) for a in atoms)
-    scans = len(atoms) + n_li  # lineitem atoms scan orders too
     tables = {
         _ATOM_SOURCE.get(type(a), f"static:{id(a)}") for a in atoms
     } | ({"orders"} if n_li else set())
+
+    def weight(tname: str) -> int:
+        """Scan cost unit: 1 per scan statically, rows-per-scan when the
+        sf_dir's parquet footers are available (catalog statistics)."""
+        if sf_dir is None or tname.startswith("static:"):
+            return 1
+        return table_rows(sf_dir, tname)
+
+    per_atom = sum(
+        weight(_ATOM_SOURCE.get(type(a), f"static:{id(a)}"))
+        + (weight("orders") if isinstance(a, LineitemAtom) else 0)
+        for a in atoms
+    )
+    per_table = sum(weight(t) for t in tables)
     return {
         "naive": {
-            "scans": scans,
+            "scans": per_atom,
             "shuffles": n_disj + (n_disj - 1) + n_excl + n_li,
         },
-        "tagged": {"scans": scans, "shuffles": 1 + n_li},
-        "fused": {"scans": len(tables), "shuffles": 1 + (1 if n_li else 0)},
+        "tagged": {"scans": per_atom, "shuffles": 1 + n_li},
+        "fused": {"scans": per_table, "shuffles": 1 + (1 if n_li else 0)},
     }
 
 
-def choose_strategy(query: CohortQuery) -> str:
-    """Pick the cheapest strategy by (shuffles, scans).
+def choose_strategy(query: CohortQuery, sf_dir: str | None = None) -> str:
+    """Pick the cheapest strategy by (shuffles, scans). With ``sf_dir``
+    the scan term uses real parquet-footer row counts, so e.g. many
+    atoms over a tiny dim table no longer tip the choice to fused.
 
     Falls back to ``tagged`` when an atom type has no fused form —
     mirrors compile_fused's own fallback, but choosing it up front keeps
     the reported choice honest.
     """
     atoms = [a for d in query.disjunctions for a in d] + list(query.exclusions)
-    costs = estimate_plan_cost(query)
+    costs = estimate_plan_cost(query, sf_dir)
     if not all(type(a) in _ATOM_SOURCE for a in atoms):
         del costs["fused"]
     return min(costs, key=lambda s: (costs[s]["shuffles"], costs[s]["scans"]))
@@ -255,7 +288,7 @@ def cohort_members(
     query: CohortQuery, spark: SparkSession, sf_dir: str, strategy: str = "tagged"
 ) -> DataFrame:
     if strategy == "auto":
-        strategy = choose_strategy(query)
+        strategy = choose_strategy(query, sf_dir)
     fn = {
         "tagged": compile_tagged,
         "naive": compile_naive,

@@ -184,3 +184,31 @@ def test_auto_strategy_matches_explicit(spark):
     fused = {r.subject_id for r in
              cohort_members(EXAMPLE_COHORT, spark, _SF, strategy="fused").collect()}
     assert auto == fused
+
+
+def test_stats_fed_cost_model():
+    from lens_warehouse_spark.operators.cohort import (
+        choose_strategy,
+        estimate_plan_cost,
+        table_rows,
+    )
+    from lens_warehouse_spark.operators.cohort_queries import EXAMPLE_COHORT
+
+    # footer row counts match the known generator sizes ordering
+    assert table_rows(_SF, "lineitem") > table_rows(_SF, "orders") > 0
+
+    static = estimate_plan_cost(EXAMPLE_COHORT)
+    stats = estimate_plan_cost(EXAMPLE_COHORT, _SF)
+    # same shuffle structure, scan units become rows
+    for strat in static:
+        assert static[strat]["shuffles"] == stats[strat]["shuffles"]
+        assert stats[strat]["scans"] >= static[strat]["scans"]
+    # fused still wins for the example (repeated orders-table atoms)
+    assert choose_strategy(EXAMPLE_COHORT, _SF) == "fused"
+
+    # row-weighting flips a choice scan-count alone would get wrong:
+    # many atoms over the tiny customer dim + one lineitem atom -> the
+    # scan side is dominated by lineitem either way, but fused still
+    # collapses the repeated lineitem scans; verify the numbers are
+    # row-scaled (lineitem rows show up in the scan term)
+    assert stats["tagged"]["scans"] > table_rows(_SF, "lineitem")
