@@ -192,3 +192,88 @@ def w4b_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events").withColumn("ms", F.unix_millis(as_ts("ts")))
     w = Window.partitionBy("user_id").orderBy("ms").rangeBetween(-3600000, 0)
     return ev.select("event_id", F.count(F.lit(1)).over(w).alias("n_last_hour"))
+
+
+# ---------------------------------------------------------------------------
+# T11: gap-fill / resample — the hypertable-rollup staple: a dense
+# hourly spine per user (sequence + explode, no driver loop), left join
+# of observed hourly counts, zeros for empty buckets, and a
+# carry-forward cumulative count. All metrics integer -> exact parity.
+# Scale shape: the spine is generated DISTRIBUTED (one sequence() per
+# user row, exploded executor-side); the join is a hash join keyed
+# (user_id, bucket) — never a driver-side date loop.
+# ---------------------------------------------------------------------------
+@register(
+    "t11_gap_fill",
+    oracle="""
+WITH spine AS (
+  SELECT u.user_id, s.h AS bucket_ts
+  FROM (SELECT DISTINCT user_id FROM events WHERE user_id < 5) u
+  CROSS JOIN (
+    SELECT unnest(generate_series(TIMESTAMP '2024-01-05 00:00:00',
+                                  TIMESTAMP '2024-01-06 23:00:00',
+                                  INTERVAL 1 HOUR)) AS h
+  ) s
+), observed AS (
+  SELECT user_id, date_trunc('hour', ts) AS bucket_ts, count(*) AS n
+  FROM events
+  WHERE user_id < 5
+    AND ts >= TIMESTAMP '2024-01-05 00:00:00'
+    AND ts <  TIMESTAMP '2024-01-07 00:00:00'
+  GROUP BY user_id, date_trunc('hour', ts)
+)
+SELECT s.user_id,
+       epoch_ms(s.bucket_ts) AS bucket_ms,
+       coalesce(o.n, 0) AS n_events,
+       CAST(sum(coalesce(o.n, 0)) OVER (
+         PARTITION BY s.user_id ORDER BY s.bucket_ts
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS cum_events
+FROM spine s LEFT JOIN observed o
+  ON o.user_id = s.user_id AND o.bucket_ts = s.bucket_ts
+ORDER BY s.user_id, s.bucket_ts
+""",
+)
+def t11_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events").filter(F.col("user_id") < 5)
+    spine = (
+        ev.select("user_id")
+        .distinct()
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence(
+                    F.lit("2024-01-05 00:00:00").cast("timestamp"),
+                    F.lit("2024-01-06 23:00:00").cast("timestamp"),
+                    F.expr("INTERVAL 1 HOUR"),
+                )
+            ).alias("bucket_ts"),
+        )
+    )
+    observed = (
+        ev.filter(
+            (F.col("ts") >= F.lit("2024-01-05 00:00:00").cast("timestamp"))
+            & (F.col("ts") < F.lit("2024-01-07 00:00:00").cast("timestamp"))
+        )
+        .groupBy(
+            "user_id", F.date_trunc("hour", F.col("ts").cast("timestamp")).alias("bucket_ts")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("bucket_ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(observed, ["user_id", "bucket_ts"], "left")
+        .select(
+            "user_id",
+            F.unix_millis(F.col("bucket_ts")).alias("bucket_ms"),
+            F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
+            F.sum(F.coalesce(F.col("n"), F.lit(0))).over(w).cast("long").alias("cum_events"),
+        )
+        .orderBy("user_id", F.col("bucket_ms"))
+    )
