@@ -445,3 +445,40 @@ def u3b_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_custkey").alias("custkey")
     )
     return a.exceptAll(b)
+
+
+# ---------------------------------------------------------------------------
+# A15: correlation / covariance — the remaining statistical aggregate
+# family. Both engines use numerically-stable one-pass updates whose
+# cross-engine drift is ~1e-9; rounded to 4 (boundary 5e-5, far above
+# drift; corr of continuous doubles essentially never lands on one).
+# ---------------------------------------------------------------------------
+@register(
+    "a15_correlation",
+    oracle="""
+SELECT l_returnflag,
+       round(corr(l_quantity, l_extendedprice), 4) AS qty_price_corr,
+       round(covar_samp(l_quantity, l_discount), 4) AS qty_disc_covar,
+       round(covar_pop(l_extendedprice, l_tax), 4) AS price_tax_covar
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
+def a15_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias(
+                "qty_price_corr"
+            ),
+            F.round(F.covar_samp("l_quantity", "l_discount"), 4).alias(
+                "qty_disc_covar"
+            ),
+            F.round(F.covar_pop("l_extendedprice", "l_tax"), 4).alias(
+                "price_tax_covar"
+            ),
+        )
+        .orderBy("l_returnflag")
+    )
