@@ -395,3 +395,47 @@ def t7b_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("n_events").alias("n_events"), F.max("max_value").alias("max_value"))
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# T12: stream-stream inner join — both sides buffer state; the time-range
+# join condition + watermarks let Spark evict state (without them the
+# buffers grow forever). Clicks join purchases by the same user within
+# [click, click+1h]. Rows-only; equivalence to the identical batch join
+# is the test.
+# ---------------------------------------------------------------------------
+@register("t12_stream_stream_join")
+def t12_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_stream(spark, sf_dir)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    buys = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("b_user"),
+            F.col("event_id").alias("buy_id"),
+            F.col("ts").alias("buy_ts"),
+        )
+        .withWatermark("buy_ts", "1 hour")
+    )
+    joined = clicks.join(
+        buys,
+        (F.col("c_user") == F.col("b_user"))
+        & (F.col("buy_ts") >= F.col("click_ts"))
+        & (F.col("buy_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+    ).select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "buy_id",
+        F.unix_millis(F.col("click_ts")).alias("click_ms"),
+        F.unix_millis(F.col("buy_ts")).alias("buy_ms"),
+    )
+    return _run_to_table(joined, "t12").orderBy("user_id", "click_id", "buy_id")

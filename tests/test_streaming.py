@@ -120,3 +120,35 @@ def test_rate_source_deterministic(spark):
     assert (row.n, row.min_value, row.max_value, row.sum_value) == (
         1000, 0, 999, 999 * 1000 // 2,
     )
+
+
+def test_stream_stream_join_equals_batch(spark):
+    """Stream-stream windowed join == the identical batch join (finite
+    replayed input, availableNow)."""
+    from lens_warehouse_spark.catalog import table
+
+    got = {
+        (r.user_id, r.click_id, r.buy_id)
+        for r in registry.QUERIES["t12_stream_stream_join"](spark, SF).collect()
+    }
+    ev = table(spark, SF, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("b_user"),
+        F.col("event_id").alias("buy_id"),
+        F.col("ts").alias("buy_ts"),
+    )
+    want = {
+        (r.c_user, r.click_id, r.buy_id)
+        for r in clicks.join(
+            buys,
+            (F.col("c_user") == F.col("b_user"))
+            & (F.col("buy_ts") >= F.col("click_ts"))
+            & (F.col("buy_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+        ).collect()
+    }
+    assert got == want
