@@ -507,3 +507,318 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     table(spark, sf_dir, "customer").createOrReplaceTempView("lws_q22_customer")
     table(spark, sf_dir, "orders").createOrReplaceTempView("lws_q22_orders")
     return spark.sql(_Q22_BODY.format(customer="lws_q22_customer", orders="lws_q22_orders"))
+
+
+# ---------------------------------------------------------------------------
+# Q4 shape: order-priority checking — EXISTS correlated subquery counted
+# per priority ("late" adapted: shipped >30 days after order date).
+# ---------------------------------------------------------------------------
+@register(
+    "q4_order_priority",
+    oracle="""
+SELECT o.o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+  )
+GROUP BY o.o_orderpriority
+ORDER BY o.o_orderpriority
+""",
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "orders").createOrReplaceTempView("lws_q4_orders")
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("lws_q4_lineitem")
+    return spark.sql(
+        """
+        SELECT o.o_orderpriority, count(*) AS order_count
+        FROM lws_q4_orders o
+        WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND o.o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
+          AND EXISTS (
+            SELECT 1 FROM lws_q4_lineitem l
+            WHERE l.l_orderkey = o.o_orderkey
+              AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+          )
+        GROUP BY o.o_orderpriority
+        ORDER BY o.o_orderpriority
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q5 shape: local-supplier volume — revenue where the customer and the
+# supplier share a nation, per nation in one region.
+# ---------------------------------------------------------------------------
+@register(
+    "q5_local_supplier_volume",
+    oracle="""
+SELECT n.n_name AS nation_name,
+       CAST(round(sum(l.l_extendedprice * (1 - l.l_discount))) AS BIGINT) AS revenue
+FROM customer c
+JOIN orders o   ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = c.c_nationkey
+JOIN nation n   ON n.n_nationkey = c.c_nationkey
+JOIN region r   ON r.r_regionkey = n.n_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n.n_name
+ORDER BY revenue DESC, nation_name
+""",
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cu = table(spark, sf_dir, "customer")
+    od = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    li = table(spark, sf_dir, "lineitem")
+    su = table(spark, sf_dir, "supplier")
+    na = table(spark, sf_dir, "nation")
+    re = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .join(broadcast(cu), od.o_custkey == cu.c_custkey)
+        .join(
+            broadcast(su),
+            (li.l_suppkey == su.s_suppkey)
+            & (su.s_nationkey == cu.c_nationkey),
+        )
+        .join(broadcast(na), cu.c_nationkey == na.n_nationkey)
+        .join(broadcast(re), na.n_regionkey == re.r_regionkey, "left_semi")
+        .groupBy(F.col("n_name").alias("nation_name"))
+        .agg(money_sum(revenue()).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "nation_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q6 shape: forecast-revenue change — pure filter + aggregate; the plan
+# should be scan (all predicates pushed) -> partial/final agg, nothing
+# else.
+# ---------------------------------------------------------------------------
+@register(
+    "q6_forecast_revenue",
+    oracle="""
+SELECT CAST(round(sum(l_extendedprice * l_discount)) AS BIGINT) AS revenue,
+       count(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")))
+            .cast("long")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q13 shape: customer order-count distribution — left outer join (keep
+# zero-order customers) then a histogram of counts. All-integer.
+# ---------------------------------------------------------------------------
+@register(
+    "q13_customer_distribution",
+    oracle="""
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+  FROM customer c
+  LEFT JOIN orders o
+    ON o.o_custkey = c.c_custkey AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+""",
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cu = table(spark, sf_dir, "customer")
+    od = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        cu.join(od, cu.c_custkey == od.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q14 shape: promo revenue — conditional aggregation. The TPC-H ratio is
+# a division of two order-dependent double sums, so both terms are
+# emitted integer-rounded instead of the ratio (parity rule 3/4).
+# ---------------------------------------------------------------------------
+@register(
+    "q14_promo_revenue",
+    oracle="""
+SELECT CAST(round(sum(CASE WHEN p.p_type = 'PROMO'
+                 THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END)) AS BIGINT)
+         AS promo_revenue,
+       CAST(round(sum(l.l_extendedprice * (1 - l.l_discount))) AS BIGINT)
+         AS total_revenue
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
+  AND l.l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+""",
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-03-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+    )
+    pa = table(spark, sf_dir, "part")
+    promo = F.when(F.col("p_type") == "PROMO", revenue()).otherwise(F.lit(0))
+    return (
+        li.join(broadcast(pa), li.l_partkey == pa.p_partkey)
+        .agg(
+            money_sum(promo).alias("promo_revenue"),
+            money_sum(revenue()).alias("total_revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q15 shape: top supplier by quarterly revenue — scalar MAX subquery over
+# a grouped view (each engine self-consistently picks its max; output
+# revenue integer-rounded).
+# ---------------------------------------------------------------------------
+@register(
+    "q15_top_supplier",
+    oracle="""
+WITH rev AS (
+  SELECT l_suppkey, sum(l_extendedprice * (1 - l_discount)) AS total
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name,
+       CAST(round(r.total) AS BIGINT) AS total_revenue
+FROM supplier s
+JOIN rev r ON r.l_suppkey = s.s_suppkey
+WHERE r.total = (SELECT max(total) FROM rev)
+ORDER BY s.s_suppkey
+""",
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+    )
+    rev = li.groupBy("l_suppkey").agg(F.sum(revenue()).alias("total"))
+    best = rev.agg(F.max("total").alias("best_total"))
+    su = table(spark, sf_dir, "supplier")
+    return (
+        rev.join(broadcast(best), rev.total == F.col("best_total"), "left_semi")
+        .join(broadcast(su), F.col("l_suppkey") == su.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round("total").cast("long").alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q17 shape: small-quantity-order revenue — correlated AVG subquery per
+# part (quantity below 20% of the part's average).
+# ---------------------------------------------------------------------------
+@register(
+    "q17_small_quantity_revenue",
+    oracle="""
+WITH pavg AS (
+  SELECT l_partkey, 0.2 * avg(l_quantity) AS lim
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT CAST(round(sum(l.l_extendedprice)) AS BIGINT) AS total_price,
+       count(*) AS n_rows
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN pavg a ON a.l_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#1'
+  AND l.l_quantity < a.lim
+""",
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    pavg = li.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("lim")
+    )
+    pa = table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    return (
+        li.join(broadcast(pa), li.l_partkey == pa.p_partkey, "left_semi")
+        .join(pavg, li.l_partkey == F.col("a_partkey"))
+        .filter(F.col("l_quantity") < F.col("lim"))
+        .agg(
+            F.round(F.sum("l_extendedprice")).cast("long").alias("total_price"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q19 shape: discounted revenue — three-way disjunctive predicate over
+# joined attributes; Catalyst extracts the common l_partkey join and
+# pushes the residual OR (the pushdown-of-disjunctions showcase).
+# ---------------------------------------------------------------------------
+@register(
+    "q19_discounted_revenue",
+    oracle="""
+SELECT CAST(round(sum(l.l_extendedprice * (1 - l.l_discount))) AS BIGINT) AS revenue,
+       count(*) AS n_rows
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 10
+       AND l.l_quantity BETWEEN 1 AND 20)
+   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 11 AND 20
+       AND l.l_quantity BETWEEN 10 AND 30)
+   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 21 AND 30
+       AND l.l_quantity BETWEEN 20 AND 40)
+""",
+)
+def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    pa = table(spark, sf_dir, "part")
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 10)
+         & F.col("l_quantity").between(1, 20))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(11, 20)
+           & F.col("l_quantity").between(10, 30))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(21, 30)
+           & F.col("l_quantity").between(20, 40))
+    )
+    return (
+        li.join(broadcast(pa), li.l_partkey == pa.p_partkey)
+        .filter(cond)
+        .agg(
+            money_sum(revenue()).alias("revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
