@@ -822,3 +822,171 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_rows"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Q8 shape: national market share — a nation's fraction of regional
+# revenue per year. Ratio of order-dependent double sums -> emit both
+# terms integer-rounded (parity rules 3/4), not the ratio.
+# ---------------------------------------------------------------------------
+@register(
+    "q8_market_share",
+    oracle="""
+SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+       CAST(round(sum(CASE WHEN n2.n_name = 'NATION_3'
+                  THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END)) AS BIGINT)
+         AS nation_revenue,
+       CAST(round(sum(l.l_extendedprice * (1 - l.l_discount))) AS BIGINT)
+         AS region_revenue
+FROM lineitem l
+JOIN orders o   ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n1  ON n1.n_nationkey = c.c_nationkey
+JOIN region r   ON r.r_regionkey = n1.n_regionkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n2  ON n2.n_nationkey = s.s_nationkey
+JOIN part p     ON p.p_partkey = l.l_partkey
+WHERE r.r_name = 'ASIA' AND p.p_type = 'PROMO'
+GROUP BY year(o.o_orderdate)
+ORDER BY o_year
+""",
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    od = table(spark, sf_dir, "orders")
+    cu = table(spark, sf_dir, "customer")
+    su = table(spark, sf_dir, "supplier")
+    pa = table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    n1 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    )
+    n2 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+    )
+    re = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation_rev = F.when(F.col("supp_nation") == "NATION_3", revenue()).otherwise(
+        F.lit(0)
+    )
+    return (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .join(broadcast(pa), li.l_partkey == pa.p_partkey, "left_semi")
+        .join(broadcast(cu), od.o_custkey == cu.c_custkey)
+        .join(broadcast(n1), cu.c_nationkey == F.col("n1_key"))
+        .join(broadcast(re), F.col("n1_region") == re.r_regionkey, "left_semi")
+        .join(broadcast(su), li.l_suppkey == su.s_suppkey)
+        .join(broadcast(n2), su.s_nationkey == F.col("n2_key"))
+        .groupBy(
+            F.year(F.col("o_orderdate").cast("timestamp")).alias("o_year")
+        )
+        .agg(
+            money_sum(nation_rev).alias("nation_revenue"),
+            money_sum(revenue()).alias("region_revenue"),
+        )
+        .orderBy("o_year")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q9 shape: product-type profit by supplier nation and year. The schema
+# has no partsupp.ps_supplycost, so cost(part, supp) is the minimum unit
+# price ever charged (same derived bridge as Q2); profit = revenue -
+# cost * quantity, identical expression tree both sides, summed and
+# integer-rounded.
+# ---------------------------------------------------------------------------
+@register(
+    "q9_product_profit",
+    oracle="""
+WITH bridge AS (
+  SELECT l_partkey, l_suppkey, min(l_extendedprice / l_quantity) AS unit_cost
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+)
+SELECT n.n_name AS nation_name,
+       CAST(year(o.o_orderdate) AS INT) AS o_year,
+       CAST(round(sum(l.l_extendedprice * (1 - l.l_discount)
+                      - b.unit_cost * l.l_quantity)) AS BIGINT) AS profit
+FROM lineitem l
+JOIN orders o   ON o.o_orderkey = l.l_orderkey
+JOIN part p     ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n   ON n.n_nationkey = s.s_nationkey
+JOIN bridge b   ON b.l_partkey = l.l_partkey AND b.l_suppkey = l.l_suppkey
+WHERE p.p_name LIKE '%bolt%'
+GROUP BY n.n_name, year(o.o_orderdate)
+ORDER BY nation_name, o_year
+""",
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    od = table(spark, sf_dir, "orders")
+    pa = table(spark, sf_dir, "part").filter(F.col("p_name").like("%bolt%"))
+    su = table(spark, sf_dir, "supplier")
+    na = table(spark, sf_dir, "nation")
+    bridge = (
+        li.groupBy(
+            F.col("l_partkey").alias("b_partkey"),
+            F.col("l_suppkey").alias("b_suppkey"),
+        )
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
+    )
+    profit = revenue() - F.col("unit_cost") * F.col("l_quantity")
+    return (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .join(broadcast(pa), li.l_partkey == pa.p_partkey, "left_semi")
+        .join(
+            bridge,
+            (li.l_partkey == F.col("b_partkey"))
+            & (li.l_suppkey == F.col("b_suppkey")),
+        )
+        .join(broadcast(su), li.l_suppkey == su.s_suppkey)
+        .join(broadcast(na), su.s_nationkey == na.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation_name"),
+            F.year(F.col("o_orderdate").cast("timestamp")).alias("o_year"),
+        )
+        .agg(money_sum(profit).alias("profit"))
+        .orderBy("nation_name", "o_year")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q12 shape: shipping-lateness histogram by priority class. The schema
+# has no l_shipmode/commitdate, so the Q12 pivot (critical vs non-
+# critical priority per mode) becomes: per lateness bucket (shipped
+# within 30/60/90+ days of the order), count critical-priority and
+# other orders. All-integer.
+# ---------------------------------------------------------------------------
+@register(
+    "q12_lateness_priority",
+    oracle="""
+SELECT CASE WHEN date_diff('day', o.o_orderdate, l.l_shipdate) <= 30 THEN '0-30'
+            WHEN date_diff('day', o.o_orderdate, l.l_shipdate) <= 60 THEN '31-60'
+            ELSE '60+' END AS lateness,
+       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS critical_count,
+       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS BIGINT) AS other_count
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+GROUP BY 1
+ORDER BY lateness
+""",
+)
+def q12_lateness_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    od = table(spark, sf_dir, "orders")
+    days = F.datediff(
+        F.col("l_shipdate").cast("timestamp"), F.col("o_orderdate").cast("timestamp")
+    )
+    lateness = (
+        F.when(days <= 30, "0-30").when(days <= 60, "31-60").otherwise("60+")
+    )
+    crit = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .groupBy(lateness.alias("lateness"))
+        .agg(
+            F.sum(F.when(crit, 1).otherwise(0)).alias("critical_count"),
+            F.sum(F.when(crit, 0).otherwise(1)).alias("other_count"),
+        )
+        .orderBy("lateness")
+    )
