@@ -211,3 +211,39 @@ def o5_top_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("o_totalprice", 2).alias("total_price"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# W7: rank-family completeness — ntile / percent_rank / cume_dist over a
+# deterministic total order (unique key tiebreak per the module parity
+# discipline). percent_rank/cume_dist are exact small-integer ratios;
+# both engines evaluate (rank-1)/(n-1) and rank/n identically, rounded
+# to 6 for the wire.
+# ---------------------------------------------------------------------------
+@register(
+    "w7_rank_family",
+    oracle="""
+SELECT o_orderkey,
+       ntile(4) OVER w AS quartile,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cume
+FROM orders
+WHERE o_custkey < 50
+WINDOW w AS (ORDER BY o_totalprice, o_orderkey)
+ORDER BY o_orderkey
+""",
+)
+def w7_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    od = table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 50)
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        od.select(
+            "o_orderkey",
+            F.ntile(4).over(w).cast("long").alias("quartile"),
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+        )
+        .orderBy("o_orderkey")
+    )
