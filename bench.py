@@ -68,7 +68,7 @@ def main() -> None:
     for name in HEADLINE:
         fn = registry.QUERIES[name]
         best = float("inf")
-        for _rep in range(2):  # best-of-2: report steady-state, not jitter
+        for _rep in range(3):  # best-of-3: report steady-state, not jitter
             spark.catalog.clearCache()  # no cross-rep cache assists
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)

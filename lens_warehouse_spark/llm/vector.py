@@ -504,3 +504,99 @@ def l3g_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .orderBy("query_id", "rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# L3h: ANN quality evaluation — recall@3 of the IVF index (l3e) against
+# the exact top-3, per query. This is the operator a 100 TB pipeline
+# runs on a sampled probe set after (re)building an index: both sides
+# are deterministic (shared rounding + tiebreaks), so unlike most ANN
+# surfaces the evaluation itself is fully oracle-able. Integer output
+# (k, hits) — recall = hits/k is left to the caller to avoid float
+# division parity concerns. At scale the exact side runs on a small
+# probe sample (here: the 5 probe vectors) against the corpus, which is
+# a broadcast-probe scan, not a quadratic join.
+# ---------------------------------------------------------------------------
+@register(
+    "l3h_ann_recall",
+    oracle=f"""
+WITH codebook AS (
+  SELECT vec_id AS cell_id, embedding AS centroid FROM embeddings WHERE vec_id < {N_CELLS}
+), assigned AS (
+  SELECT vec_id, embedding, cell_id FROM (
+    SELECT e.vec_id, e.embedding, c.cell_id,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY round({_DOT_SQL.format(a='e.embedding', b='c.centroid')}, 6) DESC, c.cell_id
+           ) AS rn
+    FROM embeddings e CROSS JOIN codebook c
+  ) WHERE rn = 1
+), probes AS (
+  SELECT * FROM assigned WHERE vec_id < 5
+), cands AS (
+  SELECT * FROM assigned WHERE vec_id >= 5
+), ivf AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id,
+           row_number() OVER (
+             PARTITION BY p.vec_id
+             ORDER BY round({_DOT_SQL.format(a='p.embedding', b='c.embedding')}, 6) DESC, c.vec_id
+           ) AS rn
+    FROM probes p JOIN cands c ON p.cell_id = c.cell_id
+  ) WHERE rn <= 3
+), exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY round({_DOT_SQL.format(a='q.embedding', b='c.embedding')}, 6) DESC, c.vec_id
+           ) AS rn
+    FROM embeddings q JOIN embeddings c ON c.vec_id >= 5
+    WHERE q.vec_id < 5
+  ) WHERE rn <= 3
+)
+SELECT e.query_id, CAST(3 AS BIGINT) AS k,
+       CAST(count(i.neighbor_id) AS BIGINT) AS hits
+FROM exact e LEFT JOIN ivf i
+  ON e.query_id = i.query_id AND e.neighbor_id = i.neighbor_id
+GROUP BY e.query_id
+ORDER BY e.query_id
+""",
+)
+def l3h_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    probes = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    cands = emb.filter(F.col("vec_id") >= 5).select(
+        F.col("vec_id").alias("neighbor_id"), "embedding"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), "neighbor_id")
+    exact = (
+        cands.crossJoin(F.broadcast(probes))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(dot("q_emb", "embedding"), 6).alias("cos"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("query_id", "neighbor_id")
+    )
+    ivf = l3e_ann_ivf(spark, sf_dir).select(
+        F.col("query_id").alias("i_query"), F.col("neighbor_id").alias("i_neighbor")
+    )
+    return (
+        exact.join(
+            ivf,
+            (F.col("query_id") == F.col("i_query"))
+            & (F.col("neighbor_id") == F.col("i_neighbor")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.lit(3).cast("long").alias("k"),
+            F.count("i_neighbor").alias("hits"),
+        )
+        .orderBy("query_id")
+    )

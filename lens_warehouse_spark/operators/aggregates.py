@@ -482,3 +482,70 @@ def a15_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# ---------------------------------------------------------------------------
+# A16: distributed heavy hitters — the Misra-Gries / SpaceSaving pattern.
+# Stage 1 runs a weighted Misra-Gries summary of size K inside each
+# partition (mapInPandas; value_counts per Arrow batch, then the
+# weighted-MG prune: subtract the (K+1)-th largest weight from all,
+# drop non-positives — the per-batch merge keeps the classic guarantee
+# that any item with partition count > n_p/K survives). By pigeonhole,
+# any item with GLOBAL count > n/K then survives in at least one
+# partition, so the union of the P summaries (≤ P*K ids, broadcast-size
+# even at P=10^4 partitions) is a candidate superset. Stage 2 recounts
+# ONLY the candidates exactly (broadcast semi-join + one aggregation of
+# the filtered rows) and applies the threshold with INTEGER arithmetic
+# (cnt*K > n) — so the output is the exact heavy-hitter set and fully
+# oracle-able, while raw-row shuffle volume stays bounded by the
+# candidate filter instead of the full key cardinality. This is the
+# 100 TB replacement for "GROUP BY user ORDER BY count DESC" over billions of
+# keys. Ref parity: lens-warehouse has no sketch ops; this is part of
+# the training-pipeline extension mandated by SURVEY.md §2.11.
+# ---------------------------------------------------------------------------
+_HH_K = 140  # summary size; threshold is count*K > n
+
+
+def _mg_summaries(batches):
+    """Per-partition weighted Misra-Gries over Arrow batches."""
+    import pandas as pd
+
+    counters: dict = {}
+    for pdf in batches:
+        for uid, w in pdf["user_id"].value_counts().items():
+            counters[uid] = counters.get(uid, 0) + int(w)
+        if len(counters) > _HH_K:
+            cut = sorted(counters.values(), reverse=True)[_HH_K]
+            counters = {
+                u: c - cut for u, c in counters.items() if c - cut > 0
+            }
+    yield pd.DataFrame({"user_id": list(counters.keys()) or []}).astype(
+        {"user_id": "int64"}
+    )
+
+
+@register(
+    "a16_heavy_hitters",
+    oracle=f"""
+SELECT user_id, CAST(count(*) AS BIGINT) AS cnt
+FROM events
+GROUP BY user_id
+HAVING count(*) * {_HH_K} > (SELECT count(*) FROM events)
+ORDER BY user_id
+""",
+)
+def a16_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select("user_id")
+    candidates = (
+        ev.mapInPandas(_mg_summaries, "user_id long").distinct()
+    )
+    total = ev.groupBy().agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        ev.join(F.broadcast(candidates), "user_id", "left_semi")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") * _HH_K > F.col("n_total"))
+        .select("user_id", "cnt")
+        .orderBy("user_id")
+    )
