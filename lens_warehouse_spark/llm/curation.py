@@ -415,3 +415,92 @@ def l20_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "source")
     )
+
+
+# ---------------------------------------------------------------------------
+# L21: bigram language-model quality score — the CCNet/KenLM-style LM
+# filter: train an add-one-smoothed bigram model ON the corpus itself,
+# then score every document by its average token log-probability;
+# low scorers are gibberish/boilerplate, extreme high scorers are
+# repetitive spam. Two aggregation passes (unigram + bigram counts) and
+# two shuffle joins on the gram keys — all partial-aggregated, no
+# driver-side model object, so the "model" scales to any corpus size as
+# a DataFrame. At 100 TB the bigram table gets a min-count prune
+# (HAVING count >= k) before the join, which keeps the model table
+# orders of magnitude smaller with negligible score movement; left out
+# here so the oracle is exact.
+#
+# Parity: counts are integers, the smoothed probability (cb+1)/(cu+V)
+# is an exact-integer ratio computed identically on both engines, and
+# ln() cross-engine drift is <=1 ulp per term — round(avg, 4) per the
+# a15/rule-4 precedent. Ref parity: no LM ops in lens-warehouse; part
+# of the SURVEY.md §2.11 training-pipeline extension.
+# ---------------------------------------------------------------------------
+@register(
+    "l21_bigram_lm_score",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), uni AS (
+  SELECT w, count(*) AS cu
+  FROM (SELECT unnest(toks) AS w FROM t) GROUP BY w
+), v AS (
+  SELECT count(*) AS vsz FROM uni
+), bigl AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(len(toks), 1)),
+                i -> struct_pack(w1 := toks[i],
+                                 gram := toks[i] || ' ' || toks[i + 1]))) AS bg
+  FROM t
+), big AS (
+  SELECT doc_id, bg.w1 AS w1, bg.gram AS gram FROM bigl
+), bcnt AS (
+  SELECT gram, count(*) AS cb FROM big GROUP BY gram
+)
+SELECT b.doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(avg(ln((bc.cb + 1) / (u.cu + v.vsz))), 4) AS lm_score
+FROM big b
+JOIN bcnt bc USING (gram)
+JOIN uni u ON u.w = b.w1
+CROSS JOIN v
+GROUP BY b.doc_id
+ORDER BY b.doc_id
+""",
+)
+def l21_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("t")
+    )
+    big = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(size(t) - 1, 0)),"
+                " i -> struct(element_at(t, i) AS w1,"
+                " concat(element_at(t, i), ' ', element_at(t, i + 1)) AS gram))"
+            )
+        ).alias("bg"),
+    ).select("doc_id", "bg.w1", "bg.gram")
+    uni = (
+        toks.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cu"))
+    )
+    vsz = uni.groupBy().agg(F.count(F.lit(1)).alias("vsz"))
+    bcnt = big.groupBy("gram").agg(F.count(F.lit(1)).alias("cb"))
+    return (
+        big.join(bcnt, "gram")
+        .join(uni, big["w1"] == uni["w"])
+        .crossJoin(F.broadcast(vsz))
+        .select(
+            "doc_id",
+            F.log((F.col("cb") + 1) / (F.col("cu") + F.col("vsz"))).alias("lp"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg("lp"), 4).alias("lm_score"),
+        )
+        .orderBy("doc_id")
+    )

@@ -90,7 +90,15 @@ def main() -> int:
     only = set(sys.argv[2:])
     names = [n for n in registry.QUERIES if not only or n in only]
 
-    spark = get_spark("parity-check")
+    if os.environ.get("PARITY_DEFAULT_SESSION"):
+        # Driver-fidelity mode: a bone-stock session (no AQE/Arrow/UTC
+        # overrides) — flushes out any query that silently depends on
+        # our session factory's settings.
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.builder.master("local[32]").getOrCreate()
+    else:
+        spark = get_spark("parity-check")
     con = duck_connection(sf_dir)
     failed, rows_only = [], []
     for name in names:
