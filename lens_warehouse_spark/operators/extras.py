@@ -324,3 +324,36 @@ def s3b_multiformat_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionByName(o)
     return out.orderBy("fmt")
+
+
+# ---------------------------------------------------------------------------
+# S6: z-order clustering is semantics-transparent — the same box filter
+# + aggregate through the Morton-curve re-layout (scale ranks, bit
+# interleave, range repartition, in-partition sort) returns exactly the
+# raw-table answer. The layout's data-skipping payoff is proved against
+# parquet row-group stats in tests/test_zorder.py; this entry keeps the
+# expression itself (the aggregate/sequence bit fold) on the graded
+# correctness path.
+# ---------------------------------------------------------------------------
+@register(
+    "s6_zorder_scan",
+    oracle="""
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(round(sum(value)) AS BIGINT) AS value_sum
+FROM events
+WHERE user_id BETWEEN 20 AND 40 AND value BETWEEN 10 AND 20
+""",
+)
+def s6_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lens_warehouse_spark.operators.layout import zorder_df
+
+    ev = table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    z = zorder_df(ev, ["user_id", "value"], bits=16, n_files=8)
+    return z.filter(
+        (F.col("user_id").between(20, 40)) & (F.col("value").between(10, 20))
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.round(F.sum("value")).cast("long").alias("value_sum"),
+    )
