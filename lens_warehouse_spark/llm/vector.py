@@ -600,3 +600,77 @@ def l3h_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# L3i: multi-probe IVF — each query probes its TOP-2 affinity cells
+# instead of 1. The corpus-side layout is untouched (every vector still
+# lives in exactly one cell, so no storage blow-up and no re-bucketing);
+# only the tiny broadcast probe side fans out. This is how IVF recall
+# is bought at 100 TB: nprobe is a query-time knob, not an index-build
+# knob. Fully deterministic (same rounding/tiebreaks as l3e) and
+# oracle-able; recall(l3i) >= recall(l3e) by construction since the
+# candidate set is a superset — asserted in tests/test_vector.py.
+# ---------------------------------------------------------------------------
+@register(
+    "l3i_ann_ivf_multiprobe",
+    oracle=f"""
+WITH codebook AS (
+  SELECT vec_id AS cell_id, embedding AS centroid FROM embeddings WHERE vec_id < {N_CELLS}
+), ranked AS (
+  SELECT e.vec_id, e.embedding, c.cell_id,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY round({_DOT_SQL.format(a='e.embedding', b='c.centroid')}, 6) DESC, c.cell_id
+         ) AS rn
+  FROM embeddings e CROSS JOIN codebook c
+), probes AS (
+  SELECT vec_id, embedding, cell_id FROM ranked WHERE vec_id < 5 AND rn <= 2
+), cands AS (
+  SELECT vec_id, embedding, cell_id FROM ranked WHERE vec_id >= 5 AND rn = 1
+)
+SELECT query_id, neighbor_id, rn, cos FROM (
+  SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round({_DOT_SQL.format(a='p.embedding', b='c.embedding')}, 6) AS cos,
+         row_number() OVER (
+           PARTITION BY p.vec_id
+           ORDER BY round({_DOT_SQL.format(a='p.embedding', b='c.embedding')}, 6) DESC, c.vec_id
+         ) AS rn
+  FROM probes p JOIN cands c ON p.cell_id = c.cell_id
+) WHERE rn <= 3
+ORDER BY query_id, rn
+""",
+)
+def l3i_ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    codebook = emb.filter(F.col("vec_id") < N_CELLS).select(
+        F.col("vec_id").alias("cell_id"), F.col("embedding").alias("centroid")
+    )
+    scored = emb.crossJoin(F.broadcast(codebook)).select(
+        "vec_id",
+        "embedding",
+        "cell_id",
+        F.round(dot("embedding", "centroid"), 6).alias("aff"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("aff").desc(), "cell_id")
+    ranked = scored.withColumn("rn", F.row_number().over(w))
+    probes = ranked.filter((F.col("vec_id") < 5) & (F.col("rn") <= 2)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("cell_id").alias("q_cell"),
+    )
+    cands = ranked.filter((F.col("vec_id") >= 5) & (F.col("rn") == 1)).select(
+        F.col("vec_id").alias("neighbor_id"), "embedding", "cell_id"
+    )
+    topk = cands.join(
+        F.broadcast(probes), F.col("cell_id") == F.col("q_cell")
+    ).select(
+        "query_id", "neighbor_id", F.round(dot("q_emb", "embedding"), 6).alias("cos")
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), "neighbor_id")
+    return (
+        topk.withColumn("rn", F.row_number().over(w2).cast("long"))
+        .filter(F.col("rn") <= 3)
+        .select("query_id", "neighbor_id", "rn", "cos")
+        .orderBy("query_id", "rn")
+    )

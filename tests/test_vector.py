@@ -93,3 +93,43 @@ def test_multiprobe_recall_dominates_single_probe(spark):
     # in the multi-probe result unless displaced by a >= scoring one
     for q in si:
         assert len(mu.get(q, set())) >= len(si[q])
+
+
+def test_ivf_multiprobe_recall_dominates(spark):
+    """nprobe=2 (l3i) candidate cells strictly contain nprobe=1's (l3e),
+    so measured recall against the exact top-3 must not decrease."""
+    from lens_warehouse_spark.registry import QUERIES
+
+    exact = QUERIES["l3b_knn_batch"](spark, SF).collect()
+    ivf1 = QUERIES["l3e_ann_ivf"](spark, SF).collect()
+    ivf2 = QUERIES["l3i_ann_ivf_multiprobe"](spark, SF).collect()
+
+    def top(rows, k=3):
+        out = {}
+        for r in rows:
+            if r.rn <= k:
+                out.setdefault(r.query_id, set()).add(r.neighbor_id)
+        return out
+
+    ex, p1, p2 = top(exact), top(ivf1), top(ivf2)
+    hits1 = sum(len(p1.get(q, set()) & ex[q]) for q in ex)
+    hits2 = sum(len(p2.get(q, set()) & ex[q]) for q in ex)
+    assert hits2 >= hits1
+
+
+def test_ann_recall_query_consistent_with_manual(spark):
+    """l3h's (k, hits) must equal a hand-computed intersection of the
+    l3e result with the exact batch top-3."""
+    from lens_warehouse_spark.registry import QUERIES
+
+    got = {r.query_id: r.hits for r in QUERIES["l3h_ann_recall"](spark, SF).collect()}
+    exact = QUERIES["l3b_knn_batch"](spark, SF).collect()
+    ivf = QUERIES["l3e_ann_ivf"](spark, SF).collect()
+    ex, iv = {}, {}
+    for r in exact:
+        if r.rn <= 3:
+            ex.setdefault(r.query_id, set()).add(r.neighbor_id)
+    for r in ivf:
+        iv.setdefault(r.query_id, set()).add(r.neighbor_id)
+    for q in ex:
+        assert got[q] == len(ex[q] & iv.get(q, set()))
