@@ -349,7 +349,7 @@ def s6_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lens_warehouse_spark.operators.layout import zorder_df
 
     ev = table(spark, sf_dir, "events").select("event_id", "user_id", "value")
-    z = zorder_df(ev, ["user_id", "value"], bits=16, n_files=8)
+    z = zorder_df(ev, ["user_id", "value"], bits=8, n_files=8)
     return z.filter(
         (F.col("user_id").between(20, 40)) & (F.col("value").between(10, 20))
     ).agg(

@@ -439,3 +439,57 @@ def t12_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_millis(F.col("buy_ts")).alias("buy_ms"),
     )
     return _run_to_table(joined, "t12").orderBy("user_id", "click_id", "buy_id")
+
+
+# ---------------------------------------------------------------------------
+# T13: streaming trending top-k — watermarked tumbling counts per
+# (window, user), with a foreachBatch sink that ranks and keeps only the
+# top-3 users per closed window (the "what's trending now" job). The
+# rank runs per micro-batch on the already-aggregated (tiny) window
+# counts, so the sink-side window function never sees raw events — at
+# 100 TB the stateful windowed count is the heavy lifter and the top-k
+# is a per-window epilogue. Rows-only: batch boundaries are an
+# engine-internal detail (a window whose counts straddle two batches
+# would be re-ranked on the later one; availableNow + watermark closes
+# every window before emit, and the batch-equivalence test in
+# tests/test_streaming.py proves the result matches the pure-batch
+# top-k per window).
+# ---------------------------------------------------------------------------
+@register("t13_stream_trending_topk")
+def t13_stream_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    out_dir = os.path.join(tempfile.gettempdir(), f"lws_t13_{uuid.uuid4().hex[:8]}")
+    ckpt = os.path.join(out_dir, "_ckpt")
+
+    ev = _events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    counts = (
+        ev.groupBy(F.window("ts", "6 hours").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.unix_millis(F.col("w.start")).alias("win_start_ms"), "user_id", "n"
+        )
+    )
+
+    def rank_batch(batch_df: DataFrame, batch_id: int) -> None:
+        w = Window.partitionBy("win_start_ms").orderBy(
+            F.col("n").desc(), "user_id"
+        )
+        top = (
+            batch_df.withColumn("rk", F.row_number().over(w).cast("long"))
+            .filter(F.col("rk") <= 3)
+        )
+        top.write.mode("append").parquet(os.path.join(out_dir, "data"))
+
+    q = (
+        counts.writeStream.foreachBatch(rank_batch)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return (
+        spark.read.parquet(os.path.join(out_dir, "data"))
+        .orderBy("win_start_ms", "rk")
+    )

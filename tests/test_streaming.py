@@ -152,3 +152,41 @@ def test_stream_stream_join_equals_batch(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_trending_topk_equals_batch(spark):
+    """t13's per-window streaming top-3 == the pure-batch window + rank,
+    restricted to windows the final watermark closed (append-mode
+    semantics, same as the t4 test)."""
+    from pyspark.sql import Window
+
+    from lens_warehouse_spark.catalog import table
+    from lens_warehouse_spark.operators._helpers import as_ts
+
+    got = {
+        (r.win_start_ms, r.user_id, r.n, r.rk)
+        for r in registry.QUERIES["t13_stream_trending_topk"](spark, SF).collect()
+    }
+    ev = table(spark, SF, "events")
+    counts = (
+        ev.groupBy(F.window("ts", "6 hours").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.unix_millis(F.col("w.start")).alias("win_start_ms"), "user_id", "n"
+        )
+    )
+    w = Window.partitionBy("win_start_ms").orderBy(F.col("n").desc(), "user_id")
+    ranked = {
+        (r.win_start_ms, r.user_id, r.n, r.rk)
+        for r in counts.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 3)
+        .collect()
+    }
+    max_ms = (
+        ev.agg(F.max(F.unix_millis(as_ts("ts"))).alias("m")).collect()[0][0]
+    )
+    watermark_ms = max_ms - 3_600_000
+    six_h = 6 * 3_600_000
+    want = {t for t in ranked if t[0] + six_h <= watermark_ms}
+    assert got == want
+    assert ranked - got  # the still-open window was withheld

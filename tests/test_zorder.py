@@ -41,7 +41,7 @@ def layouts(spark):
     ev = table(spark, SF, "events").select("event_id", "user_id", "value")
     zdir = tempfile.mkdtemp(prefix="lws_z_")
     ldir = tempfile.mkdtemp(prefix="lws_lin_")
-    zorder_df(ev, ["user_id", "value"], bits=16, n_files=8).write.mode(
+    zorder_df(ev, ["user_id", "value"], bits=8, n_files=8).write.mode(
         "overwrite"
     ).parquet(zdir)
     ev.repartitionByRange(8, "user_id").sortWithinPartitions("user_id").write.mode(
