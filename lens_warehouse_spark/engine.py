@@ -172,3 +172,56 @@ class LensWarehouse:
                 "n_events",
             )
         )
+
+    # -- sketches / layout / CDC ------------------------------------------
+    def heavy_hitters(self, table_name: str = "events", key: str = "user_id", k: int = 140) -> DataFrame:
+        """Exact keys with count > n/k via per-partition Misra-Gries
+        candidate summaries + exact recount (operators.aggregates.a16)."""
+        from lens_warehouse_spark.operators.aggregates import _mg_summaries
+
+        src = self.table(table_name).select(F.col(key).alias("user_id"))
+        candidates = src.mapInPandas(_mg_summaries, "user_id long").distinct()
+        total = src.groupBy().agg(F.count(F.lit(1)).alias("n_total"))
+        return (
+            src.join(F.broadcast(candidates), "user_id", "left_semi")
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .crossJoin(F.broadcast(total))
+            .filter(F.col("cnt") * k > F.col("n_total"))
+            .select(F.col("user_id").alias(key), "cnt")
+        )
+
+    def zorder(self, df: DataFrame, cols: list[str], bits: int = 8, n_files: int = 8) -> DataFrame:
+        """Cluster ``df`` along the Morton curve of ``cols`` for
+        multi-dimensional file skipping (operators.layout)."""
+        from lens_warehouse_spark.operators.layout import zorder_df
+
+        return zorder_df(df, cols, bits=bits, n_files=n_files)
+
+    def snapshot_diff(self, old: DataFrame, new: DataFrame, key: str, compare: list[str]) -> DataFrame:
+        """CDC change set between two snapshots: one full-outer join on
+        ``key``, rows classified I/D/U by the ``compare`` columns."""
+        o = old.select(key, *compare).alias("o")
+        n = new.select(key, *compare).alias("n")
+        changed = F.lit(False)
+        for c in compare:
+            changed = changed | (F.col(f"o.{c}") != F.col(f"n.{c}"))
+        return (
+            o.join(n, F.col(f"o.{key}") == F.col(f"n.{key}"), "full_outer")
+            .filter(
+                F.col(f"n.{key}").isNull() | F.col(f"o.{key}").isNull() | changed
+            )
+            .select(
+                F.coalesce(F.col(f"o.{key}"), F.col(f"n.{key}")).alias(key),
+                F.when(F.col(f"n.{key}").isNull(), "D")
+                .when(F.col(f"o.{key}").isNull(), "I")
+                .otherwise("U")
+                .alias("change_type"),
+            )
+        )
+
+    def lm_score(self) -> DataFrame:
+        """Per-document bigram-LM quality score (llm.curation.l21)."""
+        from lens_warehouse_spark.llm.curation import l21_bigram_lm_score
+
+        return l21_bigram_lm_score(self.spark, self.sf_dir)

@@ -357,3 +357,81 @@ def s6_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").alias("n_users"),
         F.round(F.sum("value")).cast("long").alias("value_sum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# S7: snapshot diff (CDC) — classify every key as Inserted / Deleted /
+# Updated between two table snapshots: ONE full-outer shuffle join on
+# the key (zero-shuffle under the bucketed layout, SCALE.md) plus a
+# changed-row filter; the emitted change set is tiny relative to the
+# snapshots. This is the batch CDC primitive behind incremental import
+# (the reference ingests incremental Datomic transactions through its
+# REST layer — public repo src/lens/handler.clj; /root/reference empty,
+# SURVEY.md §0) and behind s3b_upsert_merge's source deltas. Snapshots
+# are derived deterministically from orders: % 97 keys deleted, % 89
+# prices restated (*1.1, identical FP expression both engines), % 101
+# keys re-inserted under new (negative) ids.
+# ---------------------------------------------------------------------------
+@register(
+    "s7_snapshot_diff",
+    oracle="""
+WITH old AS (
+  SELECT o_orderkey, o_totalprice FROM orders
+), new AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 89 = 0 THEN o_totalprice * 1.1
+              ELSE o_totalprice END AS o_totalprice
+  FROM orders WHERE o_orderkey % 97 <> 0
+  UNION ALL
+  SELECT -o_orderkey AS o_orderkey, o_totalprice
+  FROM orders WHERE o_orderkey % 101 = 0
+)
+SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS okey,
+       CASE WHEN n.o_orderkey IS NULL THEN 'D'
+            WHEN o.o_orderkey IS NULL THEN 'I'
+            ELSE 'U' END AS change_type
+FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+WHERE n.o_orderkey IS NULL OR o.o_orderkey IS NULL
+   OR o.o_totalprice <> n.o_totalprice
+ORDER BY okey
+""",
+)
+def s7_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = table(spark, sf_dir, "orders")
+    old = od.select("o_orderkey", "o_totalprice")
+    new = (
+        od.filter(F.col("o_orderkey") % 97 != 0)
+        .select(
+            "o_orderkey",
+            F.when(
+                F.col("o_orderkey") % 89 == 0, F.col("o_totalprice") * 1.1
+            )
+            .otherwise(F.col("o_totalprice"))
+            .alias("o_totalprice"),
+        )
+        .unionByName(
+            od.filter(F.col("o_orderkey") % 101 == 0).select(
+                (-F.col("o_orderkey")).alias("o_orderkey"), "o_totalprice"
+            )
+        )
+    )
+    o = old.alias("o")
+    n = new.alias("n")
+    joined = o.join(
+        n, F.col("o.o_orderkey") == F.col("n.o_orderkey"), "full_outer"
+    )
+    return (
+        joined.filter(
+            F.col("n.o_orderkey").isNull()
+            | F.col("o.o_orderkey").isNull()
+            | (F.col("o.o_totalprice") != F.col("n.o_totalprice"))
+        )
+        .select(
+            F.coalesce(F.col("o.o_orderkey"), F.col("n.o_orderkey")).alias("okey"),
+            F.when(F.col("n.o_orderkey").isNull(), "D")
+            .when(F.col("o.o_orderkey").isNull(), "I")
+            .otherwise("U")
+            .alias("change_type"),
+        )
+        .orderBy("okey")
+    )

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from lens_warehouse_spark.engine import LensWarehouse
 from lens_warehouse_spark.operators.cohort_queries import EXAMPLE_COHORT
 
@@ -53,3 +55,27 @@ def test_engine_ann_surface(spark):
     cb = lw.train_ivf_codebook(k=8, iters=1)
     assert set(cb.columns) == {"cell_id", "centroid"}
     assert cb.count() <= 8
+
+
+def test_engine_sketch_layout_cdc_surface(spark):
+    lw = LensWarehouse(spark, SF)
+    hh = lw.heavy_hitters("events", "user_id", k=140)
+    assert hh.columns == ["user_id", "cnt"]
+    # exact heavy-hitter semantics: every returned key truly exceeds n/k
+    n = lw.table("events").count()
+    assert all(r.cnt * 140 > n for r in hh.collect())
+
+    ev = lw.table("events").select("event_id", "user_id", "value")
+    z = lw.zorder(ev, ["user_id", "value"], bits=4, n_files=4)
+    assert z.columns == ev.columns
+    assert z.count() == ev.count()
+
+    old = lw.table("orders").select("o_orderkey", "o_totalprice")
+    new = old.filter(F.col("o_orderkey") % 7 != 0)
+    diff = lw.snapshot_diff(old, new, "o_orderkey", ["o_totalprice"])
+    assert {r.change_type for r in diff.collect()} == {"D"}
+    assert diff.count() == old.count() - new.count()
+
+    lm = lw.lm_score()
+    assert lm.columns == ["doc_id", "n_bigrams", "lm_score"]
+    assert lm.count() > 0

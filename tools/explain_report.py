@@ -92,6 +92,25 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         ("not-exists rewritten to anti join", "LeftAnti"),
         ("status filter pushed", "EqualTo(o_orderstatus,F)"),
     ],
+    "a16_heavy_hitters": [
+        ("candidate recount is a broadcast semi-join", "LeftSemi"),
+        ("MG summaries run as Arrow batches", "MapInPandas"),
+        ("exact recount partially aggregated", "HashAggregate"),
+    ],
+    "l21_bigram_lm_score": [
+        ("model counts partially aggregated", "HashAggregate"),
+        ("no row-at-a-time python", "!BatchEvalPython"),
+        ("vocab size broadcast to scorer", "BroadcastNestedLoopJoin"),
+    ],
+    "s7_snapshot_diff": [
+        ("single full-outer key join", "FullOuter"),
+        ("no cartesian product", "!CartesianProduct"),
+    ],
+    "l3i_ann_ivf_multiprobe": [
+        ("probe side broadcast", "Broadcast"),
+        ("top-k via window rank", "Window"),
+        ("no row-at-a-time python", "!BatchEvalPython"),
+    ],
 }
 
 
