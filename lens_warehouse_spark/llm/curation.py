@@ -504,3 +504,93 @@ def l21_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# L22: PII detection + redaction — the standard pre-training scrub pass
+# (emails / IPv4s / phone numbers -> typed placeholder tokens) with
+# per-doc match counts for audit. Patterns use the regex subset where
+# Java (Spark) and RE2 (DuckDB) agree: \b, character classes, bounded
+# repetition, non-capturing groups. The corpus text is synthetic and
+# PII-free, so each doc gets deterministic PII APPENDED (pure string
+# arithmetic of doc_id, identical on both engines) before the scrub —
+# the redaction therefore has real work to do and the md5 of the output
+# pins the exact redacted bytes. Pure map-side (zero shuffle until the
+# final orderBy, which the oracle shares): at 100 TB this is a
+# whole-stage-codegen pass over the scan with no exchange at all.
+# ---------------------------------------------------------------------------
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IP = r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"
+_PII_PHONE = r"\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b"
+
+
+@register(
+    "l22_pii_redaction",
+    oracle=f"""
+WITH synth AS (
+  SELECT doc_id,
+         text || ' contact user' || doc_id || '@ex' || (doc_id % 7)
+              || '.com at 10.' || (doc_id % 200) || '.0.' || (doc_id % 250)
+              || ' tel 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+              || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+  FROM documents
+), counted AS (
+  SELECT doc_id, t,
+         length(regexp_extract_all(t, '{_PII_EMAIL}')) AS n_emails,
+         length(regexp_extract_all(t, '{_PII_IP}')) AS n_ips,
+         length(regexp_extract_all(t, '{_PII_PHONE}')) AS n_phones,
+         regexp_replace(regexp_replace(regexp_replace(t,
+             '{_PII_EMAIL}', '<EMAIL>', 'g'),
+             '{_PII_IP}', '<IP>', 'g'),
+             '{_PII_PHONE}', '<PHONE>', 'g') AS red
+  FROM synth
+)
+SELECT doc_id,
+       CAST(n_emails AS BIGINT) AS n_emails,
+       CAST(n_ips AS BIGINT) AS n_ips,
+       CAST(n_phones AS BIGINT) AS n_phones,
+       CAST(length(red) AS BIGINT) AS red_len,
+       md5(red) AS red_md5
+FROM counted
+ORDER BY doc_id
+""",
+)
+def l22_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    doc = table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    s = lambda c: c.cast("string")
+    synth = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), s(d), F.lit("@ex"), s(d % 7),
+        F.lit(".com at 10."), s(d % 200), F.lit(".0."), s(d % 250),
+        F.lit(" tel 555-"), F.lpad(s(d % 1000), 3, "0"),
+        F.lit("-"), F.lpad(s(d % 10000), 4, "0"),
+    )
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("t"), _PII_EMAIL, "<EMAIL>"),
+            _PII_IP,
+            "<IP>",
+        ),
+        _PII_PHONE,
+        "<PHONE>",
+    )
+    return (
+        doc.select("doc_id", synth.alias("t"))
+        .select(
+            "doc_id",
+            F.regexp_count(F.col("t"), F.lit(_PII_EMAIL)).cast("long").alias("n_emails"),
+            F.regexp_count(F.col("t"), F.lit(_PII_IP)).cast("long").alias("n_ips"),
+            F.regexp_count(F.col("t"), F.lit(_PII_PHONE)).cast("long").alias("n_phones"),
+            red.alias("red"),
+        )
+        .select(
+            "doc_id",
+            "n_emails",
+            "n_ips",
+            "n_phones",
+            F.length("red").cast("long").alias("red_len"),
+            F.md5("red").alias("red_md5"),
+        )
+        .orderBy("doc_id")
+    )

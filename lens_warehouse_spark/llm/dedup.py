@@ -366,3 +366,94 @@ def l2e_neardup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     comp = neardup_components(pairs, docs.select("doc_id"))
     return comp.filter(F.col("doc_id") != F.col("canonical_id")).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# L2g: prefix-filtered exact Jaccard join (PPJoin-style). Same output
+# contract as l2b (threshold 0.5, bounded corpus for the oracle) but the
+# candidate pairs come only from PREFIX tokens: order each doc's tokens
+# by ascending global document frequency (rarest first, ties on token
+# text); for threshold t, two sets with J >= t MUST share a token inside
+# each other's first (n - ceil(t*n) + 1) tokens under any shared total
+# order (prefix-filtering principle, Chaudhuri et al. SSJoin / Xiao et
+# al. PPJoin — public literature). Candidates then get an exact
+# intersection recount, so the result is EXACTLY l2b's — the oracle is
+# the same quadratic SQL — while the candidate join touches a small
+# fraction of the token postings. This is the scale path when exact
+# (not LSH-approximate) similarity is required at 100 TB: the df-rank
+# shuffle replaces the full token self-join, and the rarest-token
+# postings are short by construction.
+# ---------------------------------------------------------------------------
+@register(
+    "l2g_jaccard_prefix",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok,
+         len(list_distinct(string_split(text, ' '))) AS n
+  FROM documents
+  WHERE doc_id < 2000
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         count(*) AS shared, any_value(a.n) AS na, any_value(b.n) AS nb
+  FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       round(CAST(shared AS DOUBLE) / (na + nb - shared), 6) AS jaccard
+FROM pairs
+WHERE CAST(shared AS DOUBLE) / (na + nb - shared) >= 0.5
+ORDER BY doc_a, doc_b
+""",
+)
+def l2g_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    t = 0.5
+    toks = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 2000)
+        .select(
+            "doc_id",
+            F.explode(F.array_distinct(F.split("text", " "))).alias("tok"),
+            F.size(F.array_distinct(F.split("text", " "))).alias("n"),
+        )
+    )
+    df_counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    ranked = toks.join(df_counts, "tok").withColumn(
+        "r",
+        F.row_number().over(
+            Window.partitionBy("doc_id").orderBy("df", "tok")
+        ),
+    )
+    prefix = ranked.filter(
+        F.col("r") <= F.col("n") - F.ceil(F.col("n") * F.lit(t)) + 1
+    )
+    cand = (
+        prefix.select(F.col("doc_id").alias("doc_a"), "tok")
+        .join(
+            prefix.select(F.col("doc_id").alias("doc_b"), "tok"), "tok"
+        )
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    a = toks.select(F.col("doc_id").alias("doc_a"), "tok", F.col("n").alias("na"))
+    b = toks.select(F.col("doc_id").alias("doc_b"), "tok", F.col("n").alias("nb"))
+    verified = (
+        cand.join(a, "doc_a")
+        .join(b, ["doc_b", "tok"])
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.count(F.lit(1)).alias("shared"),
+            F.first("na").alias("na"),
+            F.first("nb").alias("nb"),
+        )
+    )
+    jac = F.col("shared").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("shared")
+    )
+    return (
+        verified.filter(jac >= t)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )

@@ -674,3 +674,63 @@ def l3i_ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id", "rn", "cos")
         .orderBy("query_id", "rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# L3j: MMR (maximal marginal relevance) diversified re-rank — retrieve
+# an exact cosine top-20 candidate pool for the query, then greedily
+# pick k=5 maximizing lambda*rel - (1-lambda)*max-sim-to-selected
+# (Carbonell & Goldstein '98 — the standard diversity re-rank between
+# retrieval and a training batch / RAG context). Spark does the heavy
+# part (distributed scored scan + top-k, identical shape to l3); the
+# greedy loop runs engine-side in ONE applyInPandas group over the tiny
+# candidate pool — at 100 TB the pool per query is still 20 rows, so
+# this composes with l3b's batched retrieval by grouping on query_id.
+# Rows-only by design (iterative argmax chain is not SQL-expressible);
+# tests/test_vector.py re-derives the greedy chain in numpy.
+# ---------------------------------------------------------------------------
+@register("l3j_mmr_rerank")
+def l3j_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
+    pool = (
+        emb.filter(F.col("vec_id") > 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "embedding",
+            F.round(dot("q_emb", "embedding"), 6).alias("rel"),
+        )
+        .orderBy(F.col("rel").desc(), "vec_id")
+        .limit(20)
+        .withColumn("g", F.lit(0))
+    )
+
+    def mmr(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        lam, k = 0.7, 5
+        pdf = pdf.sort_values(["rel", "vec_id"], ascending=[False, True])
+        vecs = np.stack(pdf["embedding"].map(np.asarray).to_list())
+        rel = pdf["rel"].to_numpy()
+        sims = vecs @ vecs.T
+        chosen: list[int] = []
+        for rank in range(min(k, len(pdf))):
+            penalty = (
+                sims[:, chosen].max(axis=1) if chosen else np.zeros(len(pdf))
+            )
+            score = lam * rel - (1 - lam) * penalty
+            score[chosen] = -np.inf
+            best = int(np.argmax(score))
+            chosen.append(best)
+        out = pdf.iloc[chosen][["vec_id", "rel"]].copy()
+        out["mmr_rank"] = range(1, len(chosen) + 1)
+        return out
+
+    return (
+        pool.groupBy("g")
+        .applyInPandas(mmr, "vec_id long, rel double, mmr_rank long")
+        .orderBy("mmr_rank")
+    )

@@ -549,3 +549,35 @@ def a16_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "cnt")
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# A17: approximate percentiles — percentile_approx (Greenwald-Khanna
+# sketch, JVM-side, mergeable across partitions) with the accuracy knob
+# exposed. The scale counterpart of a5b's exact percentile_cont: at
+# 100 TB exact percentiles need a full sort while the GK sketch is one
+# map-side pass + tiny merges, error bounded by 1/accuracy. Rows-only
+# by design (sketch internals differ across engines); tests/
+# test_engine.py pins the rank-error bound against the exact values.
+# ---------------------------------------------------------------------------
+@register("a17_approx_percentile")
+def a17_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.percentile_approx(
+                "l_extendedprice", [0.25, 0.5, 0.75, 0.95], 10000
+            ).alias("approx_pcts"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "l_returnflag",
+            F.col("approx_pcts")[0].alias("p25"),
+            F.col("approx_pcts")[1].alias("p50"),
+            F.col("approx_pcts")[2].alias("p75"),
+            F.col("approx_pcts")[3].alias("p95"),
+            "n",
+        )
+        .orderBy("l_returnflag")
+    )

@@ -435,3 +435,163 @@ def s7_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("okey")
     )
+
+
+# ---------------------------------------------------------------------------
+# S5c: one-pass column profiling — per-column null count, distinct
+# count, min/max — the warehouse "describe statistics" surface (the
+# reference serves attribute metadata from its catalog; public repo
+# src/lens/api.clj schema endpoints — /root/reference empty, SURVEY.md
+# §0). ONE scan computes every stat as a single wide aggregate row
+# (partial-agg map-side, no per-column scans), then stack() unpivots the
+# 1-row result driver-side-free into the (column, stats) long form.
+# Numerics are printf('%.2f')-formatted identically on both engines so
+# min/max share one string column with the text columns.
+# ---------------------------------------------------------------------------
+@register(
+    "s5c_profile",
+    oracle="""
+WITH s AS (
+  SELECT
+    count(*) AS n,
+    count(c_custkey) AS k_n, count(DISTINCT c_custkey) AS k_d,
+      printf('%.2f', CAST(min(c_custkey) AS DOUBLE)) AS k_min, printf('%.2f', CAST(max(c_custkey) AS DOUBLE)) AS k_max,
+    count(c_name) AS nm_n, count(DISTINCT c_name) AS nm_d, min(c_name) AS nm_min, max(c_name) AS nm_max,
+    count(c_acctbal) AS ab_n, count(DISTINCT c_acctbal) AS ab_d,
+      printf('%.2f', min(c_acctbal)) AS ab_min, printf('%.2f', max(c_acctbal)) AS ab_max,
+    count(c_mktsegment) AS mk_n, count(DISTINCT c_mktsegment) AS mk_d, min(c_mktsegment) AS mk_min, max(c_mktsegment) AS mk_max
+  FROM customer
+)
+SELECT col, CAST(n - nn AS BIGINT) AS n_nulls, CAST(nd AS BIGINT) AS n_distinct, vmin, vmax
+FROM (
+  SELECT 'c_custkey' AS col, n, k_n AS nn, k_d AS nd, k_min AS vmin, k_max AS vmax FROM s
+  UNION ALL SELECT 'c_name', n, nm_n, nm_d, nm_min, nm_max FROM s
+  UNION ALL SELECT 'c_acctbal', n, ab_n, ab_d, ab_min, ab_max FROM s
+  UNION ALL SELECT 'c_mktsegment', n, mk_n, mk_d, mk_min, mk_max FROM s
+)
+ORDER BY col
+""",
+)
+def s5c_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cu = table(spark, sf_dir, "customer")
+    fmt = lambda c: F.format_string("%.2f", c.cast("double"))
+    wide = cu.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("c_custkey").alias("k_n"),
+        F.countDistinct("c_custkey").alias("k_d"),
+        fmt(F.min("c_custkey")).alias("k_min"),
+        fmt(F.max("c_custkey")).alias("k_max"),
+        F.count("c_name").alias("nm_n"),
+        F.countDistinct("c_name").alias("nm_d"),
+        F.min("c_name").alias("nm_min"),
+        F.max("c_name").alias("nm_max"),
+        F.count("c_acctbal").alias("ab_n"),
+        F.countDistinct("c_acctbal").alias("ab_d"),
+        F.format_string("%.2f", F.min("c_acctbal")).alias("ab_min"),
+        F.format_string("%.2f", F.max("c_acctbal")).alias("ab_max"),
+        F.count("c_mktsegment").alias("mk_n"),
+        F.countDistinct("c_mktsegment").alias("mk_d"),
+        F.min("c_mktsegment").alias("mk_min"),
+        F.max("c_mktsegment").alias("mk_max"),
+    )
+    stacked = wide.select(
+        F.col("n"),
+        F.expr(
+            "stack(4,"
+            " 'c_custkey', k_n, k_d, k_min, k_max,"
+            " 'c_name', nm_n, nm_d, nm_min, nm_max,"
+            " 'c_acctbal', ab_n, ab_d, ab_min, ab_max,"
+            " 'c_mktsegment', mk_n, mk_d, mk_min, mk_max"
+            ") AS (col, nn, nd, vmin, vmax)"
+        ),
+    )
+    return stacked.select(
+        "col",
+        (F.col("n") - F.col("nn")).cast("long").alias("n_nulls"),
+        F.col("nd").cast("long").alias("n_distinct"),
+        "vmin",
+        "vmax",
+    ).orderBy("col")
+
+
+# ---------------------------------------------------------------------------
+# S8: SCD2 (slowly-changing-dimension type 2) history build — collapse a
+# sequence of snapshots into per-key validity intervals [valid_from,
+# valid_to]. The temporal-dimension primitive behind "as of snapshot N"
+# queries (the reference gets this from Datomic's as-of database views;
+# public repo src/lens/api.clj — /root/reference empty, SURVEY.md §0).
+# Three deterministic snapshots derive from orders (%89 keys restated
+# *1.1 at snap 1, %55 restated *0.9 at snap 2 — identical FP trees both
+# engines, rule 5). One window pass per key (lag to find change points,
+# running max to carry version starts, lead to close intervals): the
+# partitionBy(o_orderkey) shuffle is the only exchange, and at 100 TB
+# snapshots arrive partition-aligned by key so it degenerates to a
+# map-side pass under bucketing (SCALE.md).
+# ---------------------------------------------------------------------------
+@register(
+    "s8_scd2_history",
+    oracle="""
+WITH snaps AS (
+  SELECT 0 AS snap_id, o_orderkey, o_totalprice AS price FROM orders
+  UNION ALL
+  SELECT 1, o_orderkey,
+         CASE WHEN o_orderkey % 89 = 0 THEN o_totalprice * 1.1 ELSE o_totalprice END
+  FROM orders
+  UNION ALL
+  SELECT 2, o_orderkey,
+         CASE WHEN o_orderkey % 55 = 0 THEN o_totalprice * 0.9
+              WHEN o_orderkey % 89 = 0 THEN o_totalprice * 1.1
+              ELSE o_totalprice END
+  FROM orders
+), marked AS (
+  SELECT snap_id, o_orderkey, price,
+         CASE WHEN lag(price) OVER w IS NULL OR price <> lag(price) OVER w
+              THEN 1 ELSE 0 END AS is_start
+  FROM snaps
+  WINDOW w AS (PARTITION BY o_orderkey ORDER BY snap_id)
+), versions AS (
+  SELECT o_orderkey, price, snap_id AS valid_from,
+         lead(snap_id) OVER (PARTITION BY o_orderkey ORDER BY snap_id) - 1 AS next_minus
+  FROM marked WHERE is_start = 1
+)
+SELECT o_orderkey, price,
+       CAST(valid_from AS BIGINT) AS valid_from,
+       CAST(COALESCE(next_minus, 999) AS BIGINT) AS valid_to
+FROM versions
+ORDER BY o_orderkey, valid_from
+""",
+)
+def s8_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    od = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    restate1 = F.when(
+        F.col("o_orderkey") % 89 == 0, F.col("o_totalprice") * 1.1
+    ).otherwise(F.col("o_totalprice"))
+    restate2 = (
+        F.when(F.col("o_orderkey") % 55 == 0, F.col("o_totalprice") * 0.9)
+        .when(F.col("o_orderkey") % 89 == 0, F.col("o_totalprice") * 1.1)
+        .otherwise(F.col("o_totalprice"))
+    )
+    snaps = (
+        od.select(F.lit(0).alias("snap_id"), "o_orderkey", F.col("o_totalprice").alias("price"))
+        .unionByName(od.select(F.lit(1).alias("snap_id"), "o_orderkey", restate1.alias("price")))
+        .unionByName(od.select(F.lit(2).alias("snap_id"), "o_orderkey", restate2.alias("price")))
+    )
+    w = Window.partitionBy("o_orderkey").orderBy("snap_id")
+    marked = snaps.withColumn(
+        "is_start",
+        F.when(
+            F.lag("price").over(w).isNull()
+            | (F.col("price") != F.lag("price").over(w)),
+            1,
+        ).otherwise(0),
+    ).filter(F.col("is_start") == 1)
+    return marked.select(
+        "o_orderkey",
+        "price",
+        F.col("snap_id").cast("long").alias("valid_from"),
+        F.coalesce(
+            F.lead("snap_id").over(w) - 1, F.lit(999)
+        ).cast("long").alias("valid_to"),
+    ).orderBy("o_orderkey", "valid_from")

@@ -348,3 +348,54 @@ def j5b_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_custkey").isNotNull().cast("int").alias("has_dim_row"),
         F.coalesce("cnt", F.lit(0)).cast("long").alias("n_orders"),
     )
+
+
+# ---------------------------------------------------------------------------
+# J10: fuzzy (edit-distance) similarity self-join — entity-resolution
+# primitive (the reference matches subjects/items by id only; fuzzy
+# matching is the standard extension for dirty dimension data; public
+# repo src/lens/api.clj resolves by :id — /root/reference empty, see
+# SURVEY.md §0). Bounded candidate set (custkey < 400) keeps the
+# quadratic pair space small here; the 100 TB path is blocking first —
+# length buckets + q-gram prefix blocks, or the MinHash-LSH pipeline in
+# llm/dedup.py (l2*) which is the same problem at corpus scale. The
+# length-difference prune |len(a)-len(b)| <= 2 is a necessary condition
+# for levenshtein <= 2 and is evaluated before the distance call.
+# ---------------------------------------------------------------------------
+@register(
+    "j10_fuzzy_join",
+    oracle="""
+SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
+       levenshtein(a.c_name, b.c_name) AS dist
+FROM customer a JOIN customer b
+  ON a.c_custkey < b.c_custkey
+ AND abs(length(a.c_name) - length(b.c_name)) <= 2
+ AND levenshtein(a.c_name, b.c_name) <= 2
+WHERE a.c_custkey < 400 AND b.c_custkey < 400
+ORDER BY key_a, key_b
+""",
+)
+def j10_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cu = table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 400)
+    a = cu.select(
+        F.col("c_custkey").alias("key_a"), F.col("c_name").alias("name_a")
+    )
+    b = cu.select(
+        F.col("c_custkey").alias("key_b"), F.col("c_name").alias("name_b")
+    )
+    return (
+        a.join(
+            broadcast(b),
+            (F.col("key_a") < F.col("key_b"))
+            & (
+                F.abs(F.length("name_a") - F.length("name_b")) <= 2
+            )
+            & (F.levenshtein("name_a", "name_b") <= 2),
+        )
+        .select(
+            "key_a",
+            "key_b",
+            F.levenshtein("name_a", "name_b").cast("long").alias("dist"),
+        )
+        .orderBy("key_a", "key_b")
+    )

@@ -277,3 +277,124 @@ def t11_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", F.col("bucket_ms"))
     )
+
+
+# ---------------------------------------------------------------------------
+# T14: cohort retention matrix — users grouped by first-activity week
+# (cohort), counted per weeks-since-cohort. The canonical product-
+# analytics rollup over an event stream (the reference's visit/cohort
+# counting is the same shape at study granularity — public repo
+# src/lens/api.clj count resources; /root/reference empty, SURVEY.md
+# §0). Week indexes are pure integer day-arithmetic from a fixed anchor
+# (no engine week-truncation semantics in play). Two shuffles: per-user
+# min (partial agg) then the matrix groupBy; the per-user first-week
+# table re-joins the events on user_id — at 100 TB both sides hash on
+# user_id so AQE co-locates, and the matrix itself is tiny.
+# ---------------------------------------------------------------------------
+@register(
+    "t14_retention_matrix",
+    oracle="""
+WITH firstw AS (
+  SELECT user_id,
+         CAST(floor(datediff('day', DATE '2024-01-01', min(CAST(ts AS DATE))) / 7) AS BIGINT) AS cohort_week
+  FROM events GROUP BY user_id
+)
+SELECT f.cohort_week,
+       CAST(floor(datediff('day', DATE '2024-01-01', CAST(e.ts AS DATE)) / 7) AS BIGINT) - f.cohort_week AS weeks_since,
+       CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+FROM events e JOIN firstw f ON e.user_id = f.user_id
+GROUP BY 1, 2
+ORDER BY 1, 2
+""",
+)
+def t14_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    week = lambda c: F.floor(
+        F.datediff(c.cast("date"), F.lit("2024-01-01").cast("date")) / 7
+    ).cast("long")
+    firstw = ev.groupBy("user_id").agg(
+        week(F.min(as_ts("ts"))).alias("cohort_week")
+    )
+    return (
+        ev.join(firstw, "user_id")
+        .groupBy(
+            "cohort_week",
+            (week(as_ts("ts")) - F.col("cohort_week")).alias("weeks_since"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .orderBy("cohort_week", "weeks_since")
+    )
+
+
+# ---------------------------------------------------------------------------
+# T15: last-touch attribution — each purchase event attributed to the
+# same user's most recent click within the preceding hour (marketing
+# analytics on the event stream; the reference's visit model links
+# findings to visits the same way at study granularity — public repo
+# src/lens/api.clj; /root/reference empty, SURVEY.md §0). The time
+# predicate is pure epoch-millis integer arithmetic (no interval
+# semantics in play); ties on click ts break on event_id so the row_
+# number pick is total. The user_id equi-key carries the join — at
+# 100 TB both event slices hash-partition on user_id (AQE co-locates)
+# and the per-purchase window state is bounded by the 1 h band, the
+# same sort-merge-band shape as j8's as-of join.
+# ---------------------------------------------------------------------------
+@register(
+    "t15_attribution",
+    oracle="""
+WITH p AS (
+  SELECT event_id, user_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS pms
+  FROM events WHERE event_type = 'purchase'
+), c AS (
+  SELECT event_id AS click_id, user_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS cms
+  FROM events WHERE event_type = 'click'
+), ranked AS (
+  SELECT p.event_id AS purchase_id, p.user_id, c.click_id,
+         p.pms - c.cms AS gap_ms,
+         row_number() OVER (PARTITION BY p.event_id
+                            ORDER BY c.cms DESC, c.click_id DESC) AS rn
+  FROM p LEFT JOIN c
+    ON p.user_id = c.user_id
+   AND c.cms <= p.pms AND c.cms > p.pms - 3600000
+)
+SELECT purchase_id, user_id, click_id, gap_ms
+FROM ranked WHERE rn = 1
+ORDER BY purchase_id
+""",
+)
+def t15_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    ms = F.unix_millis(as_ts("ts"))
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        ms.alias("pms"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        ms.alias("cms"),
+    )
+    joined = p.join(
+        c,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("cms") <= F.col("pms"))
+        & (F.col("cms") > F.col("pms") - 3600000),
+        "left",
+    )
+    w = Window.partitionBy("purchase_id").orderBy(
+        F.col("cms").desc(), F.col("click_id").desc()
+    )
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "purchase_id",
+            "user_id",
+            "click_id",
+            (F.col("pms") - F.col("cms")).alias("gap_ms"),
+        )
+        .orderBy("purchase_id")
+    )

@@ -247,3 +247,50 @@ def w7_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# W8: per-group z-score outlier detection — anomaly screening over the
+# event stream (standard monitoring extension of the reference's
+# aggregate surface; public repo exposes plain counts only —
+# /root/reference empty, SURVEY.md §0). One window pass computes the
+# per-event_type mean/stddev (partial agg under the hood, no extra
+# shuffle beyond the event_type partitioning); the group moments are
+# rounded to 6 dp on BOTH engines before the per-row z arithmetic so the
+# filter boundary sees bit-identical IEEE inputs (parity rules 4/5).
+# At 100 TB this is the two-pass form: groupBy moments (tiny result,
+# broadcast back) then a map-side filter — no window state at all.
+# ---------------------------------------------------------------------------
+@register(
+    "w8_zscore_outliers",
+    oracle="""
+WITH stats AS (
+  SELECT event_type,
+         round(avg(value), 6) AS mu,
+         round(stddev_samp(value), 6) AS sigma
+  FROM events GROUP BY event_type
+)
+SELECT e.event_id, e.event_type,
+       round((e.value - s.mu) / s.sigma, 3) AS z
+FROM events e JOIN stats s ON e.event_type = s.event_type
+WHERE abs((e.value - s.mu) / s.sigma) > 3.0
+ORDER BY e.event_id
+""",
+)
+def w8_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.round(F.avg("value"), 6).alias("mu"),
+        F.round(F.stddev_samp("value"), 6).alias("sigma"),
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .filter(F.abs(z) > 3.0)
+        .select(
+            "event_id",
+            "event_type",
+            F.round(z, 3).alias("z"),
+        )
+        .orderBy("event_id")
+    )

@@ -79,3 +79,42 @@ def test_engine_sketch_layout_cdc_surface(spark):
     lm = lw.lm_score()
     assert lm.columns == ["doc_id", "n_bigrams", "lm_score"]
     assert lm.count() > 0
+
+
+def test_approx_percentile_within_rank_error(spark):
+    """GK sketch at accuracy=10000 on ~20k-row groups must land within a
+    tight rank neighborhood of the exact percentile."""
+    from lens_warehouse_spark.operators.aggregates import a17_approx_percentile
+    from lens_warehouse_spark.catalog import table
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.01"
+    approx = {r["l_returnflag"]: r for r in a17_approx_percentile(spark, sf).collect()}
+    li = table(spark, sf, "lineitem")
+    exact = {
+        r["l_returnflag"]: r
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.expr(
+                "percentile(l_extendedprice, array(0.25, 0.5, 0.75, 0.95))"
+            ).alias("pcts"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    }
+    for flag, a in approx.items():
+        e = exact[flag]
+        n = e["n"]
+        vals = sorted(
+            x["l_extendedprice"]
+            for x in li.filter(F.col("l_returnflag") == flag)
+            .select("l_extendedprice")
+            .collect()
+        )
+        for i, p in enumerate([0.25, 0.5, 0.75, 0.95]):
+            got = a[["p25", "p50", "p75", "p95"][i]]
+            # rank of the approximate answer must be within eps*n of p*n
+            import bisect
+
+            rank = bisect.bisect_left(vals, got)
+            assert abs(rank - p * n) <= max(2.0, 2 * n / 10000), (flag, p)

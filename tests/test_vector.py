@@ -133,3 +133,40 @@ def test_ann_recall_query_consistent_with_manual(spark):
         iv.setdefault(r.query_id, set()).add(r.neighbor_id)
     for q in ex:
         assert got[q] == len(ex[q] & iv.get(q, set()))
+
+
+def test_mmr_rerank_greedy_chain_matches_numpy(spark):
+    """Re-derive the MMR greedy chain in numpy from the exact top-20 pool
+    and check the operator returns exactly that chain."""
+    import numpy as np
+
+    from lens_warehouse_spark.llm.vector import l3j_mmr_rerank
+    from lens_warehouse_spark.catalog import table
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.01"
+    out = l3j_mmr_rerank(spark, sf).collect()
+    assert [r["mmr_rank"] for r in out] == [1, 2, 3, 4, 5]
+    assert len({r["vec_id"] for r in out}) == 5
+
+    emb = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in table(spark, sf, "embeddings").collect()
+    }
+    q = emb[0]
+    rel = {
+        v: round(float(q @ e), 6) for v, e in emb.items() if v != 0
+    }
+    pool = sorted(rel, key=lambda v: (-rel[v], v))[:20]
+    lam, chosen = 0.7, []
+    for _ in range(5):
+        best, best_s = None, -np.inf
+        for v in pool:
+            if v in chosen:
+                continue
+            pen = max((float(emb[v] @ emb[c]) for c in chosen), default=0.0)
+            s = lam * rel[v] - (1 - lam) * pen
+            if s > best_s or (s == best_s and v < best):
+                best, best_s = v, s
+        chosen.append(best)
+    assert [r["vec_id"] for r in out] == chosen
