@@ -294,3 +294,49 @@ def w8_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# W9: trailing-window distinct count (7-day rolling DAU) — count
+# DISTINCT users over a sliding date window. Spark has no native
+# "COUNT(DISTINCT) OVER (RANGE ...)" — the scalable exact form used
+# here maps each (user, active-day) pair to the 7 trailing report days
+# it covers (constant fan-out explode, map-side) and then runs ONE
+# groupBy(day) count-distinct. No per-day self-join, no window state;
+# at 100 TB the explode factor is the window length (7), the dedup to
+# user-days happens before the fan-out, and the final agg is a plain
+# two-phase hash aggregate on day. Report days are anchored to the
+# event calendar (days with any event), matching the band-join oracle.
+# ---------------------------------------------------------------------------
+@register(
+    "w9_sliding_distinct",
+    oracle="""
+WITH ud AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events
+), days AS (
+  SELECT DISTINCT d FROM ud
+)
+SELECT CAST(datediff('day', DATE '2024-01-01', days.d) AS BIGINT) AS day_idx,
+       CAST(count(DISTINCT ud.user_id) AS BIGINT) AS dau7
+FROM days JOIN ud
+  ON ud.d <= days.d AND ud.d > days.d - 7
+GROUP BY 1
+ORDER BY 1
+""",
+)
+def w9_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    day_idx = F.datediff(
+        F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+    ).cast("long")
+    ud = ev.select(day_idx.alias("d"), "user_id").distinct()
+    days = ud.select("d").distinct()
+    covered = ud.select(
+        F.explode(F.sequence(F.col("d"), F.col("d") + 6)).alias("day_idx"),
+        "user_id",
+    ).join(days.withColumnRenamed("d", "day_idx"), "day_idx", "semi")
+    return (
+        covered.groupBy("day_idx")
+        .agg(F.countDistinct("user_id").alias("dau7"))
+        .orderBy("day_idx")
+    )

@@ -111,6 +111,28 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         ("top-k via window rank", "Window"),
         ("no row-at-a-time python", "!BatchEvalPython"),
     ],
+    "l22_pii_redaction": [
+        ("pure codegen regex pass, no exchange before sort", "!Exchange hashpartitioning"),
+        ("no python at all", "!BatchEvalPython"),
+        ("column pruning to doc_id+text", "ReadSchema: struct<doc_id:bigint,text:string>"),
+    ],
+    "w8_zscore_outliers": [
+        ("moments joined back via broadcast", "BroadcastHashJoin"),
+        ("partial aggregation of moments", "HashAggregate"),
+        ("no window over unpartitioned data", "!WindowExec"),
+    ],
+    "t15_attribution": [
+        ("band join keyed on user_id, no cartesian", "!CartesianProduct"),
+        ("event_type filters pushed to scan", "EqualTo(event_type,purchase)"),
+    ],
+    "w9_sliding_distinct": [
+        ("constant fan-out explode, no range self-join on events", "explode(sequence"),
+        ("two-phase distinct aggregate", "HashAggregate"),
+    ],
+    "s8_scd2_history": [
+        ("single key-partitioned window pass", "Window"),
+        ("no cartesian product", "!CartesianProduct"),
+    ],
 }
 
 
