@@ -225,3 +225,46 @@ class LensWarehouse:
         from lens_warehouse_spark.llm.curation import l21_bigram_lm_score
 
         return l21_bigram_lm_score(self.spark, self.sf_dir)
+
+    def redact_pii(self) -> DataFrame:
+        """Scrub emails/IPv4s/phones from the corpus with per-doc audit
+        counts (llm.curation.l22)."""
+        from lens_warehouse_spark.llm.curation import l22_pii_redaction
+
+        return l22_pii_redaction(self.spark, self.sf_dir)
+
+    def retention(self) -> DataFrame:
+        """Weekly cohort retention matrix over events (t14)."""
+        from lens_warehouse_spark.operators.timeseries import t14_retention_matrix
+
+        return t14_retention_matrix(self.spark, self.sf_dir)
+
+    def attribute_purchases(self) -> DataFrame:
+        """Last-touch click attribution for purchases (t15)."""
+        from lens_warehouse_spark.operators.timeseries import t15_attribution
+
+        return t15_attribution(self.spark, self.sf_dir)
+
+    def profile(self) -> DataFrame:
+        """One-pass per-column profile (nulls/distinct/min/max) (s5c)."""
+        from lens_warehouse_spark.operators.extras import s5c_profile
+
+        return s5c_profile(self.spark, self.sf_dir)
+
+    def scd2(self) -> DataFrame:
+        """SCD2 validity intervals from snapshot history (s8)."""
+        from lens_warehouse_spark.operators.extras import s8_scd2_history
+
+        return s8_scd2_history(self.spark, self.sf_dir)
+
+    def mmr_rerank(self) -> DataFrame:
+        """MMR-diversified top-k over the embedding corpus (l3j)."""
+        from lens_warehouse_spark.llm.vector import l3j_mmr_rerank
+
+        return l3j_mmr_rerank(self.spark, self.sf_dir)
+
+    def rolling_dau(self) -> DataFrame:
+        """7-day rolling distinct users (w9)."""
+        from lens_warehouse_spark.operators.windows import w9_sliding_distinct
+
+        return w9_sliding_distinct(self.spark, self.sf_dir)

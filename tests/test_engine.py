@@ -118,3 +118,27 @@ def test_approx_percentile_within_rank_error(spark):
 
             rank = bisect.bisect_left(vals, got)
             assert abs(rank - p * n) <= max(2.0, 2 * n / 10000), (flag, p)
+
+
+def test_engine_analytics_surface(spark):
+    lw = LensWarehouse(spark, SF)
+    assert lw.redact_pii().columns == [
+        "doc_id", "n_emails", "n_ips", "n_phones", "red_len", "red_md5",
+    ]
+    # every doc got its appended synthetic PII scrubbed
+    assert lw.redact_pii().filter(
+        (F.col("n_emails") < 1) | (F.col("n_ips") < 1) | (F.col("n_phones") < 1)
+    ).count() == 0
+    ret = lw.retention().collect()
+    assert all(r.weeks_since >= 0 for r in ret)
+    attr = lw.attribute_purchases()
+    assert attr.columns == ["purchase_id", "user_id", "click_id", "gap_ms"]
+    assert attr.filter(F.col("gap_ms") < 0).count() == 0
+    prof = {r.col: r for r in lw.profile().collect()}
+    assert prof["c_custkey"].n_nulls == 0
+    hist = lw.scd2()
+    # every key's version chain starts at snapshot 0 and ends open (999)
+    assert hist.filter(F.col("valid_from") == 0).count() == lw.table("orders").count()
+    assert lw.mmr_rerank().count() == 5
+    dau = lw.rolling_dau().collect()
+    assert all(r.dau7 > 0 for r in dau)
