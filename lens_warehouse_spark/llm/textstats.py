@@ -602,3 +602,90 @@ def l15_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_documents(table(spark, sf_dir, "documents")).orderBy(
         "shard", "seq_id", "offset"
     )
+
+
+# ---------------------------------------------------------------------------
+# L11d: stratified exact-k sampling — exactly k docs per stratum
+# (lang, source), chosen by deterministic md5 rank so the draw is
+# engine- and cluster-size-independent (same property as l11's p%
+# sampling but with a hard per-stratum quota, the form training mixture
+# specs actually use: "take 10k docs per domain"). One window pass per
+# stratum; at 100 TB the rank is a per-stratum top-k (TakeOrdered
+# within partition after hashing on the stratum), never a global sort.
+# ---------------------------------------------------------------------------
+@register(
+    "l11d_stratified_sample",
+    oracle="""
+SELECT lang, source, doc_id
+FROM (
+  SELECT lang, source, doc_id,
+         row_number() OVER (
+           PARTITION BY lang, source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rk
+  FROM documents
+)
+WHERE rk <= 5
+ORDER BY lang, source, doc_id
+""",
+)
+def l11d_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang", "source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        table(spark, sf_dir, "documents")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("lang", "source", "doc_id")
+        .orderBy("lang", "source", "doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# L25: Zipf-slope corpus diagnostic — least-squares slope of log(freq)
+# vs log(rank) over the term-frequency table (natural corpora slope
+# ≈ -1; synthetic/templated corpora deviate — a cheap corpus-health
+# signal next to l5b's aggregate stats). regr_slope is a single
+# partial-aggregable pass on both engines; ranks come from one window
+# over the (tiny) distinct-term table, so the 100 TB cost is the token
+# explode + term groupBy that l7 already pays, nothing more.
+# ---------------------------------------------------------------------------
+@register(
+    "l25_zipf_slope",
+    oracle="""
+WITH tf AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS freq
+  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+  GROUP BY tok
+), ranked AS (
+  SELECT freq, row_number() OVER (ORDER BY freq DESC, tok) AS rk FROM tf
+)
+SELECT CAST(count(*) AS BIGINT) AS n_terms,
+       round(regr_slope(ln(CAST(freq AS DOUBLE)), ln(CAST(rk AS DOUBLE))), 4) AS zipf_slope,
+       round(regr_r2(ln(CAST(freq AS DOUBLE)), ln(CAST(rk AS DOUBLE))), 4) AS r2
+FROM ranked
+""",
+)
+def l25_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    tf = (
+        table(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    ranked = tf.withColumn(
+        "rk",
+        F.row_number().over(Window.orderBy(F.col("freq").desc(), "tok")),
+    )
+    lf = F.log(F.col("freq").cast("double"))
+    lr = F.log(F.col("rk").cast("double"))
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.round(F.regr_slope(lf, lr), 4).alias("zipf_slope"),
+        F.round(F.regr_r2(lf, lr), 4).alias("r2"),
+    )

