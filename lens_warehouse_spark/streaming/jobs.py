@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from lens_warehouse_spark.catalog import table
+from lens_warehouse_spark.operators.aggregates import _HH_K as _AGG_HH_K
 from lens_warehouse_spark.registry import register
 
 
@@ -561,6 +562,121 @@ def t16_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("op") != "D")
         .select("key", F.unix_millis("ts").alias("ts_ms"), "value")
         .orderBy("key")
+    )
+
+
+# ---------------------------------------------------------------------------
+# T17: streaming heavy hitters — the streaming twin of a16. Misra-Gries
+# summaries live in the state store, keyed by a hash shard of user_id
+# (32 shards): each shard's state is a capacity-K counter map (two long
+# arrays), updated per micro-batch in applyInPandasWithState. Every
+# update emits the shard's current candidate set; the union across
+# shards/updates is a guaranteed SUPERSET of the true heavy hitters
+# (if freq(u) > n/K globally, then count_shard(u)*K > n_shard in u's
+# shard, and shard-local MG with capacity K retains it). An exact
+# broadcast-semi-join recount then filters to the true answer, so the
+# result hash-matches the same DuckDB oracle as a16 — a full-strength
+# oracle for a stateful streaming job. At 100 TB the state is
+# O(shards*K) — constant — and the recount touches only |candidates|
+# keys; reference has no streaming (SURVEY.md §2.9/§2.11 extension).
+# ---------------------------------------------------------------------------
+_T17_SHARDS = 32
+
+
+@register(
+    "t17_stream_heavy_hitters",
+    oracle=f"""
+SELECT user_id, CAST(count(*) AS BIGINT) AS cnt
+FROM events
+GROUP BY user_id
+HAVING count(*) * {_AGG_HH_K} > (SELECT count(*) FROM events)
+ORDER BY user_id
+""",
+)
+def t17_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd  # noqa: PLC0415 (worker-side import pattern)
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        ArrayType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    _HH_K = _AGG_HH_K
+
+    out_schema = StructType(
+        [
+            StructField("shard", IntegerType()),
+            StructField("user_id", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("keys", ArrayType(LongType())),
+            StructField("counts", ArrayType(LongType())),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            keys, counts = state.get
+            mg = dict(zip(keys, counts))
+        else:
+            mg = {}
+        for pdf in pdfs:
+            for uid, w in pdf["user_id"].value_counts().items():
+                mg[int(uid)] = mg.get(int(uid), 0) + int(w)
+            if len(mg) > _HH_K:
+                cut = sorted(mg.values(), reverse=True)[_HH_K]
+                mg = {u: c - cut for u, c in mg.items() if c - cut > 0}
+        state.update((list(mg.keys()), list(mg.values())))
+        yield pd.DataFrame(
+            {"shard": [key[0]] * len(mg), "user_id": list(mg.keys())}
+        ).astype({"shard": "int32", "user_id": "int64"})
+
+    ev = (
+        _events_stream(spark, sf_dir)
+        .select(
+            F.pmod(F.xxhash64("user_id"), F.lit(_T17_SHARDS))
+            .cast("int")
+            .alias("shard"),
+            "user_id",
+        )
+    )
+    stateful = ev.groupBy("shard").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    qname = f"t17_{uuid.uuid4().hex[:8]}"
+    ckpt = os.path.join(tempfile.gettempdir(), "lws_ckpt", qname)
+    q = (
+        stateful.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    candidates = spark.table(qname).select("user_id").distinct()
+
+    # Exact recount epilogue (batch over the same staged data the stream
+    # read): superset-in, exact-out.
+    full = table(spark, sf_dir, "events").select("user_id")
+    total = full.groupBy().agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        full.join(F.broadcast(candidates), "user_id", "left_semi")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") * _HH_K > F.col("n_total"))
+        .select("user_id", "cnt")
+        .orderBy("user_id")
     )
 
 

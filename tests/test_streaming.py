@@ -204,3 +204,16 @@ def test_cdc_apply_equals_batch_latest_per_key(spark):
     got = {tuple(r) for r in t16_stream_cdc_apply(spark, sf).collect()}
     want = {tuple(r) for r in cdc_apply_batch_reference(spark, sf).collect()}
     assert got == want and len(want) > 0
+
+
+def test_stream_heavy_hitters_equals_batch(spark):
+    """t17 (sharded Misra-Gries in the state store + exact recount) must
+    produce exactly a16's batch heavy-hitter set — the MG candidate
+    union is a superset by construction, the recount trims it."""
+    from lens_warehouse_spark.operators.aggregates import a16_heavy_hitters
+    from lens_warehouse_spark.streaming.jobs import t17_stream_heavy_hitters
+
+    sf = "/root/testdata/sf0.001"
+    got = {tuple(r) for r in t17_stream_heavy_hitters(spark, sf).collect()}
+    want = {tuple(r) for r in a16_heavy_hitters(spark, sf).collect()}
+    assert got == want and len(want) > 0
