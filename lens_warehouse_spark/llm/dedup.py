@@ -56,6 +56,50 @@ def l1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("keep_doc_id", "n_copies", "content_hash")
 
 
+# ---------------------------------------------------------------------------
+# L1b: incremental dedup — admit only those docs of a NEW batch whose
+# content hash is unseen in the existing corpus AND unique (keep-first)
+# within the batch. This is the steady-state shape of production corpus
+# dedup: the corpus hash set is huge but append-only, so in production
+# both sides are bucketed/partitioned by content_hash and the anti-join
+# is shuffle-free (zipped buckets); here the split is derived
+# deterministically from doc_id so the oracle is plain SQL. The
+# reference has no incremental import dedup (Datomic upserts by entity
+# id only, [P src/lens/api.clj]); this is the NS training-pipeline
+# extension.
+# ---------------------------------------------------------------------------
+@register(
+    "l1b_incremental_dedup",
+    oracle="""
+WITH hashed AS (
+  SELECT doc_id, sha256(lower(trim(text))) AS content_hash,
+         doc_id % 10 = 0 AS is_new
+  FROM documents
+)
+SELECT CAST(min(doc_id) AS BIGINT) AS admit_doc_id, content_hash
+FROM hashed
+WHERE is_new
+  AND content_hash NOT IN (
+    SELECT content_hash FROM hashed WHERE NOT is_new)
+GROUP BY content_hash
+""",
+)
+def l1b_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hashed = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.sha2(F.lower(F.trim(F.col("text"))), 256).alias("content_hash"),
+        (F.col("doc_id") % 10 == 0).alias("is_new"),
+    )
+    incoming = hashed.filter("is_new")
+    corpus = hashed.filter("NOT is_new").select("content_hash")
+    return (
+        incoming.join(corpus, "content_hash", "left_anti")
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("admit_doc_id"))
+        .select("admit_doc_id", "content_hash")
+    )
+
+
 def minhash_signatures(
     df: DataFrame, text_col: str = "text", n_hashes: int = N_HASHES
 ) -> DataFrame:

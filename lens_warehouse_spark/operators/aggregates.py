@@ -581,3 +581,40 @@ def a17_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# ---------------------------------------------------------------------------
+# A18: HLL sketch rollup — the mergeable-sketch pre-aggregation pattern.
+# Stage 1 builds a (event_type, day) -> HLL(user_id) sketch table
+# (Datasketches HLL via hll_sketch_agg, JVM-side, partial-aggregable);
+# at 100 TB that table is what you PERSIST — thousands of ~KB sketches
+# instead of re-scanning the fact table. Stage 2 answers "distinct users
+# per event_type over any day range" by hll_union_agg over the tiny
+# sketch table — no rescan, no exact-distinct shuffle of raw keys.
+# a1/a2 are the exact/approx single-pass forms; this is the rollup form
+# that makes repeated distinct queries O(sketch table). Rows-only
+# (sketch estimates are engine-specific); tests/test_engine.py pins the
+# relative error vs exact countDistinct and the union==direct identity.
+# Reference counts subject sets exactly per query [P src/lens/api.clj];
+# sketches are the NS scale extension.
+# ---------------------------------------------------------------------------
+def hll_daily_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage 1: the persistable (event_type, day) sketch rollup."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.hll_sketch_agg("user_id", F.lit(14)).alias("sk"))
+    )
+
+
+@register("a18_hll_rollup")
+def a18_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sketches = hll_daily_sketches(spark, sf_dir)
+    return (
+        sketches.groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
+            F.count(F.lit(1)).alias("n_days"),
+        )
+        .orderBy("event_type")
+    )

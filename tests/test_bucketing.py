@@ -81,3 +81,41 @@ def test_approx_count_distinct_within_rsd(spark):
         F.approx_count_distinct("o_custkey", 0.02).alias("a")
     ).collect()[0].a
     assert abs(approx - exact) / exact < 0.06
+
+
+def test_hll_rollup_union_accuracy(spark):
+    """Merged daily HLL sketches (a18) must estimate within ~3% of the
+    exact per-event_type distinct user count (lgConfigK=14 gives ~0.8%
+    RSE; 3% is a generous determinism-safe bound), and the rollup path
+    (union of daily sketches) must equal sketching the raw column
+    directly — the mergeability identity that makes the pattern sound."""
+    from pyspark.sql import functions as F
+
+    from lens_warehouse_spark.catalog import table
+    from lens_warehouse_spark.operators.aggregates import a18_hll_rollup
+
+    sf = "/root/testdata/sf0.01"
+    got = {r.event_type: r.approx_users for r in a18_hll_rollup(spark, sf).collect()}
+    exact = {
+        r.event_type: r.n
+        for r in table(spark, sf, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for et, est in got.items():
+        assert abs(est - exact[et]) / exact[et] < 0.03, (et, est, exact[et])
+
+    direct = {
+        r.event_type: r.a
+        for r in table(spark, sf, "events")
+        .groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(
+                F.hll_sketch_agg("user_id", F.lit(14))
+            ).alias("a")
+        )
+        .collect()
+    }
+    assert got == direct
