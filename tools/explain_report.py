@@ -133,6 +133,15 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         ("single key-partitioned window pass", "Window"),
         ("no cartesian product", "!CartesianProduct"),
     ],
+    "l1b_incremental_dedup": [
+        ("corpus anti-join (broadcast at this SF; bucketed at scale)", "LeftAnti"),
+        ("keep-first partially aggregated", "HashAggregate"),
+        ("column pruning to doc_id+text", "ReadSchema: struct<doc_id:bigint,text:string>"),
+    ],
+    "a18_hll_rollup": [
+        ("sketch partials combine map-side", "ObjectHashAggregate"),
+        ("no python anywhere", "!BatchEvalPython"),
+    ],
 }
 
 
