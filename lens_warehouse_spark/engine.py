@@ -268,3 +268,23 @@ class LensWarehouse:
         from lens_warehouse_spark.operators.windows import w9_sliding_distinct
 
         return w9_sliding_distinct(self.spark, self.sf_dir)
+
+    def incremental_dedup(self) -> DataFrame:
+        """Admit new-batch docs unseen in the corpus hash set (l1b)."""
+        from lens_warehouse_spark.llm.dedup import l1b_incremental_dedup
+
+        return l1b_incremental_dedup(self.spark, self.sf_dir)
+
+    def distinct_rollup(self) -> DataFrame:
+        """Approximate distinct users per event_type from the mergeable
+        daily HLL sketch rollup (a18)."""
+        from lens_warehouse_spark.operators.aggregates import a18_hll_rollup
+
+        return a18_hll_rollup(self.spark, self.sf_dir)
+
+    def cohort_overlap(self) -> DataFrame:
+        """Approximate pairwise cohort overlap via HLL
+        inclusion-exclusion (a19)."""
+        from lens_warehouse_spark.operators.aggregates import a19_sketch_overlap
+
+        return a19_sketch_overlap(self.spark, self.sf_dir)

@@ -607,6 +607,39 @@ def hll_daily_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# A19: approximate cohort overlap — the reference's set INTERSECTION
+# (clojure.set/intersection of subject-id sets, [P src/lens/api.clj])
+# re-expressed as sketch algebra for 100 TB: per-cohort HLL sketches +
+# inclusion-exclusion |A∩B| ≈ |A| + |B| − |A∪B| (HLL unions exactly;
+# intersection only via I-E). One pass builds the 5 per-event_type
+# sketches; the pair table is a trivial self-join of 5 KB-sized rows —
+# the fact table is never rescanned per pair, vs U2's exact intersect
+# which shuffles the full key sets for every cohort pair. Rows-only
+# (estimates); tests/test_bucketing.py pins error vs exact overlap.
+# ---------------------------------------------------------------------------
+@register("a19_sketch_overlap")
+def a19_sketch_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    sk = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id", F.lit(14)).alias("sk")
+    )
+    a, b = sk.alias("a"), sk.alias("b")
+    return (
+        a.join(b, F.col("a.event_type") < F.col("b.event_type"))
+        .select(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+            (
+                F.hll_sketch_estimate("a.sk")
+                + F.hll_sketch_estimate("b.sk")
+                - F.hll_sketch_estimate(F.hll_union("a.sk", "b.sk"))
+            ).alias("approx_overlap"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
 @register("a18_hll_rollup")
 def a18_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketches = hll_daily_sketches(spark, sf_dir)

@@ -119,3 +119,38 @@ def test_hll_rollup_union_accuracy(spark):
         .collect()
     }
     assert got == direct
+
+
+def test_sketch_overlap_within_bound(spark):
+    """a19's inclusion-exclusion overlap estimates must sit within 5% of
+    the exact pairwise distinct-user overlaps (relative to union size,
+    the scale on which HLL error compounds)."""
+    from pyspark.sql import functions as F
+
+    from lens_warehouse_spark.catalog import table
+    from lens_warehouse_spark.operators.aggregates import a19_sketch_overlap
+
+    sf = "/root/testdata/sf0.01"
+    got = {
+        (r.type_a, r.type_b): r.approx_overlap
+        for r in a19_sketch_overlap(spark, sf).collect()
+    }
+    ev = table(spark, sf, "events").select("event_type", "user_id").distinct()
+    a, b = ev.alias("a"), ev.alias("b")
+    exact = {
+        (r.ta, r.tb): r.n
+        for r in a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("ta"), F.col("b.event_type").alias("tb")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert set(got) == set(exact) and len(got) == 10
+    union_ub = ev.select("user_id").distinct().count()
+    for pair, est in got.items():
+        assert abs(est - exact[pair]) <= 0.05 * union_ub, (pair, est, exact[pair])

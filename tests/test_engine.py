@@ -142,3 +142,7 @@ def test_engine_analytics_surface(spark):
     assert lw.mmr_rerank().count() == 5
     dau = lw.rolling_dau().collect()
     assert all(r.dau7 > 0 for r in dau)
+    assert lw.incremental_dedup().columns == ["admit_doc_id", "content_hash"]
+    assert lw.distinct_rollup().columns == ["event_type", "approx_users", "n_days"]
+    ov = lw.cohort_overlap().collect()
+    assert len(ov) == 10 and all(r.approx_overlap >= 0 for r in ov)
