@@ -594,3 +594,58 @@ def l22_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# L26: deterministic epoch shuffle — the training-order permutation.
+# Every epoch the corpus is re-ordered by a seeded content-independent
+# key (md5 of seed||doc_id, reproducible across engines and runs), and
+# each doc gets its global position. The naive row_number() over a
+# global ORDER BY collapses to one partition; here the rank is computed
+# the scale-correct way: range-repartition on the shuffle key (parallel
+# range shuffle, same machinery as o1's global sort), rank locally
+# per partition, then add per-partition row-count offsets (a tiny
+# aggregate, broadcast back). Offsets + local ranks == the global rank
+# regardless of where the sampled range boundaries fall, so the result
+# is deterministic even though the partitioning isn't pinned. Reference
+# has no ordering beyond browse-endpoint pagination [P
+# src/lens/util.clj]; this is the NS training-pipeline extension.
+# ---------------------------------------------------------------------------
+@register(
+    "l26_epoch_shuffle",
+    oracle="""
+SELECT doc_id,
+       CAST(row_number() OVER (
+         ORDER BY md5('epoch7:' || CAST(doc_id AS VARCHAR)), doc_id
+       ) AS BIGINT) AS epoch_pos
+FROM documents
+""",
+)
+def l26_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    key = F.md5(F.concat(F.lit("epoch7:"), F.col("doc_id").cast("string")))
+    keyed = (
+        docs.select("doc_id", key.alias("__k"))
+        .repartitionByRange(32, "__k", "doc_id")
+        .withColumn("__p", F.spark_partition_id())
+    )
+    w_local = Window.partitionBy("__p").orderBy("__k", "doc_id")
+    ranked = keyed.withColumn("__r", F.row_number().over(w_local))
+    offsets = (
+        keyed.groupBy("__p")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .withColumn(
+            "__off",
+            F.sum("__n").over(Window.orderBy("__p")) - F.col("__n"),
+        )
+        .select("__p", "__off")
+    )
+    return (
+        ranked.join(F.broadcast(offsets), "__p")
+        .select(
+            "doc_id",
+            (F.col("__off") + F.col("__r")).cast("long").alias("epoch_pos"),
+        )
+    )

@@ -595,3 +595,48 @@ def s8_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lead("snap_id").over(w) - 1, F.lit(999)
         ).cast("long").alias("valid_to"),
     ).orderBy("o_orderkey", "valid_from")
+
+
+# ---------------------------------------------------------------------------
+# S9: schema evolution on read — the ingest reality at 100 TB: years of
+# parquet batches where later producers added columns. Batch 1 lacks
+# event_type; batch 2 carries it; a mergeSchema read reconciles the
+# footers (schema union, null backfill for the missing column) without
+# rewriting old data. The aggregate proves both the union (row counts)
+# and the backfill (nulls exactly on batch-1 rows). At scale mergeSchema
+# footer reconciliation is a driver-side listing cost — pin the merged
+# schema in the table catalog instead of re-merging per query (S5's
+# job); the read itself stays fully parallel either way. Reference's
+# Datomic schema is append-only attributes — same evolution model, EAV
+# side [P src/lens/schema.clj].
+# ---------------------------------------------------------------------------
+@register(
+    "s9_schema_evolution",
+    oracle="""
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) FILTER (WHERE event_id % 2 = 0) AS BIGINT) AS n_legacy,
+       CAST(count(DISTINCT CASE WHEN event_id % 2 <> 0 THEN event_type END)
+            AS BIGINT) AS n_types,
+       CAST(round(sum(value)) AS BIGINT) AS total
+FROM events
+""",
+)
+def s9_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    tag = sf_dir.strip("/").replace("/", "_")
+    base = os.path.join(tempfile.gettempdir(), f"lws_evo_{tag}")
+    b1, b2 = os.path.join(base, "b1"), os.path.join(base, "b2")
+    if not os.path.exists(os.path.join(b2, "_SUCCESS")):
+        ev.filter(F.col("event_id") % 2 == 0).select("event_id", "value").write.mode(
+            "overwrite"
+        ).parquet(b1)
+        ev.filter(F.col("event_id") % 2 != 0).select(
+            "event_id", "value", "event_type"
+        ).write.mode("overwrite").parquet(b2)
+    merged = spark.read.option("mergeSchema", True).parquet(b1, b2)
+    return merged.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col("event_type").isNull(), 1)).alias("n_legacy"),
+        F.countDistinct("event_type").alias("n_types"),
+        F.round(F.sum("value")).cast("long").alias("total"),
+    )
