@@ -626,10 +626,16 @@ def l26_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents").select("doc_id")
     key = F.md5(F.concat(F.lit("epoch7:"), F.col("doc_id").cast("string")))
+    # localCheckpoint pins the ranged relation: the offsets branch below
+    # would otherwise re-scan the source and repeat the range shuffle
+    # (range exchanges sample boundaries, so Catalyst can't reuse them);
+    # checkpointed, the corpus is scanned and range-shuffled exactly once
+    # and the offsets pass reads 2 small columns from cached blocks.
     keyed = (
         docs.select("doc_id", key.alias("__k"))
         .repartitionByRange(32, "__k", "doc_id")
         .withColumn("__p", F.spark_partition_id())
+        .localCheckpoint()
     )
     w_local = Window.partitionBy("__p").orderBy("__k", "doc_id")
     ranked = keyed.withColumn("__r", F.row_number().over(w_local))

@@ -142,6 +142,19 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         ("sketch partials combine map-side", "ObjectHashAggregate"),
         ("no python anywhere", "!BatchEvalPython"),
     ],
+    "a19_sketch_overlap": [
+        ("pair table is a broadcast of KB sketches", "BroadcastNestedLoopJoin"),
+        ("sketch partials combine map-side", "ObjectHashAggregate"),
+    ],
+    "l26_epoch_shuffle": [
+        ("offsets broadcast back, not shuffled", "BroadcastHashJoin"),
+        ("local ranks only — no unpartitioned window over the corpus", "Window"),
+        ("no row-at-a-time python", "!BatchEvalPython"),
+    ],
+    "s9_schema_evolution": [
+        ("merged read stays a single partial-aggregated pass", "HashAggregate"),
+        ("no python anywhere", "!BatchEvalPython"),
+    ],
 }
 
 
