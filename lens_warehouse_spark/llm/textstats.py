@@ -491,7 +491,13 @@ def l13_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(_toks()).alias("term"))
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    # df derived FROM tf: rows of tf are distinct (doc_id, term) pairs, so
+    # count-per-term == distinct-docs-per-term. Catalyst prunes tf's count
+    # from this branch (it becomes a plain pairs-distinct aggregate — the
+    # same shape countDistinct expands to), so the two branches still scan
+    # separately; at 100 TB the play is materializing tf once (cache or a
+    # staged table) and feeding both aggregates from it.
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.count()  # scalar; tiny and deterministic
     scored = tf.join(F.broadcast(df), "term").select(
         "doc_id",
