@@ -655,3 +655,92 @@ def l26_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("__off") + F.col("__r")).cast("long").alias("epoch_pos"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# L27: token-budget corpus selection — keep the highest-quality docs
+# whose cumulative token count fits a training budget (greedy knapsack,
+# the standard "best N billion tokens" cut). Quality = distinct-token
+# ratio (l6's repetition signal); ordering uses the UNROUNDED ratio
+# (IEEE division is bit-identical across engines; rounding only the
+# output column keeps the oracle hash stable). The cumulative sum is
+# computed scale-correctly like l26: range-repartition on the sort key,
+# per-partition running totals, then add broadcast per-partition token
+# offsets — no single-partition window over the corpus. At 100 TB the
+# cheaper first cut is a quality-histogram quantile (tiny aggregate)
+# that prunes to ~budget before the exact pass; this operator is the
+# exact pass. NS training-pipeline extension.
+# ---------------------------------------------------------------------------
+_L27_BUDGET = 50_000
+
+
+@register(
+    "l27_budget_select",
+    oracle=f"""
+WITH scored AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n_tok,
+         CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+           / len(string_split(text, ' ')) AS q
+  FROM documents
+), cum AS (
+  SELECT doc_id, n_tok, q,
+         sum(n_tok) OVER (ORDER BY q DESC, doc_id) AS cum_tok
+  FROM scored
+)
+SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok, round(q, 6) AS quality,
+       CAST(cum_tok AS BIGINT) AS cum_tok
+FROM cum WHERE cum_tok <= {_L27_BUDGET}
+ORDER BY doc_id
+""",
+)
+def l27_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    toks = F.split(F.col("text"), " ")
+    scored = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(toks).alias("n_tok"),
+        (
+            F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+        ).alias("q"),
+    )
+    ranked = (
+        scored.repartitionByRange(32, F.col("q").desc(), F.col("doc_id"))
+        .withColumn("__p", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    w_local = (
+        Window.partitionBy("__p")
+        .orderBy(F.col("q").desc(), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    with_local = ranked.withColumn("__cum", F.sum("n_tok").over(w_local))
+    offsets = (
+        ranked.groupBy("__p")
+        .agg(F.sum("n_tok").alias("__t"))
+        .withColumn(
+            "__off",
+            F.coalesce(
+                F.sum("__t").over(
+                    Window.orderBy("__p").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("__p", "__off")
+    )
+    return (
+        with_local.join(F.broadcast(offsets), "__p")
+        .withColumn("cum_tok", (F.col("__off") + F.col("__cum")).cast("long"))
+        .filter(F.col("cum_tok") <= _L27_BUDGET)
+        .select(
+            "doc_id",
+            F.col("n_tok").cast("long").alias("n_tok"),
+            F.round("q", 6).alias("quality"),
+            "cum_tok",
+        )
+        .orderBy("doc_id")
+    )

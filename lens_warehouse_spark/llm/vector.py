@@ -734,3 +734,61 @@ def l3j_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(mmr, "vec_id long, rel double, mmr_rank long")
         .orderBy("mmr_rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# L3k: hard-negative mining — for each anchor (vec_id < 5), the top-3
+# most-similar vectors with a DIFFERENT label: the contrastive-training
+# negatives that are hard precisely because they score high while being
+# semantically wrong. Same broadcast-probe + per-anchor window top-k
+# shape as l3b (anchors broadcast, corpus never shuffles; the label
+# filter rides the join condition so mismatched pairs never score at
+# scale... they are filtered before the window). In production the
+# corpus side is the IVF/LSH-pruned candidate set (l3e/l3c), not the
+# full table — this is the exact form with a full oracle. Reference has
+# no vector ops at all; NS extension.
+# ---------------------------------------------------------------------------
+@register(
+    "l3k_hard_negatives",
+    oracle=f"""
+SELECT anchor_id, neg_id, rn, cos
+FROM (
+  SELECT a.vec_id AS anchor_id, b.vec_id AS neg_id,
+         round({_DOT_SQL.format(a='a.embedding', b='b.embedding')}, 6) AS cos,
+         row_number() OVER (
+           PARTITION BY a.vec_id
+           ORDER BY round({_DOT_SQL.format(a='a.embedding', b='b.embedding')}, 6) DESC, b.vec_id
+         ) AS rn
+  FROM embeddings a
+  JOIN embeddings b ON b.vec_id >= 5 AND b.label <> a.label
+  WHERE a.vec_id < 5
+) WHERE rn <= 3
+ORDER BY anchor_id, rn
+""",
+)
+def l3k_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = table(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("a_label"),
+        F.col("embedding").alias("a_emb"),
+    )
+    cand = emb.filter(F.col("vec_id") >= 5).select(
+        F.col("vec_id").alias("neg_id"), "label", "embedding"
+    )
+    scored = cand.join(
+        F.broadcast(anchors), F.col("label") != F.col("a_label")
+    ).select(
+        "anchor_id",
+        "neg_id",
+        F.round(dot("a_emb", "embedding"), 6).alias("cos"),
+    )
+    w = Window.partitionBy("anchor_id").orderBy(F.col("cos").desc(), "neg_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 3)
+        .select("anchor_id", "neg_id", "rn", "cos")
+        .orderBy("anchor_id", "rn")
+    )
