@@ -288,3 +288,22 @@ class LensWarehouse:
         from lens_warehouse_spark.operators.aggregates import a19_sketch_overlap
 
         return a19_sketch_overlap(self.spark, self.sf_dir)
+
+    def epoch_shuffle(self) -> DataFrame:
+        """Deterministic training-order permutation with distributed
+        global ranks (l26)."""
+        from lens_warehouse_spark.llm.curation import l26_epoch_shuffle
+
+        return l26_epoch_shuffle(self.spark, self.sf_dir)
+
+    def budget_select(self) -> DataFrame:
+        """Greedy token-budget corpus selection by quality (l27)."""
+        from lens_warehouse_spark.llm.curation import l27_budget_select
+
+        return l27_budget_select(self.spark, self.sf_dir)
+
+    def hard_negatives(self) -> DataFrame:
+        """Top-k similar, different-label negatives per anchor (l3k)."""
+        from lens_warehouse_spark.llm.vector import l3k_hard_negatives
+
+        return l3k_hard_negatives(self.spark, self.sf_dir)

@@ -146,3 +146,6 @@ def test_engine_analytics_surface(spark):
     assert lw.distinct_rollup().columns == ["event_type", "approx_users", "n_days"]
     ov = lw.cohort_overlap().collect()
     assert len(ov) == 10 and all(r.approx_overlap >= 0 for r in ov)
+    assert lw.epoch_shuffle().columns == ["doc_id", "epoch_pos"]
+    assert lw.budget_select().columns == ["doc_id", "n_tok", "quality", "cum_tok"]
+    assert lw.hard_negatives().columns == ["anchor_id", "neg_id", "rn", "cos"]
