@@ -744,3 +744,96 @@ def l27_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# L28: cross-corpus boilerplate scrub — the CCNet/RefinedWeb line-dedup
+# step adapted to this corpus: split each doc into non-overlapping
+# 8-token chunks (the "paragraph" unit; the synthetic corpus has no
+# newlines), count DISTINCT docs per chunk corpus-wide, and scrub any
+# chunk appearing in >= 3 docs (nav bars / license headers / templates
+# in a real crawl). Emits per-doc kept/removed counts and the md5 of
+# the scrubbed reconstruction so the oracle pins the exact output text.
+# Shape at 100 TB: one shuffle on chunk for the doc-frequency count;
+# the boilerplate set is a tiny fraction (17/3434 chunks at sf0.01) so
+# it broadcasts, and the scrub is a broadcast anti-join + one
+# groupBy(doc_id) rebuild — the corpus never shuffles on anything but
+# the chunk count. NS training-pipeline extension.
+# ---------------------------------------------------------------------------
+_L28_N = 8  # chunk size (tokens)
+_L28_MIN_DOCS = 3  # chunks in >= this many docs are boilerplate
+
+
+@register(
+    "l28_boilerplate_scrub",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), chunks AS (
+  SELECT doc_id,
+         unnest(list_transform(range(0, CAST(ceil(len(t) / {_L28_N}.0) AS INT)),
+            i -> array_to_string(t[(i*{_L28_N}+1):((i+1)*{_L28_N})], ' '))) AS chunk,
+         unnest(range(0, CAST(ceil(len(t) / {_L28_N}.0) AS INT))) AS chunk_idx
+  FROM toks
+), boiler AS (
+  SELECT chunk FROM chunks GROUP BY chunk
+  HAVING count(DISTINCT doc_id) >= {_L28_MIN_DOCS}
+)
+SELECT c.doc_id,
+       CAST(count(*) FILTER (b.chunk IS NULL) AS BIGINT) AS n_kept,
+       CAST(count(*) FILTER (b.chunk IS NOT NULL) AS BIGINT) AS n_removed,
+       md5(coalesce(string_agg(CASE WHEN b.chunk IS NULL THEN c.chunk END, ' '
+                               ORDER BY c.chunk_idx), '')) AS clean_md5
+FROM chunks c LEFT JOIN boiler b ON b.chunk = c.chunk
+GROUP BY c.doc_id
+ORDER BY c.doc_id
+""",
+)
+def l28_boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = _L28_N
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("t")
+    )
+    chunks = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, CAST(ceil(size(t) / {n}.0) AS INT) - 1),"
+                f" i -> concat_ws(' ', slice(t, i * {n} + 1, {n})))"
+            )
+        ).alias("chunk_idx", "chunk"),
+    )
+    boiler = (
+        chunks.groupBy("chunk")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= _L28_MIN_DOCS)
+        .select("chunk", F.lit(1).alias("__b"))
+    )
+    marked = chunks.join(F.broadcast(boiler), "chunk", "left")
+    kept_in_order = F.expr(
+        "transform(array_sort(collect_kept), x -> x.chunk)"
+    )
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count(F.when(F.col("__b").isNull(), 1)).alias("n_kept"),
+            F.count(F.when(F.col("__b").isNotNull(), 1)).alias("n_removed"),
+            F.array_sort(
+                F.collect_list(
+                    F.when(
+                        F.col("__b").isNull(),
+                        F.struct("chunk_idx", "chunk"),
+                    )
+                )
+            ).alias("collect_kept"),
+        )
+        .select(
+            "doc_id",
+            "n_kept",
+            "n_removed",
+            F.md5(
+                F.concat_ws(" ", kept_in_order)
+            ).alias("clean_md5"),
+        )
+        .orderBy("doc_id")
+    )
