@@ -36,14 +36,24 @@ BROADCAST_DIMS = {"region", "nation", "supplier", "part", "customer"}
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one table (S1). Lazy; Catalyst prunes columns/predicates.
 
-    ``events.ts`` is nanosecond-precision on disk, which Spark's parquet
-    reader rejects (PARQUET_TYPE_ILLEGAL). We read it as raw INT64 nanos
-    via the legacy conf and rebuild a microsecond timestamp with exact
-    integer arithmetic (``div 1000`` floors, matching DuckDB's ns->us
-    truncation of the same file).
+    Timestamp discipline (two on-disk generations seen from the driver):
+
+    - tz-naive ``timestamp[us]/[ms]`` columns (current data): Spark 4
+      infers these as TIMESTAMP_NTZ by default, which is session-tz
+      dependent under functions like ``unix_millis`` and rejected by
+      ``withWatermark``. We disable NTZ inference so they read as legacy
+      TIMESTAMP (LTZ): raw micros interpreted as UTC instants —
+      session-tz independent and exactly what DuckDB's ``epoch_ms`` sees
+      in the same file.
+    - ``events.ts`` nanosecond-precision (earlier data): Spark's reader
+      rejects ns (PARQUET_TYPE_ILLEGAL); read as raw INT64 nanos via the
+      legacy conf and rebuild a microsecond timestamp with exact integer
+      arithmetic (``div 1000`` floors, matching DuckDB's ns->us
+      truncation of the same file).
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; have {TABLES}")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")

@@ -33,7 +33,11 @@ from lens_warehouse_spark.registry import register
 def _staged_events(spark: SparkSession, sf_dir: str) -> str:
     """Stage events (with us-precision ts) to a parquet dir once per
     (session, sf_dir) — this is also the S3 batch-sink surface."""
-    tag = sf_dir.strip("/").replace("/", "_")
+    src = os.path.join(sf_dir, "events.parquet")
+    st = os.stat(src)
+    # Fingerprint the source file so a staging dir left in /tmp by a run
+    # against an older generation of the testdata is never reused.
+    tag = f"{sf_dir.strip('/').replace('/', '_')}_{st.st_size}_{int(st.st_mtime)}"
     out = os.path.join(tempfile.gettempdir(), f"lws_events_{tag}")
     marker = os.path.join(out, "_SUCCESS")
     if not os.path.exists(marker):
