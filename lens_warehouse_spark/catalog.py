@@ -29,8 +29,57 @@ TABLES = [
     "embeddings",
 ]
 
-# Dims small enough to always broadcast in joins (SURVEY.md §2.3 J2).
-BROADCAST_DIMS = {"region", "nation", "supplier", "part", "customer"}
+# Fixed-cardinality dims: their size does NOT grow with scale factor
+# (region=5, nation=25 rows at every SF), so an unconditional
+# ``broadcast()`` hint is always safe (SURVEY.md §2.3 J2).
+FIXED_DIMS = {"region", "nation"}
+
+# SF-scaling dims (customer/supplier/part grow linearly with SF — at the
+# 100 TB design point customer is ~1e10 rows). Broadcasting them must be
+# gated on catalog statistics: an explicit hint is NEVER demoted by AQE,
+# so an unconditional hint would ship a 100 GB build side to every
+# executor. ``maybe_broadcast`` below applies the gate.
+SCALING_DIMS = {"supplier", "part", "customer"}
+BROADCAST_DIMS = FIXED_DIMS | SCALING_DIMS
+
+# Row-count ceiling for the stats gate. ~5M narrow dim rows serialize to
+# O(100 MB) — comfortably inside executor memory; anything bigger joins
+# as shuffle/SMJ (or AQE upgrades it to broadcast at runtime if the
+# *filtered* build side turns out tiny).
+BROADCAST_ROW_LIMIT = 5_000_000
+
+_ROWCOUNT_CACHE: dict[str, int] = {}
+
+
+def table_rows(sf_dir: str, tname: str) -> int:
+    """Row count from the parquet footer — metadata only, no Spark job.
+    This is exactly the statistic a cluster catalog would serve."""
+    key = f"{sf_dir}/{tname}"
+    if key not in _ROWCOUNT_CACHE:
+        import pyarrow.parquet as pq
+
+        _ROWCOUNT_CACHE[key] = pq.ParquetFile(
+            f"{sf_dir}/{tname}.parquet"
+        ).metadata.num_rows
+    return _ROWCOUNT_CACHE[key]
+
+
+def maybe_broadcast(df: DataFrame, sf_dir: str, name: str) -> DataFrame:
+    """Stats-gated broadcast hint for dim ``name`` (already loaded /
+    filtered / projected as ``df``).
+
+    nation/region keep the hint unconditionally (fixed cardinality).
+    SF-scaling dims get it only while the parquet footer reports fewer
+    than ``BROADCAST_ROW_LIMIT`` rows — true at every test SF, false at
+    the 100 TB design point, where the plain join lets Catalyst pick
+    shuffle-hash/SMJ and AQE still upgrade to broadcast when a selective
+    filter shrinks the build side below its own threshold at runtime.
+    """
+    if name in FIXED_DIMS:
+        return F.broadcast(df)
+    if name in TABLES and table_rows(sf_dir, name) <= BROADCAST_ROW_LIMIT:
+        return F.broadcast(df)
+    return df
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
