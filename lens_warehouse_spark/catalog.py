@@ -52,15 +52,20 @@ _ROWCOUNT_CACHE: dict[str, int] = {}
 
 
 def table_rows(sf_dir: str, tname: str) -> int:
-    """Row count from the parquet footer — metadata only, no Spark job.
-    This is exactly the statistic a cluster catalog would serve."""
+    """Row count from parquet footers — metadata only, no Spark job.
+    This is exactly the statistic a cluster catalog would serve.
+
+    Handles both the test layout (one ``<t>.parquet`` file) and the
+    100 TB layout (a date-partitioned directory of part files):
+    ``pyarrow.dataset`` sums fragment footer counts either way.
+    """
     key = f"{sf_dir}/{tname}"
     if key not in _ROWCOUNT_CACHE:
-        import pyarrow.parquet as pq
+        import pyarrow.dataset as ds
 
-        _ROWCOUNT_CACHE[key] = pq.ParquetFile(
-            f"{sf_dir}/{tname}.parquet"
-        ).metadata.num_rows
+        _ROWCOUNT_CACHE[key] = ds.dataset(
+            f"{sf_dir}/{tname}.parquet", format="parquet"
+        ).count_rows()
     return _ROWCOUNT_CACHE[key]
 
 
@@ -69,15 +74,26 @@ def maybe_broadcast(df: DataFrame, sf_dir: str, name: str) -> DataFrame:
     filtered / projected as ``df``).
 
     nation/region keep the hint unconditionally (fixed cardinality).
-    SF-scaling dims get it only while the parquet footer reports fewer
-    than ``BROADCAST_ROW_LIMIT`` rows — true at every test SF, false at
+    SF-scaling dims get it only while the footers report at most
+    ``BROADCAST_ROW_LIMIT`` rows — true at every test SF, false at
     the 100 TB design point, where the plain join lets Catalyst pick
     shuffle-hash/SMJ and AQE still upgrade to broadcast when a selective
     filter shrinks the build side below its own threshold at runtime.
+
+    ``name`` is the *base table* the build side derives from (a filtered
+    or projected subset still gates on its base table's count — an upper
+    bound, so the gate only errs toward the safe non-broadcast side).
+    Dims only: passing a fact table is a contract violation, not a
+    silent no-op.
     """
     if name in FIXED_DIMS:
         return F.broadcast(df)
-    if name in TABLES and table_rows(sf_dir, name) <= BROADCAST_ROW_LIMIT:
+    if name not in SCALING_DIMS:
+        raise KeyError(
+            f"maybe_broadcast is for dims only; got {name!r}, "
+            f"expected one of {sorted(FIXED_DIMS | SCALING_DIMS)}"
+        )
+    if table_rows(sf_dir, name) <= BROADCAST_ROW_LIMIT:
         return F.broadcast(df)
     return df
 

@@ -37,7 +37,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from lens_warehouse_spark.catalog import table
+from lens_warehouse_spark.catalog import maybe_broadcast, table
 
 SUBJECT_KEY = "subject_id"
 
@@ -238,20 +238,8 @@ def compile_tagged(
     return _cnf_gate(union, n, SUBJECT_KEY)
 
 
-_ROWCOUNT_CACHE: dict[str, int] = {}
-
-
-def table_rows(sf_dir: str, tname: str) -> int:
-    """Row count from the parquet footer — metadata only, no Spark job.
-    This is exactly the statistic a cluster catalog would serve."""
-    key = f"{sf_dir}/{tname}"
-    if key not in _ROWCOUNT_CACHE:
-        import pyarrow.parquet as pq
-
-        _ROWCOUNT_CACHE[key] = pq.ParquetFile(
-            f"{sf_dir}/{tname}.parquet"
-        ).metadata.num_rows
-    return _ROWCOUNT_CACHE[key]
+# Canonical footer-stats row count lives in catalog.py (one cache).
+from lens_warehouse_spark.catalog import table_rows  # noqa: E402
 
 
 def estimate_plan_cost(
@@ -566,7 +554,7 @@ def compile_visits_fused(
 
     od = table(spark, sf_dir, "orders")
     cu = table(spark, sf_dir, "customer")
-    base = od.join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
+    base = od.join(maybe_broadcast(cu, sf_dir, "customer"), od.o_custkey == cu.c_custkey)
 
     row_atoms = [(a, t) for a, t in work if not isinstance(a, LineitemAtom)]
     li_atoms = [(a, t) for a, t in work if isinstance(a, LineitemAtom)]

@@ -8,9 +8,11 @@ atoms are semi-joins ("subject HAS a matching data point"), exclusion
 criteria are anti-joins.
 
 Spark-first scale notes:
-- Dims (region/nation/customer/supplier/part) get an explicit
-  ``broadcast()`` hint — at 100 TB the fact side never shuffles for
-  these joins; AQE would usually figure it out, the hint removes doubt.
+- Fixed dims (region/nation) get an explicit ``broadcast()`` hint; the
+  SF-scaling dims (customer/supplier/part) go through the stats-gated
+  ``catalog.maybe_broadcast`` — an explicit hint is never demoted by
+  AQE, so an unconditional hint on a scaling dim would OOM executors at
+  the 100 TB design point.
 - Fact-fact joins (lineitem-orders) are shuffle sort-merge on the join
   key; at scale both sides would be bucketed by orderkey to make this
   shuffle-free. AQE handles skew splitting.
@@ -26,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
-from lens_warehouse_spark.catalog import table
+from lens_warehouse_spark.catalog import maybe_broadcast, table
 from lens_warehouse_spark.operators._helpers import epoch_ms, money_sum, revenue
 from lens_warehouse_spark.registry import register
 
@@ -188,9 +190,9 @@ def j6_star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     re = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     return (
         li.join(od, li.l_orderkey == od.o_orderkey)
-        .join(broadcast(cu), od.o_custkey == cu.c_custkey)
+        .join(maybe_broadcast(cu, sf_dir, "customer"), od.o_custkey == cu.c_custkey)
         .join(
-            broadcast(su),
+            maybe_broadcast(su, sf_dir, "supplier"),
             (li.l_suppkey == su.s_suppkey) & (cu.c_nationkey == su.s_nationkey),
         )
         .join(broadcast(na), su.s_nationkey == na.n_nationkey)

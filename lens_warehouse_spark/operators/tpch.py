@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
-from lens_warehouse_spark.catalog import table
+from lens_warehouse_spark.catalog import maybe_broadcast, table
 from lens_warehouse_spark.operators._helpers import money_sum, revenue
 from lens_warehouse_spark.registry import register
 
@@ -46,7 +46,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
     return (
         li.join(od, li.l_orderkey == od.o_orderkey)
-        .join(broadcast(cu), od.o_custkey == cu.c_custkey)
+        .join(maybe_broadcast(cu, sf_dir, "customer"), od.o_custkey == cu.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(money_sum(revenue()).alias("revenue"))
         .select(
@@ -93,7 +93,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     return (
         li.join(od, li.l_orderkey == od.o_orderkey)
-        .join(broadcast(cu), od.o_custkey == cu.c_custkey)
+        .join(maybe_broadcast(cu, sf_dir, "customer"), od.o_custkey == cu.c_custkey)
         .join(broadcast(na), cu.c_nationkey == na.n_nationkey)
         .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation_name"))
         .agg(money_sum(revenue()).alias("lost_revenue"))
@@ -133,7 +133,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(big, li.l_orderkey == big.big_orderkey, "left_semi")
         .join(od, li.l_orderkey == od.o_orderkey)
-        .join(broadcast(cu), od.o_custkey == cu.c_custkey)
+        .join(maybe_broadcast(cu, sf_dir, "customer"), od.o_custkey == cu.c_custkey)
         .groupBy("o_orderkey", "c_name")
         .agg(F.round(F.sum("l_quantity")).cast("long").alias("total_qty"))
         .orderBy(F.col("total_qty").desc(), "o_orderkey")
@@ -184,8 +184,8 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(od, li.l_orderkey == od.o_orderkey)
-        .join(broadcast(su), li.l_suppkey == su.s_suppkey)
-        .join(broadcast(cu), od.o_custkey == cu.c_custkey)
+        .join(maybe_broadcast(su, sf_dir, "supplier"), li.l_suppkey == su.s_suppkey)
+        .join(maybe_broadcast(cu, sf_dir, "customer"), od.o_custkey == cu.c_custkey)
         .join(broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
         .join(broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
         .filter(pair)
@@ -296,8 +296,8 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("unit_cost") == F.col("best_cost")),
         )
         .drop("bp_partkey", "best_cost")
-        .join(broadcast(pa), F.col("l_partkey") == pa.p_partkey)
-        .join(broadcast(su), F.col("l_suppkey") == su.s_suppkey)
+        .join(maybe_broadcast(pa, sf_dir, "part"), F.col("l_partkey") == pa.p_partkey)
+        .join(maybe_broadcast(su, sf_dir, "supplier"), F.col("l_suppkey") == su.s_suppkey)
         .join(broadcast(na), su.s_nationkey == na.n_nationkey)
         .select(
             "p_partkey",
@@ -339,8 +339,8 @@ def q16_parts_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey")
     )
     return (
-        li.join(broadcast(deny), li.l_suppkey == deny.s_suppkey, "left_anti")
-        .join(broadcast(pa), li.l_partkey == pa.p_partkey)
+        li.join(maybe_broadcast(deny, sf_dir, "supplier"), li.l_suppkey == deny.s_suppkey, "left_anti")
+        .join(maybe_broadcast(pa, sf_dir, "part"), li.l_partkey == pa.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
@@ -378,7 +378,7 @@ def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     su = table(spark, sf_dir, "supplier")
     na = table(spark, sf_dir, "nation")
     vol = (
-        li.join(broadcast(pa), li.l_partkey == pa.p_partkey, "left_semi")
+        li.join(maybe_broadcast(pa, sf_dir, "part"), li.l_partkey == pa.p_partkey, "left_semi")
         .groupBy("l_suppkey")
         .agg(F.sum("l_quantity").alias("qty"))
     )
@@ -386,7 +386,7 @@ def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         vol.join(broadcast(threshold))
         .filter(F.col("qty") > F.col("t"))
-        .join(broadcast(su), F.col("l_suppkey") == su.s_suppkey)
+        .join(maybe_broadcast(su, sf_dir, "supplier"), F.col("l_suppkey") == su.s_suppkey)
         .join(broadcast(na), su.s_nationkey == na.n_nationkey)
         .select(
             "s_suppkey",
@@ -583,9 +583,9 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     re = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     return (
         li.join(od, li.l_orderkey == od.o_orderkey)
-        .join(broadcast(cu), od.o_custkey == cu.c_custkey)
+        .join(maybe_broadcast(cu, sf_dir, "customer"), od.o_custkey == cu.c_custkey)
         .join(
-            broadcast(su),
+            maybe_broadcast(su, sf_dir, "supplier"),
             (li.l_suppkey == su.s_suppkey)
             & (su.s_nationkey == cu.c_nationkey),
         )
@@ -695,7 +695,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     pa = table(spark, sf_dir, "part")
     promo = F.when(F.col("p_type") == "PROMO", revenue()).otherwise(F.lit(0))
     return (
-        li.join(broadcast(pa), li.l_partkey == pa.p_partkey)
+        li.join(maybe_broadcast(pa, sf_dir, "part"), li.l_partkey == pa.p_partkey)
         .agg(
             money_sum(promo).alias("promo_revenue"),
             money_sum(revenue()).alias("total_revenue"),
@@ -736,7 +736,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     su = table(spark, sf_dir, "supplier")
     return (
         rev.join(broadcast(best), rev.total == F.col("best_total"), "left_semi")
-        .join(broadcast(su), F.col("l_suppkey") == su.s_suppkey)
+        .join(maybe_broadcast(su, sf_dir, "supplier"), F.col("l_suppkey") == su.s_suppkey)
         .select(
             "s_suppkey",
             "s_name",
@@ -773,7 +773,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pa = table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
     return (
-        li.join(broadcast(pa), li.l_partkey == pa.p_partkey, "left_semi")
+        li.join(maybe_broadcast(pa, sf_dir, "part"), li.l_partkey == pa.p_partkey, "left_semi")
         .join(pavg, li.l_partkey == F.col("a_partkey"))
         .filter(F.col("l_quantity") < F.col("lim"))
         .agg(
@@ -815,7 +815,7 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
            & F.col("l_quantity").between(20, 40))
     )
     return (
-        li.join(broadcast(pa), li.l_partkey == pa.p_partkey)
+        li.join(maybe_broadcast(pa, sf_dir, "part"), li.l_partkey == pa.p_partkey)
         .filter(cond)
         .agg(
             money_sum(revenue()).alias("revenue"),
@@ -869,11 +869,11 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(od, li.l_orderkey == od.o_orderkey)
-        .join(broadcast(pa), li.l_partkey == pa.p_partkey, "left_semi")
-        .join(broadcast(cu), od.o_custkey == cu.c_custkey)
+        .join(maybe_broadcast(pa, sf_dir, "part"), li.l_partkey == pa.p_partkey, "left_semi")
+        .join(maybe_broadcast(cu, sf_dir, "customer"), od.o_custkey == cu.c_custkey)
         .join(broadcast(n1), cu.c_nationkey == F.col("n1_key"))
         .join(broadcast(re), F.col("n1_region") == re.r_regionkey, "left_semi")
-        .join(broadcast(su), li.l_suppkey == su.s_suppkey)
+        .join(maybe_broadcast(su, sf_dir, "supplier"), li.l_suppkey == su.s_suppkey)
         .join(broadcast(n2), su.s_nationkey == F.col("n2_key"))
         .groupBy(
             F.year(F.col("o_orderdate").cast("timestamp")).alias("o_year")
@@ -931,13 +931,13 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     profit = revenue() - F.col("unit_cost") * F.col("l_quantity")
     return (
         li.join(od, li.l_orderkey == od.o_orderkey)
-        .join(broadcast(pa), li.l_partkey == pa.p_partkey, "left_semi")
+        .join(maybe_broadcast(pa, sf_dir, "part"), li.l_partkey == pa.p_partkey, "left_semi")
         .join(
             bridge,
             (li.l_partkey == F.col("b_partkey"))
             & (li.l_suppkey == F.col("b_suppkey")),
         )
-        .join(broadcast(su), li.l_suppkey == su.s_suppkey)
+        .join(maybe_broadcast(su, sf_dir, "supplier"), li.l_suppkey == su.s_suppkey)
         .join(broadcast(na), su.s_nationkey == na.n_nationkey)
         .groupBy(
             F.col("n_name").alias("nation_name"),

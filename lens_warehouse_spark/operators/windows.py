@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from lens_warehouse_spark.catalog import table
+from lens_warehouse_spark.catalog import maybe_broadcast, table
 from lens_warehouse_spark.operators._helpers import epoch_ms
 from lens_warehouse_spark.registry import register
 
@@ -202,7 +202,7 @@ def o5_top_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice").desc(), F.col("o_orderkey")
     )
     return (
-        od.join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
+        od.join(maybe_broadcast(cu, sf_dir, "customer"), od.o_custkey == cu.c_custkey)
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
         .select(

@@ -1,0 +1,55 @@
+"""Catalog stats-gated broadcast (SURVEY.md §2.3 J2/J6 scale hazard).
+
+An explicit broadcast() hint is never demoted by AQE, so the gate in
+catalog.maybe_broadcast is the only thing standing between a scaling
+dim and a 100 GB build side shipped to every executor. These tests pin
+the gate's three behaviors: hint below the limit, no hint above it,
+KeyError outside the dim contract.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from lens_warehouse_spark import catalog
+from tests.conftest import SF_SMOKE
+
+
+def _has_broadcast_hint(df) -> bool:
+    return "ResolvedHint" in df._jdf.queryExecution().analyzed().toString()
+
+
+def test_fixed_dims_always_hinted(spark):
+    na = catalog.table(spark, SF_SMOKE, "nation")
+    assert _has_broadcast_hint(catalog.maybe_broadcast(na, SF_SMOKE, "nation"))
+
+
+def test_scaling_dim_hinted_below_limit(spark):
+    cu = catalog.table(spark, SF_SMOKE, "customer")
+    assert catalog.table_rows(SF_SMOKE, "customer") <= catalog.BROADCAST_ROW_LIMIT
+    assert _has_broadcast_hint(catalog.maybe_broadcast(cu, SF_SMOKE, "customer"))
+
+
+def test_scaling_dim_not_hinted_above_limit(spark, monkeypatch):
+    """Simulate the 100 TB catalog: footer stats over the limit."""
+    monkeypatch.setitem(
+        catalog._ROWCOUNT_CACHE,
+        f"{SF_SMOKE}/customer",
+        catalog.BROADCAST_ROW_LIMIT + 1,
+    )
+    cu = catalog.table(spark, SF_SMOKE, "customer")
+    out = catalog.maybe_broadcast(cu, SF_SMOKE, "customer")
+    assert not _has_broadcast_hint(out)
+
+
+def test_fact_table_rejected(spark):
+    li = catalog.table(spark, SF_SMOKE, "lineitem")
+    with pytest.raises(KeyError):
+        catalog.maybe_broadcast(li, SF_SMOKE, "lineitem")
+
+
+def test_table_rows_matches_spark_count(spark):
+    for t in ("region", "nation", "customer"):
+        assert catalog.table_rows(SF_SMOKE, t) == catalog.table(
+            spark, SF_SMOKE, t
+        ).count()
