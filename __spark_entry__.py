@@ -11,13 +11,18 @@ adapter over its registry.
 
 from __future__ import annotations
 
+import glob
+import itertools
+import json
 import os
+import re
 import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+_HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _HERE)
 
 from lens_warehouse_spark import registry
 
@@ -29,9 +34,46 @@ def entry(spark: SparkSession) -> DataFrame:
     return registry.QUERIES["q1_pricing_summary"](spark, "/root/testdata/sf0.001")
 
 
+def _already_checked() -> set[str]:
+    """Query names that earned a row in any prior round's driver check."""
+    seen: set[str] = set()
+    for path in glob.glob(os.path.join(_HERE, "CORRECTNESS_r*.json")):
+        try:
+            with open(path) as fh:
+                seen |= set(json.load(fh))
+        except Exception:
+            pass
+    return seen
+
+
+def _coverage_order(names: list[str]) -> list[str]:
+    """Order queries for the driver's first-N sample: round-robin across
+    operator families (the letter prefix: j/w/p/o/f/t/l/x/q/a/u/s) so
+    every SURVEY.md §2 family lands inside any prefix window, and within
+    a family put never-driver-checked, oracle-backed queries first so
+    coverage rotates to unchecked operators each round.
+    """
+    seen = _already_checked()
+    index = {n: i for i, n in enumerate(names)}
+    fams: dict[str, list[str]] = {}
+    for n in names:
+        m = re.match(r"[a-z]+", n)
+        fams.setdefault(m.group(0) if m else n, []).append(n)
+    for fam in fams.values():
+        fam.sort(key=lambda n: (n in seen, n not in registry.ORACLES, index[n]))
+    order = [
+        n
+        for tier in itertools.zip_longest(*fams.values())
+        for n in tier
+        if n is not None
+    ]
+    return order
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    return dict(registry.QUERIES)
+    order = _coverage_order(list(registry.QUERIES))
+    return {n: registry.QUERIES[n] for n in order}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -622,38 +622,13 @@ FROM documents
 """,
 )
 def l26_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from lens_warehouse_spark.operators._helpers import global_rank
 
     docs = table(spark, sf_dir, "documents").select("doc_id")
     key = F.md5(F.concat(F.lit("epoch7:"), F.col("doc_id").cast("string")))
-    # localCheckpoint pins the ranged relation: the offsets branch below
-    # would otherwise re-scan the source and repeat the range shuffle
-    # (range exchanges sample boundaries, so Catalyst can't reuse them);
-    # checkpointed, the corpus is scanned and range-shuffled exactly once
-    # and the offsets pass reads 2 small columns from cached blocks.
-    keyed = (
-        docs.select("doc_id", key.alias("__k"))
-        .repartitionByRange(32, "__k", "doc_id")
-        .withColumn("__p", F.spark_partition_id())
-        .localCheckpoint()
-    )
-    w_local = Window.partitionBy("__p").orderBy("__k", "doc_id")
-    ranked = keyed.withColumn("__r", F.row_number().over(w_local))
-    offsets = (
-        keyed.groupBy("__p")
-        .agg(F.count(F.lit(1)).alias("__n"))
-        .withColumn(
-            "__off",
-            F.sum("__n").over(Window.orderBy("__p")) - F.col("__n"),
-        )
-        .select("__p", "__off")
-    )
-    return (
-        ranked.join(F.broadcast(offsets), "__p")
-        .select(
-            "doc_id",
-            (F.col("__off") + F.col("__r")).cast("long").alias("epoch_pos"),
-        )
+    keyed = docs.select("doc_id", key.alias("__k"))
+    return global_rank(keyed, ["__k", "doc_id"], rank_col="epoch_pos").select(
+        "doc_id", "epoch_pos"
     )
 
 
@@ -716,21 +691,16 @@ def l27_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     with_local = ranked.withColumn("__cum", F.sum("n_tok").over(w_local))
+    # Per-partition token offsets via a triangular self-join over the
+    # P-row totals (P = range partition count, bounded by construction)
+    # — no unpartitioned window anywhere in the plan (same shape as
+    # _helpers.global_rank's offsets).
+    totals = ranked.groupBy("__p").agg(F.sum("n_tok").alias("__t"))
+    prior = totals.select(F.col("__p").alias("__p2"), F.col("__t").alias("__t2"))
     offsets = (
-        ranked.groupBy("__p")
-        .agg(F.sum("n_tok").alias("__t"))
-        .withColumn(
-            "__off",
-            F.coalesce(
-                F.sum("__t").over(
-                    Window.orderBy("__p").rowsBetween(
-                        Window.unboundedPreceding, -1
-                    )
-                ),
-                F.lit(0),
-            ),
-        )
-        .select("__p", "__off")
+        totals.join(F.broadcast(prior), F.col("__p2") < F.col("__p"), "left")
+        .groupBy("__p")
+        .agg(F.coalesce(F.sum("__t2"), F.lit(0)).alias("__off"))
     )
     return (
         with_local.join(F.broadcast(offsets), "__p")

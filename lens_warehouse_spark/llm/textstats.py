@@ -655,9 +655,11 @@ def l11d_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # vs log(rank) over the term-frequency table (natural corpora slope
 # ≈ -1; synthetic/templated corpora deviate — a cheap corpus-health
 # signal next to l5b's aggregate stats). regr_slope is a single
-# partial-aggregable pass on both engines; ranks come from one window
-# over the (tiny) distinct-term table, so the 100 TB cost is the token
-# explode + term groupBy that l7 already pays, nothing more.
+# partial-aggregable pass on both engines. The vocabulary can itself be
+# huge (shingled/BPE vocabularies reach billions), so the freq-desc rank
+# comes from the range-repartitioned global_rank helper, NOT a
+# single-partition Window.orderBy; the remaining 100 TB cost is the
+# token explode + term groupBy that l7 already pays.
 # ---------------------------------------------------------------------------
 @register(
     "l25_zipf_slope",
@@ -676,7 +678,7 @@ FROM ranked
 """,
 )
 def l25_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from lens_warehouse_spark.operators._helpers import global_rank
 
     tf = (
         table(spark, sf_dir, "documents")
@@ -684,10 +686,7 @@ def l25_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
-    ranked = tf.withColumn(
-        "rk",
-        F.row_number().over(Window.orderBy(F.col("freq").desc(), "tok")),
-    )
+    ranked = global_rank(tf, [F.col("freq").desc(), "tok"], rank_col="rk")
     lf = F.log(F.col("freq").cast("double"))
     lr = F.log(F.col("rk").cast("double"))
     return ranked.agg(

@@ -2,8 +2,60 @@
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+def global_rank(
+    df: DataFrame,
+    order_cols: list[Column | str],
+    rank_col: str = "__rank",
+    num_partitions: int = 32,
+) -> DataFrame:
+    """Global 1-based dense row_number over ``order_cols`` WITHOUT the
+    single-partition window a plain ``Window.orderBy`` degenerates to
+    ("Moving all data to a single partition").
+
+    The scale-correct formulation (same as a global sort's machinery):
+    range-repartition on the order key (parallel range shuffle), rank
+    locally per partition, then add broadcast per-partition row-count
+    offsets. offsets + local == global regardless of where the sampled
+    range boundaries fall. ``localCheckpoint`` pins the ranged relation
+    so the offsets pass reads cached blocks instead of repeating the
+    range shuffle (range exchanges sample boundaries, so Catalyst
+    cannot reuse them across branches).
+
+    ``order_cols`` must be a total order (include a unique tiebreaker);
+    the result carries the input columns plus ``rank_col`` (long).
+    """
+    from pyspark.sql import Window
+
+    keyed = (
+        df.repartitionByRange(num_partitions, *order_cols)
+        .withColumn("__p", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    w_local = Window.partitionBy("__p").orderBy(*order_cols)
+    ranked = keyed.withColumn("__r", F.row_number().over(w_local))
+    # Offset of partition p = rows in partitions before p. Computed as a
+    # triangular self-join over the per-partition counts — a relation
+    # with exactly ``num_partitions`` rows, bounded by construction and
+    # never data-sized — so no window (and no single-partition exchange)
+    # appears anywhere in this plan.
+    counts = keyed.groupBy("__p").agg(F.count(F.lit(1)).alias("__n"))
+    prior = counts.select(
+        F.col("__p").alias("__p2"), F.col("__n").alias("__n2")
+    )
+    offsets = (
+        counts.join(F.broadcast(prior), F.col("__p2") < F.col("__p"), "left")
+        .groupBy("__p")
+        .agg(F.coalesce(F.sum("__n2"), F.lit(0)).alias("__off"))
+    )
+    return (
+        ranked.join(F.broadcast(offsets), "__p")
+        .withColumn(rank_col, (F.col("__off") + F.col("__r")).cast("long"))
+        .drop("__p", "__r", "__off")
+    )
 
 
 def as_ts(col: Column | str) -> Column:

@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from lens_warehouse_spark.catalog import maybe_broadcast, table
-from lens_warehouse_spark.operators._helpers import epoch_ms
+from lens_warehouse_spark.operators._helpers import epoch_ms, global_rank
 from lens_warehouse_spark.registry import register
 
 
@@ -122,7 +122,15 @@ def w4_moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# W5: ntile / percent_rank / cume_dist.
+# W5: ntile / percent_rank / cume_dist over a GLOBAL total order. A
+# plain Window.orderBy would move the whole table to one partition
+# ("No Partition Defined for Window!"), so the rank comes from the
+# range-repartitioned global_rank helper (per-partition row_number +
+# broadcast offsets — same parallel machinery as a global sort), and
+# ntile/percent_rank/cume_dist are derived arithmetically from
+# (rank, n): the order key is unique, so rank == row_number and
+# pct_rank = (r-1)/(n-1), cume = r/n, and ntile's first (n mod k)
+# buckets carry the extra row exactly as SQL defines.
 # ---------------------------------------------------------------------------
 @register(
     "w5_distribution",
@@ -136,12 +144,23 @@ WINDOW w AS (ORDER BY c_acctbal, c_custkey)
 """,
 )
 def w5_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    w = Window.orderBy("c_acctbal", "c_custkey")
-    return table(spark, sf_dir, "customer").select(
+    cu = table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    ranked = global_rank(cu, ["c_acctbal", "c_custkey"], rank_col="__gr")
+    total = ranked.agg(F.count(F.lit(1)).alias("__total"))
+    r = F.col("__gr")
+    n = F.col("__total")
+    k = F.lit(4)
+    q = F.floor(n / k).cast("long")
+    rem = (n % k).cast("long")
+    cut = rem * (q + 1)
+    quartile = F.when(r <= cut, F.floor((r - 1) / (q + 1)) + 1).otherwise(
+        rem + F.floor((r - cut - 1) / q) + 1
+    )
+    return ranked.crossJoin(F.broadcast(total)).select(
         "c_custkey",
-        F.ntile(4).over(w).cast("long").alias("quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        quartile.cast("long").alias("quartile"),
+        F.round((r - 1).cast("double") / (n - 1), 6).alias("pct_rank"),
+        F.round(r.cast("double") / n, 6).alias("cume"),
     )
 
 
