@@ -307,3 +307,21 @@ class LensWarehouse:
         from lens_warehouse_spark.llm.vector import l3k_hard_negatives
 
         return l3k_hard_negatives(self.spark, self.sf_dir)
+
+    def asof(self, base_dir: str, t_ms: int) -> DataFrame:
+        """Time-travel read: the versioned table at ``base_dir`` as of
+        ``t_ms`` (s10; Datomic d/as-of parity — manifest resolves the
+        greatest committed snapshot <= t)."""
+        from lens_warehouse_spark.operators.timetravel import asof_read
+
+        return asof_read(self.spark, base_dir, t_ms)
+
+    def decode_codes(self, df: DataFrame, code_col: str) -> DataFrame:
+        """Code-list decode (s11; schema.clj code-list-item parity):
+        resolve enum codes to labels via the broadcast metadata dim."""
+        from lens_warehouse_spark.operators.timetravel import CODE_LIST
+
+        codes = self.spark.createDataFrame(CODE_LIST, "code string, label string")
+        return df.join(
+            F.broadcast(codes), df[code_col] == codes.code, "left"
+        ).drop("code")

@@ -1,0 +1,225 @@
+"""Time-travel reads (S10) and code-list decode (S11).
+
+Reference parity: Datomic gives every peer query free time-travel —
+``(d/as-of db t)`` returns the database as of transaction time t, and
+``d/history`` the full audit trail (public repo src/lens/api.clj uses
+plain ``(d/db conn)`` but the capability is part of the storage
+contract; /root/reference empty, SURVEY.md §0). A warehouse on parquet
+earns the same capability with snapshot versioning: every commit writes
+a new version directory plus a manifest entry (version -> commit
+timestamp), and an as-of read resolves the greatest committed version
+<= t from the manifest — exactly the Iceberg/Delta snapshot-resolution
+model, done here against plain parquet so the mechanism is visible.
+
+Scale notes: manifest resolution is driver-side metadata (O(versions)
+JSON, like Delta's _delta_log); the data read is an ordinary pruned
+parquet scan of ONE version dir — time-travel costs nothing at query
+time. The SCD2 formulation (s10b) is the row-level dual: one
+partitionBy(key) window builds validity intervals once, and any as-of
+state is a map-side interval filter — cheaper than N snapshot copies
+when churn per commit is low (the usual 100 TB trade: snapshot dirs =
+O(full copy) per commit, SCD2 = O(changes)).
+
+The code-list decode (S11) models schema.clj's ``code-list`` /
+``code-list-item`` entities [P src/lens/schema.clj]: enum codes in
+facts resolve to display labels through a metadata dimension. The dim
+is fixed-cardinality metadata (like nation/region), so the broadcast
+hint is unconditional.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lens_warehouse_spark.catalog import table
+from lens_warehouse_spark.operators._helpers import money_sum
+from lens_warehouse_spark.registry import register
+
+# Deterministic commit timeline for the test snapshots (epoch ms).
+_SNAP_COMMITS = {0: 1_000, 1: 2_000, 2: 3_000}
+
+
+def _restated_price(version: int):
+    """Snapshot v's price column — same restatement rules as s8's SCD2
+    snapshots (identical FP expression trees both engines, parity rule
+    5): v1 restates %89 keys *1.1, v2 additionally %55 keys *0.9."""
+    if version == 0:
+        return F.col("o_totalprice")
+    if version == 1:
+        return F.when(
+            F.col("o_orderkey") % 89 == 0, F.col("o_totalprice") * 1.1
+        ).otherwise(F.col("o_totalprice"))
+    return (
+        F.when(F.col("o_orderkey") % 55 == 0, F.col("o_totalprice") * 0.9)
+        .when(F.col("o_orderkey") % 89 == 0, F.col("o_totalprice") * 1.1)
+        .otherwise(F.col("o_totalprice"))
+    )
+
+
+def _snapshot_base(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the versioned table (3 snapshot dirs + manifest) once
+    per (machine, sf_dir); idempotent via the manifest marker."""
+    tag = sf_dir.strip("/").replace("/", "_")
+    base = os.path.join(tempfile.gettempdir(), f"lws_snap_{tag}")
+    manifest = os.path.join(base, "manifest.json")
+    if not os.path.exists(manifest):
+        od = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+        entries = []
+        for v, commit_ms in _SNAP_COMMITS.items():
+            vdir = os.path.join(base, f"v{v}")
+            od.select(
+                "o_orderkey", _restated_price(v).alias("price")
+            ).write.mode("overwrite").parquet(vdir)
+            entries.append({"version": v, "commit_ms": commit_ms, "path": vdir})
+        os.makedirs(base, exist_ok=True)
+        tmp = manifest + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(entries, fh)
+        os.replace(tmp, manifest)  # atomic publish, like a log commit
+    return base
+
+
+def asof_read(spark: SparkSession, base: str, t_ms: int) -> DataFrame:
+    """S10 primitive: read the table as of time ``t_ms`` — resolve the
+    greatest committed version <= t from the manifest (driver-side
+    metadata), then scan only that version's dir."""
+    with open(os.path.join(base, "manifest.json")) as fh:
+        entries = json.load(fh)
+    live = [e for e in entries if e["commit_ms"] <= t_ms]
+    if not live:
+        raise ValueError(f"no snapshot committed at or before t={t_ms}")
+    pick = max(live, key=lambda e: e["commit_ms"])
+    return spark.read.parquet(pick["path"])
+
+
+_S10_ORACLE = """
+WITH snap1 AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 89 = 0 THEN o_totalprice * 1.1
+              ELSE o_totalprice END AS price
+  FROM orders
+)
+SELECT CAST(o_orderkey % 10 AS BIGINT) AS bucket,
+       count(*) AS n_rows,
+       CAST(round(sum(price)) AS BIGINT) AS total_price
+FROM snap1
+GROUP BY 1
+ORDER BY bucket
+"""
+
+
+@register("s10_asof_read", oracle=_S10_ORACLE)
+def s10_asof_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query the warehouse as of t=2500ms — between commit 1 (2000ms)
+    and commit 2 (3000ms), so the manifest resolves snapshot v1; the
+    oracle recomputes v1's state directly from the base table."""
+    base = _snapshot_base(spark, sf_dir)
+    snap = asof_read(spark, base, t_ms=2_500)
+    return (
+        snap.groupBy((F.col("o_orderkey") % 10).cast("long").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            money_sum(F.col("price")).alias("total_price"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@register("s10b_asof_scd2", oracle=_S10_ORACLE)
+def s10b_asof_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The row-level dual of s10: reconstruct the same as-of state from
+    SCD2 validity intervals (s8's machinery) instead of a snapshot copy
+    — state(t) = rows whose [valid_from, valid_to] covers snapshot 1.
+    Identical oracle to s10 proves interval-filter == materialized
+    snapshot."""
+    from pyspark.sql import Window
+
+    od = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    snaps = (
+        od.select(
+            F.lit(0).alias("snap_id"), "o_orderkey",
+            _restated_price(0).alias("price"),
+        )
+        .unionByName(
+            od.select(
+                F.lit(1).alias("snap_id"), "o_orderkey",
+                _restated_price(1).alias("price"),
+            )
+        )
+        .unionByName(
+            od.select(
+                F.lit(2).alias("snap_id"), "o_orderkey",
+                _restated_price(2).alias("price"),
+            )
+        )
+    )
+    w = Window.partitionBy("o_orderkey").orderBy("snap_id")
+    versions = snaps.withColumn(
+        "is_start",
+        F.when(
+            F.lag("price").over(w).isNull()
+            | (F.col("price") != F.lag("price").over(w)),
+            1,
+        ).otherwise(0),
+    ).filter(F.col("is_start") == 1)
+    asof = versions.withColumn(
+        "valid_to", F.coalesce(F.lead("snap_id").over(w) - 1, F.lit(999))
+    ).filter((F.col("snap_id") <= 1) & (F.col("valid_to") >= 1))
+    return (
+        asof.groupBy((F.col("o_orderkey") % 10).cast("long").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            money_sum(F.col("price")).alias("total_price"),
+        )
+        .orderBy("bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# S11: code-list decode — enum codes resolve to labels via a metadata
+# dimension [P src/lens/schema.clj code-list / code-list-item]. The dim
+# rows live in code (they are schema, not data), become a DataFrame,
+# and ride an unconditional broadcast join (fixed cardinality, the
+# nation/region regime — not a scaling dim, so no stats gate needed).
+# ---------------------------------------------------------------------------
+CODE_LIST = [
+    ("1-URGENT", "Urgent"),
+    ("2-HIGH", "High"),
+    ("3-MEDIUM", "Medium"),
+    ("4-NOT SPECIFIED", "Not specified"),
+    ("5-LOW", "Low"),
+]
+
+
+@register(
+    "s11_codelist_decode",
+    oracle="""
+WITH code_list(code, label) AS (
+  VALUES ('1-URGENT', 'Urgent'), ('2-HIGH', 'High'), ('3-MEDIUM', 'Medium'),
+         ('4-NOT SPECIFIED', 'Not specified'), ('5-LOW', 'Low')
+)
+SELECT cl.label, count(*) AS n_orders,
+       CAST(round(sum(o.o_totalprice)) AS BIGINT) AS total_price
+FROM orders o
+JOIN code_list cl ON o.o_orderpriority = cl.code
+GROUP BY cl.label
+ORDER BY cl.label
+""",
+)
+def s11_codelist_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    codes = spark.createDataFrame(CODE_LIST, "code string, label string")
+    od = table(spark, sf_dir, "orders")
+    return (
+        od.join(F.broadcast(codes), od.o_orderpriority == codes.code)
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            money_sum(F.col("o_totalprice")).alias("total_price"),
+        )
+        .orderBy("label")
+    )

@@ -65,6 +65,7 @@ def load_all() -> None:
         joins,
         relational,
         timeseries,
+        timetravel,
         tpch,
         udfs,
         windows,

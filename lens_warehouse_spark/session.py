@@ -32,6 +32,10 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", shuffle)
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # Parquet reader discipline (see catalog._ensure_reader_conf —
+        # the catalog re-applies these for driver-provided sessions):
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .getOrCreate()

@@ -38,7 +38,17 @@ def _staged_events(spark: SparkSession, sf_dir: str) -> str:
     # Fingerprint the source file so a staging dir left in /tmp by a run
     # against an older generation of the testdata is never reused.
     tag = f"{sf_dir.strip('/').replace('/', '_')}_{st.st_size}_{int(st.st_mtime)}"
+    prefix = f"lws_events_{sf_dir.strip('/').replace('/', '_')}"
     out = os.path.join(tempfile.gettempdir(), f"lws_events_{tag}")
+    # Evict staging dirs for older generations of the same source (their
+    # fingerprints no longer match) so /tmp doesn't accumulate one copy
+    # per testdata refresh.
+    import glob
+    import shutil
+
+    for stale in glob.glob(os.path.join(tempfile.gettempdir(), f"{prefix}*")):
+        if stale != out:
+            shutil.rmtree(stale, ignore_errors=True)
     marker = os.path.join(out, "_SUCCESS")
     if not os.path.exists(marker):
         table(spark, sf_dir, "events").write.mode("overwrite").parquet(out)

@@ -1,0 +1,43 @@
+"""S10 time-travel semantics: manifest snapshot resolution boundaries."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from lens_warehouse_spark.operators.timetravel import (
+    _SNAP_COMMITS,
+    _snapshot_base,
+    asof_read,
+)
+from tests.conftest import SF_SMOKE
+
+
+def test_asof_resolves_each_commit_boundary(spark):
+    base = _snapshot_base(spark, SF_SMOKE)
+    # Exactly-at-commit reads that version; between commits reads the
+    # floor; far future reads the latest.
+    sums = {}
+    for v, t in _SNAP_COMMITS.items():
+        sums[v] = asof_read(spark, base, t).agg(F.sum("price")).first()[0]
+    assert sums[0] != sums[1] != sums[2]
+    between = asof_read(spark, base, 2_500).agg(F.sum("price")).first()[0]
+    assert between == sums[1]
+    future = asof_read(spark, base, 10**12).agg(F.sum("price")).first()[0]
+    assert future == sums[2]
+
+
+def test_asof_before_first_commit_raises(spark):
+    base = _snapshot_base(spark, SF_SMOKE)
+    with pytest.raises(ValueError):
+        asof_read(spark, base, 999)
+
+
+def test_engine_facade_asof_and_decode(spark):
+    from lens_warehouse_spark.engine import LensWarehouse
+
+    lw = LensWarehouse(spark, SF_SMOKE)
+    base = _snapshot_base(spark, SF_SMOKE)
+    assert lw.asof(base, 2_000).count() > 0
+    decoded = lw.decode_codes(lw.table("orders"), "o_orderpriority")
+    assert decoded.filter(F.col("label").isNull()).count() == 0
