@@ -37,6 +37,10 @@ def get_spark(
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # FAIR scheduling so concurrent query streams (bench throughput
+        # run, any multi-tenant caller) share executors instead of
+        # FIFO head-of-line blocking. No effect on single-stream runs.
+        .config("spark.scheduler.mode", "FAIR")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
