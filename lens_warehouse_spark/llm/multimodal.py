@@ -32,13 +32,75 @@ from lens_warehouse_spark.catalog import table
 from lens_warehouse_spark.registry import register
 
 
-def decode_image(blob: bytes) -> object:
-    """Decode an image payload. STUB: no media libs in this container.
+def sniff_media(blob: bytes) -> tuple[str, int | None, int | None]:
+    """Pure-Python magic-byte sniff: (format, width, height).
 
-    Real deployments: ``PIL.Image.open(io.BytesIO(blob))`` here; the
-    surrounding mapInPandas plumbing is already batch-correct.
+    No media libraries exist in this container, so instead of raising,
+    the decode path does the part that needs no codec: recognize the
+    container from its magic bytes and parse dimensions out of the
+    header with ``struct`` — PNG (IHDR), GIF (logical screen), BMP
+    (BITMAPINFOHEADER), JPEG (SOF segment walk), plus WAV/OGG/PDF
+    detection without dimensions. Unknown formats return
+    ``("unknown", None, None)`` rather than raising: a 100 TB corpus
+    always contains garbage rows, and a decode stage that throws on
+    them kills the whole task.
     """
-    raise NotImplementedError("media codecs unavailable in this environment")
+    import struct
+
+    b = bytes(blob)
+    if b[:8] == b"\x89PNG\r\n\x1a\n" and len(b) >= 24:
+        w, h = struct.unpack(">II", b[16:24])
+        return ("png", w, h)
+    if b[:6] in (b"GIF87a", b"GIF89a") and len(b) >= 10:
+        w, h = struct.unpack("<HH", b[6:10])
+        return ("gif", w, h)
+    if b[:2] == b"BM" and len(b) >= 26:
+        w, h = struct.unpack("<ii", b[18:26])
+        return ("bmp", w, abs(h))
+    if b[:3] == b"\xff\xd8\xff":
+        # JPEG: walk segments to a start-of-frame (SOF0..SOF15 except
+        # DHT/DAC/RST markers) and read height/width from it.
+        i = 2
+        while i + 9 < len(b):
+            if b[i] != 0xFF:
+                i += 1
+                continue
+            marker = b[i + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2
+                continue
+            seg_len = struct.unpack(">H", b[i + 2 : i + 4])[0]
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                h, w = struct.unpack(">HH", b[i + 5 : i + 9])
+                return ("jpeg", w, h)
+            i += 2 + seg_len
+        return ("jpeg", None, None)
+    if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+        return ("wav", None, None)
+    if b[:4] == b"OggS":
+        return ("ogg", None, None)
+    if b[:5] == b"%PDF-":
+        return ("pdf", None, None)
+    return ("unknown", None, None)
+
+
+def decode_image(blob: bytes) -> tuple[str, int | None, int | None]:
+    """Decode an image payload as far as this container allows.
+
+    Real deployments: ``PIL.Image.open(io.BytesIO(blob))`` for pixel
+    access; here the pure-Python header sniff supplies format and
+    dimensions so decode-dependent stages execute instead of raising
+    (pixel-level transforms remain stubbed — see ``resize_image``).
+    """
+    try:
+        import io
+
+        from PIL import Image  # type: ignore[import-not-found]
+
+        img = Image.open(io.BytesIO(bytes(blob)))
+        return (img.format.lower() if img.format else "unknown", *img.size)
+    except ImportError:
+        return sniff_media(blob)
 
 
 def multimodal_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -264,6 +326,85 @@ def l8e_blob_manifest_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("asset_bytes") > 512)
         .select("doc_id", "store_node", "asset_bytes", "n_chars")
     )
+
+
+# ---------------------------------------------------------------------------
+# L8f: media header decode — the sniff path executing for real. Each
+# row synthesizes a VALID format header (PNG IHDR / GIF screen / BMP
+# DIB / JPEG SOF0 walk) with dimensions derived from doc_id, and the
+# mapInPandas stage parses them back out with decode_image's
+# pure-Python sniffer; every 5th row carries raw text bytes and must
+# come back 'unknown' instead of killing the task. The oracle recomputes
+# the expected (fmt, width, height) from the same doc_id arithmetic.
+# ---------------------------------------------------------------------------
+def _synth_media_blob(doc_id: int, text: str) -> bytes:
+    import struct
+
+    w = doc_id % 640 + 1
+    h = doc_id % 480 + 1
+    kind = doc_id % 5
+    if kind == 0:
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + struct.pack(">I", 13)
+            + b"IHDR"
+            + struct.pack(">II", w, h)
+        )
+    if kind == 1:
+        return b"GIF89a" + struct.pack("<HH", w, h)
+    if kind == 2:
+        return b"BM" + b"\x00" * 16 + struct.pack("<ii", w, h)
+    if kind == 3:
+        return (
+            b"\xff\xd8"
+            + b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+            + b"\xff\xc0" + struct.pack(">H", 17) + b"\x08"
+            + struct.pack(">HH", h, w) + b"\x03" + b"\x00" * 9
+        )
+    return text.encode("utf-8")
+
+
+@register(
+    "l8f_media_sniff",
+    oracle="""
+SELECT doc_id,
+       CASE CAST(doc_id % 5 AS INT)
+            WHEN 0 THEN 'png' WHEN 1 THEN 'gif' WHEN 2 THEN 'bmp'
+            WHEN 3 THEN 'jpeg' ELSE 'unknown' END AS fmt,
+       CASE WHEN doc_id % 5 <= 3 THEN CAST(doc_id % 640 + 1 AS INT) END AS width,
+       CASE WHEN doc_id % 5 <= 3 THEN CAST(doc_id % 480 + 1 AS INT) END AS height
+FROM documents
+""",
+)
+def l8f_media_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    out_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("fmt", StringType()),
+            StructField("width", IntegerType()),
+            StructField("height", IntegerType()),
+        ]
+    )
+
+    def sniff_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded = [
+                decode_image(_synth_media_blob(int(d), t))
+                for d, t in zip(pdf["doc_id"], pdf["text"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "fmt": pd.Series([f for f, _, _ in decoded], dtype="object"),
+                    "width": pd.Series([w for _, w, _ in decoded], dtype="Int32"),
+                    "height": pd.Series([h for _, _, h in decoded], dtype="Int32"),
+                }
+            )
+
+    return docs.mapInPandas(sniff_batch, out_schema)
 
 
 def resize_image(blob: bytes, width: int, height: int) -> bytes:
