@@ -308,6 +308,13 @@ class LensWarehouse:
 
         return l3k_hard_negatives(self.spark, self.sf_dir)
 
+    def semantic_dedup(self) -> DataFrame:
+        """Embedding-space near-dup removal, SemDeDup-style (l29):
+        IVF-cell clustering bounds pairwise similarity to within-cell."""
+        from lens_warehouse_spark.llm.vector import l29_semantic_dedup
+
+        return l29_semantic_dedup(self.spark, self.sf_dir)
+
     def asof(self, base_dir: str, t_ms: int) -> DataFrame:
         """Time-travel read: the versioned table at ``base_dir`` as of
         ``t_ms`` (s10; Datomic d/as-of parity — manifest resolves the

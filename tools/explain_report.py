@@ -138,6 +138,38 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         ("keep-first partially aggregated", "HashAggregate"),
         ("column pruning to doc_id+text", "ReadSchema: struct<doc_id:bigint,text:string>"),
     ],
+    "s10_asof_read": [
+        ("as-of reads ONE resolved snapshot dir, no union of versions", "!Union"),
+        ("partial aggregation", "HashAggregate"),
+    ],
+    "s11_codelist_decode": [
+        ("code-list dim broadcast", "BroadcastHashJoin"),
+        ("no shuffle of the fact side before agg", "!SortMergeJoin"),
+    ],
+    # global_rank's range exchange executes inside the localCheckpoint,
+    # so downstream plans show the pinned relation (Scan ExistingRDD) —
+    # the assertion is "partitioned window over the checkpoint, no
+    # unpartitioned WindowExec over the raw table".
+    "w5_distribution": [
+        ("rank over the pinned ranged relation", "Scan ExistingRDD"),
+        ("offsets joined back via broadcast", "BroadcastHashJoin"),
+    ],
+    "l25_zipf_slope": [
+        ("rank over the pinned ranged relation", "Scan ExistingRDD"),
+        ("tf partially aggregated", "HashAggregate"),
+    ],
+    "l29_semantic_dedup": [
+        ("within-cell self-join is a hash join, not cartesian", "!CartesianProduct"),
+        ("no row-at-a-time python", "!BatchEvalPython"),
+    ],
+    "l8f_media_sniff": [
+        ("decode runs as Arrow batches", "MapInPandas"),
+        ("column pruning to doc_id+text", "ReadSchema: struct<doc_id:bigint,text:string>"),
+    ],
+    "s12_partitioned_scan": [
+        ("partition pruning at the scan", "PartitionFilters: [isnotnull(event_date"),
+        ("partial aggregation", "HashAggregate"),
+    ],
     "a18_hll_rollup": [
         ("sketch partials combine map-side", "ObjectHashAggregate"),
         ("no python anywhere", "!BatchEvalPython"),
