@@ -861,3 +861,63 @@ def l29_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dup_vec_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# L30: semantic decontamination — the embedding-space complement of
+# l16's n-gram benchmark decontamination: corpus items whose embedding
+# is too close to ANY benchmark item are contamination suspects even
+# when no n-gram overlaps (paraphrased eval questions). Same scale
+# shape as l3k/l29: the benchmark set is small and broadcast, the
+# corpus side never shuffles — one map-side cross-score + per-item
+# argmax. Benchmark membership is deterministic (vec_id % 97 == 0,
+# mirroring l16's bench_mod convention) so the whole op is
+# oracle-checkable.
+# ---------------------------------------------------------------------------
+_DECONTAM_TAU = 0.25
+
+
+@register(
+    "l30_semantic_decontamination",
+    oracle=f"""
+WITH bench AS (
+  SELECT vec_id AS bench_id, embedding AS b_emb FROM embeddings WHERE vec_id % 97 = 0
+), corpus AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 97 <> 0
+), scored AS (
+  SELECT c.vec_id, b.bench_id,
+         round({_DOT_SQL.format(a='c.embedding', b='b.b_emb')}, 6) AS cos,
+         row_number() OVER (
+           PARTITION BY c.vec_id
+           ORDER BY round({_DOT_SQL.format(a='c.embedding', b='b.b_emb')}, 6) DESC, b.bench_id
+         ) AS rn
+  FROM corpus c CROSS JOIN bench b
+)
+SELECT vec_id, CAST(bench_id AS BIGINT) AS nearest_bench_id, cos AS max_cos
+FROM scored
+WHERE rn = 1 AND cos >= {_DECONTAM_TAU}
+ORDER BY vec_id
+""",
+)
+def l30_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    bench = emb.filter(F.col("vec_id") % 97 == 0).select(
+        F.col("vec_id").alias("bench_id"), F.col("embedding").alias("b_emb")
+    )
+    corpus = emb.filter(F.col("vec_id") % 97 != 0)
+    scored = corpus.crossJoin(F.broadcast(bench)).select(
+        "vec_id",
+        "bench_id",
+        F.round(dot("embedding", "b_emb"), 6).alias("cos"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), "bench_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("cos") >= _DECONTAM_TAU))
+        .select(
+            "vec_id",
+            F.col("bench_id").cast("long").alias("nearest_bench_id"),
+            F.col("cos").alias("max_cos"),
+        )
+        .orderBy("vec_id")
+    )

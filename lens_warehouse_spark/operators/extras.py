@@ -300,9 +300,12 @@ ORDER BY fmt
 """,
 )
 def s3b_multiformat_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lens_warehouse_spark.operators.timetravel import _staging_tag
+
     ev = table(spark, sf_dir, "events").select("event_id", "value")
-    tag = sf_dir.strip("/").replace("/", "_")
-    base = os.path.join(tempfile.gettempdir(), f"lws_fmt_{tag}")
+    base = os.path.join(
+        tempfile.gettempdir(), f"lws_fmt_{_staging_tag(sf_dir, 'events')}"
+    )
     outs = []
     for fmt in ("csv", "json", "orc"):
         path = os.path.join(base, fmt)
@@ -622,9 +625,12 @@ FROM events
 """,
 )
 def s9_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lens_warehouse_spark.operators.timetravel import _staging_tag
+
     ev = table(spark, sf_dir, "events")
-    tag = sf_dir.strip("/").replace("/", "_")
-    base = os.path.join(tempfile.gettempdir(), f"lws_evo_{tag}")
+    base = os.path.join(
+        tempfile.gettempdir(), f"lws_evo_{_staging_tag(sf_dir, 'events')}"
+    )
     b1, b2 = os.path.join(base, "b1"), os.path.join(base, "b2")
     if not os.path.exists(os.path.join(b2, "_SUCCESS")):
         ev.filter(F.col("event_id") % 2 == 0).select("event_id", "value").write.mode(

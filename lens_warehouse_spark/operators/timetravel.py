@@ -61,11 +61,23 @@ def _restated_price(version: int):
     )
 
 
+def _staging_tag(sf_dir: str, source_table: str) -> str:
+    """Staging-dir tag fingerprinting the SOURCE file (size+mtime), so a
+    staging dir left behind by a run against an older generation of the
+    testdata is never reused against a fresh oracle."""
+    st = os.stat(os.path.join(sf_dir, f"{source_table}.parquet"))
+    return (
+        f"{sf_dir.strip('/').replace('/', '_')}"
+        f"_{source_table}_{st.st_size}_{int(st.st_mtime)}"
+    )
+
+
 def _snapshot_base(spark: SparkSession, sf_dir: str) -> str:
     """Materialize the versioned table (3 snapshot dirs + manifest) once
     per (machine, sf_dir); idempotent via the manifest marker."""
-    tag = sf_dir.strip("/").replace("/", "_")
-    base = os.path.join(tempfile.gettempdir(), f"lws_snap_{tag}")
+    base = os.path.join(
+        tempfile.gettempdir(), f"lws_snap_{_staging_tag(sf_dir, 'orders')}"
+    )
     manifest = os.path.join(base, "manifest.json")
     if not os.path.exists(manifest):
         od = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
@@ -204,8 +216,9 @@ ORDER BY event_type
 """,
 )
 def s12_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    tag = sf_dir.strip("/").replace("/", "_")
-    out = os.path.join(tempfile.gettempdir(), f"lws_evpart_{tag}")
+    out = os.path.join(
+        tempfile.gettempdir(), f"lws_evpart_{_staging_tag(sf_dir, 'events')}"
+    )
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
         ev = table(spark, sf_dir, "events")
         (
