@@ -283,3 +283,102 @@ def s11_codelist_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# S13: incremental materialized-view maintenance — the 100 TB answer to
+# "keep revenue-per-status current without rescanning orders": apply a
+# CDC change set (s7's derived I/U/D snapshot delta) to the
+# pre-aggregated MV. Each changed key contributes -old and +new to its
+# group; the delta aggregate (tiny: one row per touched group) merges
+# into the base MV with a full-outer join. The oracle recomputes the MV
+# directly from the new snapshot, proving maintained == recomputed —
+# the correctness contract incremental view maintenance must satisfy.
+# Scale: the delta path touches only changed keys (the CDC stream), the
+# base MV is group-cardinality-sized; the fact table is never rescanned.
+# ---------------------------------------------------------------------------
+@register(
+    "s13_incremental_mv",
+    oracle="""
+WITH new AS (
+  SELECT o_orderkey, o_orderstatus,
+         CASE WHEN o_orderkey % 89 = 0 THEN o_totalprice * 1.1
+              ELSE o_totalprice END AS price
+  FROM orders WHERE o_orderkey % 97 <> 0
+  UNION ALL
+  SELECT -o_orderkey, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey % 101 = 0
+)
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(round(sum(price)) AS BIGINT) AS revenue
+FROM new
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+)
+def s13_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    # Base MV over the OLD snapshot (in production: the stored MV).
+    mv_base = od.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("o_totalprice").alias("rev")
+    )
+    # CDC change set (same derivation as s7): deletes (%97), updates
+    # (%89 restated), inserts (%101 as negative keys). Every changed key
+    # contributes -old and +new to its group; unchanged keys never enter.
+    deleted = od.filter(F.col("o_orderkey") % 97 == 0)
+    updated = od.filter(
+        (F.col("o_orderkey") % 89 == 0) & (F.col("o_orderkey") % 97 != 0)
+    )
+    inserted = od.filter(F.col("o_orderkey") % 101 == 0).select(
+        (-F.col("o_orderkey")).alias("o_orderkey"),
+        "o_orderstatus",
+        "o_totalprice",
+    )
+    contributions = (
+        deleted.select(
+            "o_orderstatus", F.lit(-1).alias("dn"),
+            (-F.col("o_totalprice")).alias("dv"),
+        )
+        .unionByName(
+            updated.select(
+                "o_orderstatus", F.lit(-1).alias("dn"),
+                (-F.col("o_totalprice")).alias("dv"),
+            )
+        )
+        .unionByName(
+            updated.select(
+                "o_orderstatus", F.lit(1).alias("dn"),
+                (F.col("o_totalprice") * 1.1).alias("dv"),
+            )
+        )
+        .unionByName(
+            inserted.select(
+                "o_orderstatus", F.lit(1).alias("dn"),
+                F.col("o_totalprice").alias("dv"),
+            )
+        )
+    )
+    delta = contributions.groupBy("o_orderstatus").agg(
+        F.sum("dn").alias("dn"), F.sum("dv").alias("dv")
+    )
+    merged = mv_base.alias("b").join(
+        delta.alias("d"), "o_orderstatus", "full_outer"
+    )
+    return (
+        merged.select(
+            "o_orderstatus",
+            (
+                F.coalesce(F.col("n"), F.lit(0))
+                + F.coalesce(F.col("dn"), F.lit(0))
+            ).cast("long").alias("n_orders"),
+            F.round(
+                F.coalesce(F.col("rev"), F.lit(0.0))
+                + F.coalesce(F.col("dv"), F.lit(0.0))
+            ).cast("long").alias("revenue"),
+        )
+        .filter(F.col("n_orders") > 0)
+        .orderBy("o_orderstatus")
+    )

@@ -74,6 +74,57 @@ def cohort_from_json(obj: dict[str, Any]) -> CohortQuery:
     return CohortQuery(disjunctions=tuple(disjunctions), exclusions=exclusions)
 
 
+def hal_page(
+    rows: list,
+    base_href: str,
+    page_size: int,
+    after: Any | None = None,
+    next_token: Any | None = None,
+) -> dict[str, Any]:
+    """Render one paginated page as a HAL hypermedia document — the wire
+    shape the reference's Liberator resources serve (``_links`` with
+    self/next/first hrefs, ``_embedded`` items; public repo
+    src/lens/handler.clj + util.clj hypermedia helpers; /root/reference
+    empty, SURVEY.md §0). The ``next`` link carries the keyset
+    continuation token from :func:`paginate`, so a client walks the
+    collection purely by following links — no offset arithmetic
+    client-side, no OFFSET scans server-side.
+    """
+    from urllib.parse import urlencode
+
+    def href(tok: Any | None) -> str:
+        params: dict[str, Any] = {"page-size": page_size}
+        if tok is not None:
+            params["after"] = tok
+        return f"{base_href}?{urlencode(params)}"
+
+    links: dict[str, Any] = {
+        "self": {"href": href(after)},
+        "first": {"href": href(None)},
+    }
+    if next_token is not None:
+        links["next"] = {"href": href(next_token)}
+    return {
+        "_links": links,
+        "_embedded": {
+            "items": [r.asDict() if hasattr(r, "asDict") else dict(r) for r in rows]
+        },
+        "count": len(rows),
+    }
+
+
+def paginate_hal(
+    df: DataFrame,
+    key_col: str,
+    page_size: int,
+    base_href: str,
+    after: Any | None = None,
+) -> dict[str, Any]:
+    """EP-2 end-to-end: one keyset page rendered as a HAL document."""
+    rows, next_token = paginate(df, key_col, page_size, after)
+    return hal_page(rows, base_href, page_size, after, next_token)
+
+
 def paginate(
     df: DataFrame,
     key_col: str,

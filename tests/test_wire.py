@@ -57,3 +57,22 @@ def test_keyset_pagination_walks_everything_once(spark):
     assert pages == 4  # 150 rows / 40
     assert seen == sorted(seen)
     assert len(seen) == len(set(seen)) == 150
+
+
+def test_hal_page_links_walk_the_collection(spark):
+    from lens_warehouse_spark.operators.wire import paginate_hal
+
+    df = spark.read.parquet(f"{SF}/region.parquet")
+    doc = paginate_hal(df, "r_regionkey", 2, "/regions")
+    assert doc["_links"]["self"]["href"] == "/regions?page-size=2"
+    assert doc["count"] == 2
+    assert "next" in doc["_links"]
+    # follow the next link's token: 5 regions -> pages of 2, 2, 1
+    seen = [it["r_regionkey"] for it in doc["_embedded"]["items"]]
+    while "next" in doc["_links"]:
+        href = doc["_links"]["next"]["href"]
+        after = int(href.split("after=")[1])
+        doc = paginate_hal(df, "r_regionkey", 2, "/regions", after=after)
+        seen += [it["r_regionkey"] for it in doc["_embedded"]["items"]]
+    assert sorted(seen) == [0, 1, 2, 3, 4]
+    assert doc["_links"]["first"]["href"] == "/regions?page-size=2"
