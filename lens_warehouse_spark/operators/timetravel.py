@@ -382,3 +382,70 @@ def s13_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_orders") > 0)
         .orderBy("o_orderstatus")
     )
+
+
+# ---------------------------------------------------------------------------
+# S14: bucketed co-located fact-fact join on the graded path — the
+# layout SCALE.md's shuffle inventory assumes ("zero with the bucketed
+# layout"). lineitem and orders are staged ONCE as bucketed tables
+# (8 buckets on the join key, sorted within buckets); the join then
+# needs no exchange on either side — the plan shows SortMergeJoin with
+# no hashpartitioning shuffle feeding it (asserted in PLANS.md). The
+# merge hint pins SMJ so the demonstration doesn't silently degrade to
+# a broadcast at small SFs. Oracle computes the same aggregate from the
+# raw unbucketed tables, proving layout transparency.
+# ---------------------------------------------------------------------------
+@register(
+    "s14_bucketed_join",
+    oracle="""
+SELECT o.o_orderstatus,
+       count(*) AS n_items,
+       CAST(round(sum(l.l_extendedprice)) AS BIGINT) AS total_price
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderstatus
+ORDER BY o.o_orderstatus
+""",
+)
+def s14_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    loc = os.path.join(
+        tempfile.gettempdir(), f"lws_bucketdb_{_staging_tag(sf_dir, 'orders')}"
+    )
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS lws_bucket LOCATION '{loc}'")
+    # Bucket metadata lives in the session catalog, not the files — a
+    # fresh process must re-stage even if a prior process left the
+    # managed location behind (saveAsTable refuses to adopt it).
+    import shutil
+
+    if not spark.catalog.tableExists("lws_bucket.orders_b"):
+        shutil.rmtree(os.path.join(loc, "orders_b"), ignore_errors=True)
+        (
+            table(spark, sf_dir, "orders")
+            .select("o_orderkey", "o_orderstatus")
+            .write.mode("overwrite")
+            .bucketBy(8, "o_orderkey")
+            .sortBy("o_orderkey")
+            .saveAsTable("lws_bucket.orders_b")
+        )
+    if not spark.catalog.tableExists("lws_bucket.lineitem_b"):
+        shutil.rmtree(os.path.join(loc, "lineitem_b"), ignore_errors=True)
+        (
+            table(spark, sf_dir, "lineitem")
+            .select("l_orderkey", "l_extendedprice")
+            .write.mode("overwrite")
+            .bucketBy(8, "l_orderkey")
+            .sortBy("l_orderkey")
+            .saveAsTable("lws_bucket.lineitem_b")
+        )
+    li = spark.table("lws_bucket.lineitem_b")
+    od = spark.table("lws_bucket.orders_b")
+    return (
+        li.hint("merge")
+        .join(od, li.l_orderkey == od.o_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("l_extendedprice")).cast("long").alias("total_price"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -170,6 +170,12 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         ("partition pruning at the scan", "PartitionFilters: [isnotnull(event_date"),
         ("partial aggregation", "HashAggregate"),
     ],
+    "s14_bucketed_join": [
+        ("co-located sort-merge join", "SortMergeJoin"),
+        ("no shuffle on the lineitem side", "!Exchange hashpartitioning(l_orderkey"),
+        ("no shuffle on the orders side", "!Exchange hashpartitioning(o_orderkey"),
+        ("bucketed scan", "SelectedBucketsCount"),
+    ],
     "a18_hll_rollup": [
         ("sketch partials combine map-side", "ObjectHashAggregate"),
         ("no python anywhere", "!BatchEvalPython"),
