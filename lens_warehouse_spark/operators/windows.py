@@ -237,7 +237,11 @@ def o5_top_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 # deterministic total order (unique key tiebreak per the module parity
 # discipline). percent_rank/cume_dist are exact small-integer ratios;
 # both engines evaluate (rank-1)/(n-1) and rank/n identically, rounded
-# to 6 for the wire.
+# to 6 for the wire. The unpartitioned window here is INTENTIONAL and
+# bounded: the input is pre-filtered to o_custkey < 50 (a per-entity
+# report, constant-sized at any SF), and the point of w7 is exercising
+# the NATIVE rank functions — the scale-safe derived form over
+# unbounded inputs is w5_distribution (global_rank + arithmetic).
 # ---------------------------------------------------------------------------
 @register(
     "w7_rank_family",
