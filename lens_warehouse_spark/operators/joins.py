@@ -401,3 +401,74 @@ def j10_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("key_a", "key_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# J11: binned interval join — the scale rewrite of a time-range theta
+# join. A naive "point BETWEEN start AND end" join with no equi key
+# plans as BroadcastNestedLoopJoin (fine only while one side is tiny —
+# that's J7). When BOTH sides are large, the standard technique is
+# binning: explode each interval into the day bins it spans, bin each
+# point by its own day, equi-join on the bin, then re-check exact
+# containment as a residual filter. A point lives in exactly ONE bin,
+# so no pair dedup is needed, and the join is an ordinary hash/SMJ on
+# the bin key — shuffle O(points + interval-days), never a nested
+# loop. The oracle runs the plain theta join, proving the rewrite.
+# ---------------------------------------------------------------------------
+@register(
+    "j11_binned_interval_join",
+    oracle="""
+SELECT o.o_orderpriority,
+       count(*) AS n_pairs,
+       CAST(count(DISTINCT o.o_orderkey) AS BIGINT) AS n_intervals
+FROM orders o
+JOIN lineitem l
+  ON l.l_shipdate >= o.o_orderdate
+ AND l.l_shipdate <  o.o_orderdate + INTERVAL 3 DAY
+WHERE o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+  AND o.o_orderdate >= TIMESTAMP '1997-03-01 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
+GROUP BY o.o_orderpriority
+ORDER BY o.o_orderpriority
+""",
+)
+def j11_binned_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    iv = (
+        table(spark, sf_dir, "orders")
+        .filter(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+            & (F.col("o_orderdate") >= F.lit("1997-03-01 00:00:00").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+        )
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.col("o_orderdate").cast("timestamp").alias("start_ts"),
+        )
+        .withColumn(
+            "bin",
+            F.explode(
+                F.sequence(
+                    F.to_date("start_ts"),
+                    F.date_add(F.to_date("start_ts"), 3),
+                )
+            ),
+        )
+    )
+    pts = table(spark, sf_dir, "lineitem").select(
+        F.col("l_shipdate").cast("timestamp").alias("ship_ts"),
+        F.to_date(F.col("l_shipdate").cast("timestamp")).alias("bin"),
+    )
+    return (
+        pts.join(iv, "bin")
+        .filter(
+            (F.col("ship_ts") >= F.col("start_ts"))
+            & (F.col("ship_ts") < F.col("start_ts") + F.expr("INTERVAL 3 DAYS"))
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.countDistinct("o_orderkey").alias("n_intervals"),
+        )
+        .orderBy("o_orderpriority")
+    )

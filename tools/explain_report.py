@@ -170,6 +170,11 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         ("partition pruning at the scan", "PartitionFilters: [isnotnull(event_date"),
         ("partial aggregation", "HashAggregate"),
     ],
+    "j11_binned_interval_join": [
+        ("interval join rewritten to bin equi-join", "!BroadcastNestedLoopJoin"),
+        ("no cartesian product", "!CartesianProduct"),
+        ("priority+date filters pushed to the orders scan", "In(o_orderpriority, [1-URGENT,2-HIGH])"),
+    ],
     "s14_bucketed_join": [
         ("co-located sort-merge join", "SortMergeJoin"),
         ("no shuffle on the lineitem side", "!Exchange hashpartitioning(l_orderkey"),
