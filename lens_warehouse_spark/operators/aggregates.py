@@ -651,3 +651,57 @@ def a18_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# A20: EXACT median without a global sort — the scale-correct exact
+# selection: (1) a percentile_approx sketch pass brackets the median
+# (GK error bound guarantees the true median lies inside a generous
+# bracket), (2) one count pass fixes the rank of the bracket's left
+# edge, (3) only the in-bracket values (a tiny, error-bounded slice of
+# the data) are pulled to the driver for exact k-th selection. Two
+# aggregate passes + an O(n*rsd)-row collect — never a full sort, and
+# contrast with a5b/a17 which settle for the approximation itself.
+# Median definition matches SQL quantile_cont(0.5): average of the two
+# middle values for even n.
+# ---------------------------------------------------------------------------
+@register(
+    "a20_exact_median",
+    oracle="""
+SELECT round(quantile_cont(c_acctbal, 0.5), 4) AS median_balance,
+       CAST(count(*) AS BIGINT) AS n
+FROM customer
+""",
+)
+def a20_exact_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cu = table(spark, sf_dir, "customer").select("c_acctbal")
+    # Pass 1: bracket the median with an accuracy-bounded sketch. GK
+    # rank error is n/accuracy = 1e-5·n, far inside the ±0.001 quantile
+    # margin, so the true middle ranks are guaranteed in-bracket and the
+    # collected slice is ~0.2% of rows (shrink the margin / raise the
+    # accuracy together to taste at larger n).
+    lo, hi = cu.agg(
+        F.percentile_approx("c_acctbal", 0.499, 100_000).alias("lo"),
+        F.percentile_approx("c_acctbal", 0.501, 100_000).alias("hi"),
+    ).first()
+    # Pass 2: exact rank of the bracket edge + total count.
+    n_total, n_below = cu.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("c_acctbal") < lo, 1).otherwise(0)).alias("b"),
+    ).first()
+    # The two middle ranks (1-based): for odd n both are (n+1)/2.
+    k1, k2 = (n_total + 1) // 2, n_total // 2 + 1
+    # Pass 3: only the bracketed slice leaves the cluster.
+    slice_vals = sorted(
+        r[0]
+        for r in cu.filter(
+            (F.col("c_acctbal") >= lo) & (F.col("c_acctbal") <= hi)
+        ).collect()
+    )
+    v1 = slice_vals[k1 - int(n_below) - 1]
+    v2 = slice_vals[k2 - int(n_below) - 1]
+    median = (v1 + v2) / 2.0
+    return table(spark, sf_dir, "customer").agg(
+        F.round(F.lit(median), 4).alias("median_balance"),
+        F.count(F.lit(1)).alias("n"),
+    )
