@@ -213,3 +213,76 @@ def u5d_cohort_visit_counts_fused(spark: SparkSession, sf_dir: str) -> DataFrame
         F.count(F.lit(1)).alias("n_visits"),
         F.countDistinct("subject_id").alias("n_subjects"),
     )
+
+
+# ---------------------------------------------------------------------------
+# U6: temporal-sequencing cohort — criteria with an ORDERING constraint
+# between them, the clinical "diagnosis BEFORE treatment" shape the
+# reference's pure set algebra cannot express (sets forget time;
+# public repo src/lens/api.clj atoms resolve to id sets — /root/
+# reference empty, SURVEY.md §0). Formulation: per subject, the
+# earliest occurrence of criterion A (first urgent order) must precede
+# the earliest occurrence of criterion B (first order with a returned
+# lineitem). One groupBy(subject) pass computes both firsts as
+# conditional MIN aggregates — no window, no self-join; the shuffle
+# carries two timestamps per subject. At 100 TB this is the same
+# one-pass shape as the tagged CNF gate, extended with per-criterion
+# time aggregates.
+# ---------------------------------------------------------------------------
+@register(
+    "u6_temporal_cohort",
+    oracle="""
+WITH firsts AS (
+  SELECT o.o_custkey AS subject_id,
+         min(CASE WHEN o.o_orderpriority = '1-URGENT'
+                  THEN o.o_orderdate END) AS first_a,
+         min(CASE WHEN l.l_returnflag = 'R'
+                  THEN o.o_orderdate END) AS first_b
+  FROM orders o
+  LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  GROUP BY o.o_custkey
+)
+SELECT subject_id, epoch_ms(first_a) AS first_urgent_ms,
+       epoch_ms(first_b) AS first_return_ms
+FROM firsts
+WHERE first_a IS NOT NULL AND first_b IS NOT NULL AND first_a < first_b
+ORDER BY subject_id
+""",
+)
+def u6_temporal_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from lens_warehouse_spark.catalog import table
+    from lens_warehouse_spark.operators._helpers import epoch_ms
+
+    od = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"
+    )
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_returnflag")
+    firsts = (
+        od.join(li, od.o_orderkey == li.l_orderkey, "left")
+        .groupBy(F.col("o_custkey").alias("subject_id"))
+        .agg(
+            F.min(
+                F.when(
+                    F.col("o_orderpriority") == "1-URGENT", F.col("o_orderdate")
+                )
+            ).alias("first_a"),
+            F.min(
+                F.when(F.col("l_returnflag") == "R", F.col("o_orderdate"))
+            ).alias("first_b"),
+        )
+    )
+    return (
+        firsts.filter(
+            F.col("first_a").isNotNull()
+            & F.col("first_b").isNotNull()
+            & (F.col("first_a") < F.col("first_b"))
+        )
+        .select(
+            "subject_id",
+            epoch_ms("first_a").alias("first_urgent_ms"),
+            epoch_ms("first_b").alias("first_return_ms"),
+        )
+        .orderBy("subject_id")
+    )
