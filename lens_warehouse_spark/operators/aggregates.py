@@ -705,3 +705,66 @@ def a20_exact_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.lit(median), 4).alias("median_balance"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A21: per-GROUP exact median without sorting any group — a20's
+# bracket-then-select composed with groupBy: one sketch pass brackets
+# every group's median simultaneously, one count pass fixes each
+# group's below-bracket rank, and the per-group selection runs as a
+# window over ONLY the in-bracket slices (error-bounded tiny), never
+# the groups themselves. The slice window is partitioned by group, so
+# no single-partition degeneracy; shuffle = slices + two small
+# broadcast joins. quantile_cont semantics per group.
+# ---------------------------------------------------------------------------
+@register(
+    "a21_grouped_exact_median",
+    oracle="""
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 4) AS median_value,
+       CAST(count(*) AS BIGINT) AS n
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def a21_grouped_exact_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events").select("event_type", "value")
+    stats = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.percentile_approx("value", 0.47, 50_000).alias("lo"),
+        F.percentile_approx("value", 0.53, 50_000).alias("hi"),
+    )
+    below = (
+        ev.join(F.broadcast(stats.select("event_type", "lo")), "event_type")
+        .filter(F.col("value") < F.col("lo"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_below"))
+    )
+    sliced = ev.join(F.broadcast(stats), "event_type").filter(
+        (F.col("value") >= F.col("lo")) & (F.col("value") <= F.col("hi"))
+    )
+    w = Window.partitionBy("event_type").orderBy("value")
+    ranked = (
+        sliced.withColumn("rn", F.row_number().over(w))
+        .join(F.broadcast(below), "event_type", "left")
+        .withColumn(
+            "rank", F.col("rn") + F.coalesce(F.col("n_below"), F.lit(0))
+        )
+    )
+    picked = ranked.filter(
+        (F.col("rank") == F.floor((F.col("n") + 1) / 2))
+        | (F.col("rank") == F.floor(F.col("n") / 2) + 1)
+    )
+    return (
+        picked.groupBy("event_type", "n")
+        .agg(F.round(F.avg("value"), 4).alias("median_value"))
+        .select(
+            "event_type",
+            "median_value",
+            F.col("n").cast("long").alias("n"),
+        )
+        .orderBy("event_type")
+    )
