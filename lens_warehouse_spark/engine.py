@@ -315,6 +315,36 @@ class LensWarehouse:
 
         return l29_semantic_dedup(self.spark, self.sf_dir)
 
+    def semantic_decontaminate(self) -> DataFrame:
+        """Benchmark-overlap suspects by embedding similarity (l30) —
+        catches paraphrased eval overlap n-gram decontamination misses."""
+        from lens_warehouse_spark.llm.vector import l30_semantic_decontamination
+
+        return l30_semantic_decontamination(self.spark, self.sf_dir)
+
+    def temporal_cohort(self) -> DataFrame:
+        """'A before B' sequenced cohort (u6) — the ordering constraint
+        pure set algebra cannot express."""
+        from lens_warehouse_spark.operators.cohort_queries import (
+            u6_temporal_cohort,
+        )
+
+        return u6_temporal_cohort(self.spark, self.sf_dir)
+
+    def exact_median(self) -> DataFrame:
+        """Exact median without a global sort (a20, bracket-then-select)."""
+        from lens_warehouse_spark.operators.aggregates import a20_exact_median
+
+        return a20_exact_median(self.spark, self.sf_dir)
+
+    def grouped_exact_median(self) -> DataFrame:
+        """Per-group exact median, no group ever sorted whole (a21)."""
+        from lens_warehouse_spark.operators.aggregates import (
+            a21_grouped_exact_median,
+        )
+
+        return a21_grouped_exact_median(self.spark, self.sf_dir)
+
     def asof(self, base_dir: str, t_ms: int) -> DataFrame:
         """Time-travel read: the versioned table at ``base_dir`` as of
         ``t_ms`` (s10; Datomic d/as-of parity — manifest resolves the
