@@ -658,12 +658,14 @@ def a18_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # selection: (1) a percentile_approx sketch pass brackets the median
 # (GK error bound guarantees the true median lies inside a generous
 # bracket), (2) one count pass fixes the rank of the bracket's left
-# edge, (3) only the in-bracket values (a tiny, error-bounded slice of
-# the data) are pulled to the driver for exact k-th selection. Two
-# aggregate passes + an O(n*rsd)-row collect — never a full sort, and
-# contrast with a5b/a17 which settle for the approximation itself.
-# Median definition matches SQL quantile_cont(0.5): average of the two
-# middle values for even n.
+# edge, (3) the in-bracket slice (a tiny, error-bounded fraction of
+# the data) is ranked DISTRIBUTED via global_rank (range-repartition +
+# per-partition offsets — no single-partition window, no driver
+# collect), and only the two middle ranks survive the final filter.
+# Nothing data-sized ever leaves the cluster: the driver sees two
+# sketch scalars and two counts. Contrast with a5b/a17 which settle
+# for the approximation itself. Median definition matches SQL
+# quantile_cont(0.5): average of the two middle values for even n.
 # ---------------------------------------------------------------------------
 @register(
     "a20_exact_median",
@@ -678,8 +680,7 @@ def a20_exact_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Pass 1: bracket the median with an accuracy-bounded sketch. GK
     # rank error is n/accuracy = 1e-5·n, far inside the ±0.001 quantile
     # margin, so the true middle ranks are guaranteed in-bracket and the
-    # collected slice is ~0.2% of rows (shrink the margin / raise the
-    # accuracy together to taste at larger n).
+    # ranked slice is ~0.2% of rows — and it stays on executors.
     lo, hi = cu.agg(
         F.percentile_approx("c_acctbal", 0.499, 100_000).alias("lo"),
         F.percentile_approx("c_acctbal", 0.501, 100_000).alias("hi"),
@@ -691,19 +692,21 @@ def a20_exact_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).first()
     # The two middle ranks (1-based): for odd n both are (n+1)/2.
     k1, k2 = (n_total + 1) // 2, n_total // 2 + 1
-    # Pass 3: only the bracketed slice leaves the cluster.
-    slice_vals = sorted(
-        r[0]
-        for r in cu.filter(
-            (F.col("c_acctbal") >= lo) & (F.col("c_acctbal") <= hi)
-        ).collect()
+    # Pass 3: rank the bracketed slice IN the cluster. Ties in
+    # c_acctbal make the tiebreak order arbitrary, but the value at any
+    # fixed rank is invariant under it, so no tiebreaker column needed.
+    from ._helpers import global_rank
+
+    sliced = cu.filter(
+        (F.col("c_acctbal") >= lo) & (F.col("c_acctbal") <= hi)
     )
-    v1 = slice_vals[k1 - int(n_below) - 1]
-    v2 = slice_vals[k2 - int(n_below) - 1]
-    median = (v1 + v2) / 2.0
-    return table(spark, sf_dir, "customer").agg(
-        F.round(F.lit(median), 4).alias("median_balance"),
-        F.count(F.lit(1)).alias("n"),
+    picked = global_rank(sliced, ["c_acctbal"], rank_col="__r").filter(
+        (F.col("__r") + F.lit(int(n_below))).isin(int(k1), int(k2))
+    )
+    return picked.agg(
+        F.round(F.avg("c_acctbal"), 4).alias("median_balance")
+    ).select(
+        "median_balance", F.lit(int(n_total)).cast("long").alias("n")
     )
 
 
