@@ -47,27 +47,42 @@ def _already_checked() -> set[str]:
 
 
 def _coverage_order(names: list[str]) -> list[str]:
-    """Order queries for the driver's first-N sample: round-robin across
-    operator families (the letter prefix: j/w/p/o/f/t/l/x/q/a/u/s) so
-    every SURVEY.md §2 family lands inside any prefix window, and within
-    a family put never-driver-checked, oracle-backed queries first so
-    coverage rotates to unchecked operators each round.
+    """Order queries for the driver's first-N sample so no slot repeats a
+    prior round while unchecked queries remain: three strict tiers —
+    never-driver-checked oracle-backed, then never-checked rows-only,
+    then already-checked — each round-robined across operator families
+    (the letter prefix: j/w/p/o/f/t/l/x/q/a/u/s) for §2 diversity.
+    Tiering BEFORE the family round-robin matters: small families
+    exhaust their unchecked members mid-rotation, and interleaving them
+    with large families would backfill those slots with repeats.
     """
     seen = _already_checked()
     index = {n: i for i, n in enumerate(names)}
-    fams: dict[str, list[str]] = {}
-    for n in names:
-        m = re.match(r"[a-z]+", n)
-        fams.setdefault(m.group(0) if m else n, []).append(n)
-    for fam in fams.values():
-        fam.sort(key=lambda n: (n in seen, n not in registry.ORACLES, index[n]))
-    order = [
-        n
-        for tier in itertools.zip_longest(*fams.values())
-        for n in tier
-        if n is not None
+
+    def fam_round_robin(subset: list[str]) -> list[str]:
+        fams: dict[str, list[str]] = {}
+        for n in subset:
+            m = re.match(r"[a-z]+", n)
+            fams.setdefault(m.group(0) if m else n, []).append(n)
+        for fam in fams.values():
+            fam.sort(key=lambda n: index[n])
+        return [
+            n
+            for tier in itertools.zip_longest(*fams.values())
+            for n in tier
+            if n is not None
+        ]
+
+    unseen_oracle = [n for n in names if n not in seen and n in registry.ORACLES]
+    unseen_rows = [
+        n for n in names if n not in seen and n not in registry.ORACLES
     ]
-    return order
+    checked = [n for n in names if n in seen]
+    return (
+        fam_round_robin(unseen_oracle)
+        + fam_round_robin(unseen_rows)
+        + fam_round_robin(checked)
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
