@@ -102,26 +102,22 @@ _READER_CONF = {
     "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
-_CONFIGURED: set[str] = set()
 
 
 def _ensure_reader_conf(spark: SparkSession) -> None:
-    """Apply the parquet-reader conf once per session.
+    """Ensure the parquet-reader conf on this session.
 
     ``session.get_spark`` already bakes these in at build time, but the
     grading driver hands us a DEFAULT SparkSession, so the catalog must
-    still guarantee them — guarded so repeated ``table()`` calls don't
-    mutate session state on every scan (they are session-level reader
-    flags, not per-query toggles).
+    still guarantee them. The check reads ``spark.conf`` directly on
+    every call — a cheap lookup — rather than caching "configured"
+    sessions by object identity: CPython ``id()`` values are recycled
+    after GC, so an identity cache could silently skip a brand-new
+    session and change the events table's ts decoding.
     """
-    key = getattr(spark, "_jsparkSession", None)
-    sid = str(id(key if key is not None else spark))
-    if sid in _CONFIGURED:
-        return
     for k, v in _READER_CONF.items():
         if spark.conf.get(k, None) != v:
             spark.conf.set(k, v)
-    _CONFIGURED.add(sid)
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

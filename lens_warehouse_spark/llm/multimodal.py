@@ -99,7 +99,12 @@ def decode_image(blob: bytes) -> tuple[str, int | None, int | None]:
 
         img = Image.open(io.BytesIO(bytes(blob)))
         return (img.format.lower() if img.format else "unknown", *img.size)
-    except ImportError:
+    except Exception:
+        # Not just ImportError: the pipeline deliberately feeds non-image
+        # and truncated header-only blobs through this stage, and a real
+        # PIL raises UnidentifiedImageError/OSError/ValueError on those —
+        # which would kill the whole mapInPandas task. The pure-Python
+        # sniff is the safety net in EVERY environment.
         return sniff_media(blob)
 
 

@@ -408,16 +408,29 @@ ORDER BY o.o_orderstatus
 """,
 )
 def s14_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    loc = os.path.join(
-        tempfile.gettempdir(), f"lws_bucketdb_{_staging_tag(sf_dir, 'orders')}"
-    )
-    spark.sql(f"CREATE DATABASE IF NOT EXISTS lws_bucket LOCATION '{loc}'")
+    import hashlib
+    import shutil
+
+    # The database name must encode the (sf_dir, data-generation)
+    # fingerprint — the catalog-level tableExists guard is otherwise
+    # blind to sf_dir, and one session touching two sf_dirs would
+    # silently reuse the first dir's bucketed tables against the
+    # second's oracle. Hashing the two per-table staging tags keeps the
+    # identifier catalog-legal (the raw tag contains '.' and '/').
+    fp = hashlib.md5(
+        (
+            _staging_tag(sf_dir, "orders")
+            + "|"
+            + _staging_tag(sf_dir, "lineitem")
+        ).encode()
+    ).hexdigest()[:12]
+    db = f"lws_bucket_{fp}"
+    loc = os.path.join(tempfile.gettempdir(), f"lws_bucketdb_{fp}")
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{loc}'")
     # Bucket metadata lives in the session catalog, not the files — a
     # fresh process must re-stage even if a prior process left the
     # managed location behind (saveAsTable refuses to adopt it).
-    import shutil
-
-    if not spark.catalog.tableExists("lws_bucket.orders_b"):
+    if not spark.catalog.tableExists(f"{db}.orders_b"):
         shutil.rmtree(os.path.join(loc, "orders_b"), ignore_errors=True)
         (
             table(spark, sf_dir, "orders")
@@ -425,9 +438,9 @@ def s14_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .write.mode("overwrite")
             .bucketBy(8, "o_orderkey")
             .sortBy("o_orderkey")
-            .saveAsTable("lws_bucket.orders_b")
+            .saveAsTable(f"{db}.orders_b")
         )
-    if not spark.catalog.tableExists("lws_bucket.lineitem_b"):
+    if not spark.catalog.tableExists(f"{db}.lineitem_b"):
         shutil.rmtree(os.path.join(loc, "lineitem_b"), ignore_errors=True)
         (
             table(spark, sf_dir, "lineitem")
@@ -435,10 +448,10 @@ def s14_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .write.mode("overwrite")
             .bucketBy(8, "l_orderkey")
             .sortBy("l_orderkey")
-            .saveAsTable("lws_bucket.lineitem_b")
+            .saveAsTable(f"{db}.lineitem_b")
         )
-    li = spark.table("lws_bucket.lineitem_b")
-    od = spark.table("lws_bucket.orders_b")
+    li = spark.table(f"{db}.lineitem_b")
+    od = spark.table(f"{db}.orders_b")
     return (
         li.hint("merge")
         .join(od, li.l_orderkey == od.o_orderkey)

@@ -40,14 +40,20 @@ def _staged_events(spark: SparkSession, sf_dir: str) -> str:
     tag = f"{sf_dir.strip('/').replace('/', '_')}_{st.st_size}_{int(st.st_mtime)}"
     prefix = f"lws_events_{sf_dir.strip('/').replace('/', '_')}"
     out = os.path.join(tempfile.gettempdir(), f"lws_events_{tag}")
-    # Evict staging dirs for older generations of the same source (their
+    # Evict staging dirs for older generations of the SAME source (their
     # fingerprints no longer match) so /tmp doesn't accumulate one copy
-    # per testdata refresh.
+    # per testdata refresh. The glob anchors the '_<size>_<mtime>'
+    # fingerprint after an explicit separator, and the regex requires the
+    # remainder to BE exactly a fingerprint — so '.../sf1' can never
+    # match (and delete) a live '.../sf10' staging dir whose path string
+    # merely extends this one.
     import glob
+    import re
     import shutil
 
-    for stale in glob.glob(os.path.join(tempfile.gettempdir(), f"{prefix}*")):
-        if stale != out:
+    for stale in glob.glob(os.path.join(tempfile.gettempdir(), f"{prefix}_*")):
+        rest = os.path.basename(stale)[len(prefix) + 1 :]
+        if stale != out and re.fullmatch(r"\d+_\d+", rest):
             shutil.rmtree(stale, ignore_errors=True)
     marker = os.path.join(out, "_SUCCESS")
     if not os.path.exists(marker):

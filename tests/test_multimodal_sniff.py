@@ -35,3 +35,12 @@ def test_sniff_truncated_headers_do_not_raise():
 def test_decode_image_fallback_matches_sniff():
     blob = _synth_media_blob(7, "x")
     assert decode_image(blob) == sniff_media(blob) or decode_image(blob)[0] == "gif"
+
+
+def test_decode_image_never_raises_on_garbage():
+    """decode_image must fall back to sniff on ANY decode failure, not
+    just missing PIL: the pipeline feeds text rows and truncated
+    header-only blobs through it inside a mapInPandas task."""
+    for blob in (b"just some text", b"\x89PNG\r\n\x1a\n" + b"\x00" * 4, b""):
+        fmt, _, _ = decode_image(blob)
+        assert isinstance(fmt, str)

@@ -41,3 +41,16 @@ def test_engine_facade_asof_and_decode(spark):
     assert lw.asof(base, 2_000).count() > 0
     decoded = lw.decode_codes(lw.table("orders"), "o_orderpriority")
     assert decoded.filter(F.col("label").isNull()).count() == 0
+
+
+def test_s14_staging_keyed_by_sf_dir(spark):
+    """Regression: one session running s14 against two sf_dirs must not
+    reuse the first dir's bucketed tables for the second (the catalog
+    tableExists guard is blind to sf_dir unless the db name encodes the
+    staging fingerprint)."""
+    from lens_warehouse_spark.operators.timetravel import s14_bucketed_join
+    from tests.conftest import SF_ORACLE
+
+    small = sum(r.n_items for r in s14_bucketed_join(spark, SF_SMOKE).collect())
+    big = sum(r.n_items for r in s14_bucketed_join(spark, SF_ORACLE).collect())
+    assert big > small, (small, big)
