@@ -472,3 +472,51 @@ def j11_binned_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# J12: skew-salted join on the graded path. A synthetic hot key (30% of
+# orders remapped to custkey 1 — the single-dominant-key shape AQE's
+# partition splitting cannot always fix, because one KEY is indivisible
+# under hash partitioning) joins to customer through
+# skew.salted_join: the big side salts each row, the small side
+# replicates once per salt, and the hot key's rows spread across
+# n_salts tasks. The oracle runs the plain unsalted join, proving
+# salting is semantics-transparent. SCALE.md records the measured win
+# (tools/skew_bench.py).
+# ---------------------------------------------------------------------------
+@register(
+    "j12_skew_salted_join",
+    oracle="""
+SELECT c.c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(round(sum(o.o_totalprice)) AS BIGINT) AS total_price
+FROM (SELECT CASE WHEN o_custkey % 10 < 3 THEN 1 ELSE o_custkey END AS k,
+             o_totalprice
+      FROM orders) o
+JOIN customer c ON c.c_custkey = o.k
+GROUP BY c.c_mktsegment
+ORDER BY c.c_mktsegment
+""",
+)
+def j12_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lens_warehouse_spark.operators.skew import salted_join
+
+    big = table(spark, sf_dir, "orders").select(
+        F.when(F.pmod("o_custkey", F.lit(10)) < 3, F.lit(1))
+        .otherwise(F.col("o_custkey"))
+        .alias("k"),
+        "o_totalprice",
+    )
+    small = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"), "c_mktsegment"
+    )
+    return (
+        salted_join(big, small, "k", n_salts=8)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice")).cast("long").alias("total_price"),
+        )
+        .orderBy("c_mktsegment")
+    )
