@@ -308,11 +308,18 @@ class LensWarehouse:
 
         return l3k_hard_negatives(self.spark, self.sf_dir)
 
-    def semantic_dedup(self) -> DataFrame:
+    def semantic_dedup(self, trained: bool = False) -> DataFrame:
         """Embedding-space near-dup removal, SemDeDup-style (l29):
-        IVF-cell clustering bounds pairwise similarity to within-cell."""
-        from lens_warehouse_spark.llm.vector import l29_semantic_dedup
+        IVF-cell clustering bounds pairwise similarity to within-cell.
+        ``trained=True`` uses the Lloyd's-trained production codebook
+        (l29b) instead of the deterministic seed cells."""
+        from lens_warehouse_spark.llm.vector import (
+            l29_semantic_dedup,
+            l29b_semantic_dedup_trained,
+        )
 
+        if trained:
+            return l29b_semantic_dedup_trained(self.spark, self.sf_dir)
         return l29_semantic_dedup(self.spark, self.sf_dir)
 
     def semantic_decontaminate(self) -> DataFrame:

@@ -809,6 +809,31 @@ def l3k_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SEMDEDUP_TAU = 0.25
 
 
+def _cell_bounded_dedup(assigned: DataFrame) -> DataFrame:
+    """SemDeDup core on a cell-assigned corpus: pairwise similarity only
+    WITHIN a cell, keep-min representative per duplicate."""
+    right = assigned.select(
+        F.col("vec_id").alias("b_vec_id"),
+        F.col("embedding").alias("b_embedding"),
+        F.col("cell_id").alias("b_cell_id"),
+    )
+    pairs = assigned.join(
+        right,
+        (F.col("cell_id") == F.col("b_cell_id"))
+        & (F.col("b_vec_id") < F.col("vec_id")),
+    ).filter(F.round(dot("embedding", "b_embedding"), 6) >= _SEMDEDUP_TAU)
+    return (
+        pairs.groupBy(F.col("vec_id").alias("dup_vec_id"))
+        .agg(
+            F.min("b_vec_id").cast("long").alias("rep_vec_id"),
+            F.round(
+                F.max(F.round(dot("embedding", "b_embedding"), 6)), 6
+            ).alias("max_cos"),
+        )
+        .orderBy("dup_vec_id")
+    )
+
+
 @register(
     "l29_semantic_dedup",
     oracle=f"""
@@ -841,26 +866,25 @@ def l29_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("cell_id"), F.col("embedding").alias("centroid")
     )
     assigned = _ivf_assign(emb, codebook).persist()
-    right = assigned.select(
-        F.col("vec_id").alias("b_vec_id"),
-        F.col("embedding").alias("b_embedding"),
-        F.col("cell_id").alias("b_cell_id"),
-    )
-    pairs = assigned.join(
-        right,
-        (F.col("cell_id") == F.col("b_cell_id"))
-        & (F.col("b_vec_id") < F.col("vec_id")),
-    ).filter(F.round(dot("embedding", "b_embedding"), 6) >= _SEMDEDUP_TAU)
-    return (
-        pairs.groupBy(F.col("vec_id").alias("dup_vec_id"))
-        .agg(
-            F.min("b_vec_id").cast("long").alias("rep_vec_id"),
-            F.round(
-                F.max(F.round(dot("embedding", "b_embedding"), 6)), 6
-            ).alias("max_cos"),
-        )
-        .orderBy("dup_vec_id")
-    )
+    return _cell_bounded_dedup(assigned)
+
+
+# ---------------------------------------------------------------------------
+# L29b: SemDeDup on the PRODUCTION codebook — Lloyd's-trained spherical
+# k-means cells (train_codebook, the same path l3f probes) instead of
+# l29's deterministic vec_id<N_CELLS seed cells. Trained cells are
+# tighter, so near-duplicates co-locate more reliably and the bounded
+# quadratic term (largest cell) shrinks toward n/k. Rows-only by design
+# (float centroid means aren't SQL-stable across engines); agreement
+# with l29 and no-false-positive soundness are property-tested in
+# tests/test_vector.py.
+# ---------------------------------------------------------------------------
+@register("l29b_semantic_dedup_trained")
+def l29b_semantic_dedup_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    codebook = train_codebook(emb, k=N_CELLS, iters=3)
+    assigned = _ivf_assign(emb, codebook).persist()
+    return _cell_bounded_dedup(assigned)
 
 
 # ---------------------------------------------------------------------------

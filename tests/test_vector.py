@@ -170,3 +170,51 @@ def test_mmr_rerank_greedy_chain_matches_numpy(spark):
                 best, best_s = v, s
         chosen.append(best)
     assert [r["vec_id"] for r in out] == chosen
+
+
+def test_semantic_dedup_trained_agrees_with_seeded(spark):
+    """l29b (trained codebook) vs l29 (deterministic seed cells): both
+    approximate 'has a near neighbor somewhere in the corpus', so their
+    duplicate sets must substantially agree; the trained cells are
+    tighter, so l29b should co-locate at least as many near-dup pairs."""
+    from lens_warehouse_spark.registry import QUERIES
+
+    a = {r.dup_vec_id for r in QUERIES["l29_semantic_dedup"](spark, SF).collect()}
+    b = {
+        r.dup_vec_id
+        for r in QUERIES["l29b_semantic_dedup_trained"](spark, SF).collect()
+    }
+    assert a and b
+    jacc = len(a & b) / len(a | b)
+    assert jacc >= 0.5, f"trained/seeded dedup agreement collapsed: {jacc:.3f}"
+    assert len(b) >= 0.8 * len(a), (len(a), len(b))
+
+
+def test_semantic_dedup_trained_is_sound(spark):
+    """No false positives: every (dup, rep) pair l29b reports must
+    recompute to cosine >= tau on the raw embeddings, and rep < dup."""
+    from lens_warehouse_spark.llm.vector import _SEMDEDUP_TAU, dot
+    from lens_warehouse_spark.registry import QUERIES
+
+    out = QUERIES["l29b_semantic_dedup_trained"](spark, SF)
+    emb = table(spark, SF, "embeddings").select("vec_id", "embedding")
+    checked = (
+        out.join(emb.withColumnRenamed("vec_id", "dup_vec_id"), "dup_vec_id")
+        .withColumnRenamed("embedding", "d_emb")
+        .join(
+            emb.withColumnRenamed("vec_id", "rep_vec_id").withColumnRenamed(
+                "embedding", "r_emb"
+            ),
+            "rep_vec_id",
+        )
+        .select(
+            "dup_vec_id",
+            "rep_vec_id",
+            F.round(dot("d_emb", "r_emb"), 6).alias("cos"),
+        )
+    )
+    bad = checked.filter(
+        (F.col("rep_vec_id") >= F.col("dup_vec_id"))
+        | (F.col("cos") < _SEMDEDUP_TAU)
+    ).count()
+    assert bad == 0
