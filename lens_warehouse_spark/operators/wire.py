@@ -144,3 +144,102 @@ def paginate(
     page = rows[:page_size]
     next_token = page[-1][key_col] if len(rows) > page_size else None
     return page, next_token
+
+
+# ---------------------------------------------------------------------------
+# Transit-JSON decoding (EP-1's actual wire encoding). The reference's
+# Liberator resources render and parse transit+json (public repo
+# src/lens/handler.clj; format spec: cognitect/transit-format, public).
+# This is the minimal decoder the cohort CNF needs — keywords, strings,
+# ints/doubles/bools/nil, arrays, maps (["^ ", k, v, ...] array form
+# and verbose JSON-object form), and the writer's key/keyword cache
+# ("^0".."^9", two-char "^NN" codes, base 44) — not a general transit
+# library. Tagged values outside this subset raise rather than
+# mis-decode.
+# ---------------------------------------------------------------------------
+_CACHE_BASE = 44
+_CACHE_OFFSET = 48  # '0'
+
+
+def _transit_decode_str(s: str, cache: list[str], as_map_key: bool):
+    if s.startswith("^") and s != "^ ":
+        idx = (
+            (ord(s[1]) - _CACHE_OFFSET) * _CACHE_BASE + (ord(s[2]) - _CACHE_OFFSET)
+            if len(s) == 3
+            else ord(s[1]) - _CACHE_OFFSET
+        )
+        try:
+            return cache[idx]
+        except IndexError:
+            raise ValueError(f"transit cache code {s!r} out of range") from None
+    cacheable = len(s) > 3 and (
+        as_map_key or s[:2] in ("~:", "~$", "~#")
+    )
+    if s.startswith("~"):
+        tag, rest = s[1], s[2:]
+        if tag == "~":
+            out: object = "~" + rest
+        elif tag == "^":
+            out = "^" + rest
+        elif tag == ":":  # keyword -> plain name, matching the JSON wire
+            out = rest
+        elif tag == "$":  # symbol -> string
+            out = rest
+        elif tag == "i":
+            out = int(rest)
+        elif tag == "d":
+            out = float(rest)
+        elif tag == "?":
+            out = rest == "t"
+        elif tag == "_":
+            out = None
+        elif tag == "t":  # ISO-8601 instant -> string passthrough
+            out = rest
+        else:
+            raise ValueError(f"unsupported transit tag in {s!r}")
+    else:
+        out = s
+    if cacheable:
+        cache.append(out)  # decoded form; later "^N" refs resolve to it
+    return out
+
+
+def _transit_decode(x, cache: list[str], as_map_key: bool = False):
+    if isinstance(x, str):
+        return _transit_decode_str(x, cache, as_map_key)
+    if isinstance(x, list):
+        if x and x[0] == "^ ":
+            if len(x) % 2 != 1:
+                raise ValueError("transit map-as-array has odd entry count")
+            out = {}
+            for i in range(1, len(x), 2):
+                k = _transit_decode(x[i], cache, as_map_key=True)
+                out[k] = _transit_decode(x[i + 1], cache)
+            return out
+        return [_transit_decode(v, cache) for v in x]
+    if isinstance(x, dict):  # verbose mode
+        return {
+            _transit_decode(k, cache, as_map_key=True): _transit_decode(v, cache)
+            for k, v in x.items()
+        }
+    return x  # JSON scalar (int/float/bool/None)
+
+
+def transit_parse(text: str):
+    """Decode a transit+json document to plain Python structures.
+    Keywords decode to their bare names, so a transit-encoded cohort
+    CNF decodes to exactly the JSON wire shape ``cohort_from_json``
+    already accepts."""
+    import json
+
+    return _transit_decode(json.loads(text), cache=[])
+
+
+def cohort_from_transit(text: str) -> CohortQuery:
+    """EP-1 with the reference's actual encoding: transit+json in,
+    CohortQuery out (content negotiation's application/transit+json
+    branch; the JSON branch is ``cohort_from_json``)."""
+    obj = transit_parse(text)
+    if not isinstance(obj, dict):
+        raise ValueError("transit cohort payload must decode to a map")
+    return cohort_from_json(obj)

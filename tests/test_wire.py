@@ -76,3 +76,61 @@ def test_hal_page_links_walk_the_collection(spark):
         seen += [it["r_regionkey"] for it in doc["_embedded"]["items"]]
     assert sorted(seen) == [0, 1, 2, 3, 4]
     assert doc["_links"]["first"]["href"] == "/regions?page-size=2"
+
+
+def test_transit_cnf_decodes_to_same_query_as_json():
+    """The transit+json encoding of a cohort CNF (the reference's actual
+    wire format) must parse to the same CohortQuery as the equivalent
+    plain-JSON payload — including writer cache codes for repeated
+    keywords."""
+    from lens_warehouse_spark.operators.wire import (
+        cohort_from_json,
+        cohort_from_transit,
+    )
+
+    plain = {
+        "include": [
+            [{"type": "order", "priorities": ["1-URGENT"], "min_total": 1000.5}],
+            [
+                {"type": "lineitem", "returnflags": ["R"]},
+                {"type": "order", "priorities": ["2-HIGH"]},
+            ],
+        ],
+        "exclude": [{"type": "subject", "max_balance": 0.0}],
+    }
+    # As Clojure's transit writer emits it: first occurrence of each
+    # keyword in full, repeats as cache codes. Cache fill order:
+    # ^0=include ^1=type ^2=order ^3=priorities ^4=min_total
+    # ^5=lineitem ^6=returnflags ^7=exclude ^8=subject ^9=max_balance
+    transit = (
+        '["^ ","~:include",['
+        '[["^ ","~:type","~:order","~:priorities",["1-URGENT"],'
+        '"~:min_total",1000.5]],'
+        '[["^ ","^1","~:lineitem","~:returnflags",["R"]],'
+        '["^ ","^1","^2","^3",["2-HIGH"]]]'
+        '],"~:exclude",[["^ ","^1","~:subject","~:max_balance",0.0]]]'
+    )
+    assert cohort_from_transit(transit) == cohort_from_json(plain)
+
+
+def test_transit_scalar_tags_and_escapes():
+    from lens_warehouse_spark.operators.wire import transit_parse
+
+    assert transit_parse('["~i42","~d1.5","~?t","~?f","~_","~~tilde","plain"]') == [
+        42,
+        1.5,
+        True,
+        False,
+        None,
+        "~tilde",
+        "plain",
+    ]
+
+
+def test_transit_unknown_tag_raises():
+    import pytest
+
+    from lens_warehouse_spark.operators.wire import transit_parse
+
+    with pytest.raises(ValueError):
+        transit_parse('["~#unknown-tagged-thing"]')
