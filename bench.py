@@ -107,25 +107,37 @@ def main() -> None:
             list(pool.map(run_one, HEADLINE))
         batch_best = min(batch_best, time.perf_counter() - t0)
 
+    # Second SF point: the volume-bearing subset at a deterministic 10x
+    # scale-up of documents/events, Spark vs DuckDB oracle per query.
+    # One SF cannot separate per-row cost from Spark's fixed per-job
+    # overhead; the ratio trend across SFs can (and shows the crossover).
+    volume_scaling = None
+    if os.environ.get("SPARK_GRAFT_VOLSCALE", "1") != "0":
+        try:
+            from tools.volume_bench import volume_scaling_report
+
+            volume_scaling = volume_scaling_report(spark, sf_dir, mult=10)
+        except Exception:  # noqa: BLE001 - the headline metric must survive
+            volume_scaling = None
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
-    print(
-        json.dumps(
-            {
-                "metric": "wall_clock_total",
-                "value": round(batch_best, 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_val,
-                "mode": "throughput_batch",
-                "streams": STREAMS,
-                "power_total_sec": round(sum(timings.values()), 3),
-            }
-        )
-    )
+    out = {
+        "metric": "wall_clock_total",
+        "value": round(batch_best, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+        "mode": "throughput_batch",
+        "streams": STREAMS,
+        "power_total_sec": round(sum(timings.values()), 3),
+    }
+    if volume_scaling is not None:
+        out["volume_scaling"] = volume_scaling
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
