@@ -490,14 +490,23 @@ ORDER BY doc_id, rn
 def l13_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(_toks()).alias("term"))
-    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    # df derived FROM tf: rows of tf are distinct (doc_id, term) pairs, so
-    # count-per-term == distinct-docs-per-term. Catalyst prunes tf's count
-    # from this branch, so the two branches scan separately. Measured at
-    # sf0.1: persist()-ing tf is a net LOSS (1.4 s vs 0.8 s) — the
-    # materialization barrier costs more than the second pipelined
-    # explode+groupBy. The break-even flips when tokenization dominates;
-    # at 100 TB tf is a staged table feeding both aggregates.
+    # df derives FROM tf: rows of tf are distinct (doc_id, term) pairs,
+    # so count-per-term == distinct-docs-per-term. Column pruning makes
+    # the two tf subtrees differ (the df branch drops the count), so
+    # Catalyst emits no ReusedExchange and the corpus would tokenize
+    # TWICE. localCheckpoint pins tf so one explode+agg feeds both
+    # consumers (measured best of {nothing, persist, checkpoint,
+    # window-df} at sf0.1 AND the 10x volume point: 1.03 s / 2.68 s vs
+    # 1.25 s / 3.13 s unpinned). A per-term count window would shave 5%
+    # more at 10x but shuffles ALL tf rows by term — a hot stopword
+    # term then lands in ONE task at web scale, while this df agg
+    # map-side combines to vocabulary-sized shuffle rows. At 100 TB tf
+    # is a staged table feeding both aggregates.
+    tf = (
+        tok.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=True)
+    )
     df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.count()  # scalar; tiny and deterministic
     # df is VOCABULARY-sized (one row per distinct term — billions at

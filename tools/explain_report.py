@@ -198,6 +198,22 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         ("merged read stays a single partial-aggregated pass", "HashAggregate"),
         ("no python anywhere", "!BatchEvalPython"),
     ],
+    # a20's selection runs over the global_rank pinned relation — the
+    # assertion is "distributed selection, no single-partition window
+    # and no driver-side collect in the returned plan".
+    "a20_exact_median": [
+        ("slice ranked over the pinned ranged relation", "Scan ExistingRDD"),
+        ("no row-at-a-time python", "!BatchEvalPython"),
+    ],
+    "j12_skew_salted_join": [
+        ("salted join is a real equi join", "!CartesianProduct"),
+        ("no nested loop", "!BroadcastNestedLoopJoin"),
+    ],
+    "l13_tfidf_top_terms": [
+        ("one tokenize pass pinned for both tf consumers", "Scan ExistingRDD"),
+        ("vocab-sized partial aggregation for df", "HashAggregate"),
+        ("no row-at-a-time python", "!BatchEvalPython"),
+    ],
 }
 
 
