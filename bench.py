@@ -76,11 +76,15 @@ def main() -> None:
     # region. Timed runs below execute at the target SF only.
     warm_dir = "/root/testdata/sf0.001"
     if os.path.isdir(warm_dir) and warm_dir != sf_dir:
-        for name in HEADLINE:
-            try:
-                registry.QUERIES[name](spark, warm_dir).count()
-            except Exception:  # noqa: BLE001 - warmup is best-effort
-                pass
+        # Two passes: one compile pass is not enough for the JIT to
+        # reach steady state on the widest plans (l2's banded self-join
+        # measured ~1.8 s cold vs 1.26 s steady with a single pass).
+        for _pass in range(2):
+            for name in HEADLINE:
+                try:
+                    registry.QUERIES[name](spark, warm_dir).count()
+                except Exception:  # noqa: BLE001 - warmup is best-effort
+                    pass
 
     # POWER run: isolated per-query timings.
     timings: dict[str, float] = {}
