@@ -154,6 +154,27 @@ def plan_lsh(threshold: float, n_hashes: int = N_HASHES) -> tuple[int, int]:
     return best[1], best[2]
 
 
+def band_projection(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    n_bands: int = N_BANDS,
+    n_hashes: int = N_HASHES,
+) -> DataFrame:
+    """Project signatures to (id, band_id, band_hash) — the LSH bucket
+    key relation both the batch self-join and the streaming signature
+    store are built from."""
+    r = n_hashes // n_bands
+    return sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {n_bands - 1}),"
+                f" b -> struct(b AS band_id, xxhash64(concat_ws(',', slice(sig, b * {r} + 1, {r}))) AS band_hash))"
+            )
+        ).alias("band"),
+    ).select(id_col, "band.band_id", "band.band_hash")
+
+
 def lsh_candidate_pairs(
     sigs: DataFrame,
     id_col: str = "doc_id",
@@ -166,19 +187,10 @@ def lsh_candidate_pairs(
     (band_id, band_hash), so only documents agreeing on a full band
     co-locate; the shuffle is O(n_docs * n_bands), never O(n^2).
     """
-    r = n_hashes // n_bands
     sigs = sigs.persist()  # signature relation feeds both sides of the
     # band self-join; without this Spark recomputes the minhash
     # expression tree (16 x shingle hashing) twice.
-    banded = sigs.select(
-        F.col(id_col),
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, {n_bands - 1}),"
-                f" b -> struct(b AS band_id, xxhash64(concat_ws(',', slice(sig, b * {r} + 1, {r}))) AS band_hash))"
-            )
-        ).alias("band"),
-    ).select(id_col, "band.band_id", "band.band_hash")
+    banded = band_projection(sigs, id_col, n_bands, n_hashes)
     a = banded.alias("a")
     b = banded.alias("b")
     return (

@@ -718,3 +718,107 @@ def cdc_apply_batch_reference(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("key", F.unix_millis("ts").alias("ts_ms"), "value")
         .orderBy("key")
     )
+
+
+# ---------------------------------------------------------------------------
+# T18: streaming incremental near-duplicate detection — the streaming
+# twin of l2's MinHash-LSH. Documents arrive in micro-batches
+# (maxFilesPerTrigger=1 over a range-split staging of the corpus);
+# foreachBatch computes the batch's MinHash band buckets, emits
+# candidate pairs WITHIN the batch plus pairs against the accumulated
+# signature STORE of all earlier batches, then appends the batch's
+# bands to the store. Because band-bucket collision is symmetric and
+# the store always holds exactly the earlier batches, the union of
+# per-batch pairs equals the batch LSH pair set over the full corpus —
+# asserted stream==batch in tests/test_streaming.py. Exact-Jaccard
+# verification runs once at the end over the bounded candidate set.
+#
+# Scale shape: the store carries n_bands longs per document (never raw
+# text); each micro-batch shuffles O(batch * bands) + joins against the
+# store on (band_id, band_hash) — at 100 TB the store is a bucketed
+# table on the band key and the join is shuffle-free on the store side.
+# Rows-only by design (seeded hashes): reference has no streaming.
+# ---------------------------------------------------------------------------
+@register("t18_stream_incremental_neardup")
+def t18_stream_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from lens_warehouse_spark.llm.dedup import (
+        band_projection,
+        jaccard,
+        minhash_signatures,
+    )
+
+    # Stage the corpus as 4 range-split files -> 4 deterministic
+    # micro-batches. Keyed by source fingerprint like _staged_events.
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    tag = f"{sf_dir.strip('/').replace('/', '_')}_{st.st_size}_{int(st.st_mtime)}"
+    staged = os.path.join(tempfile.gettempdir(), f"lws_docs4_{tag}")
+    if not os.path.exists(os.path.join(staged, "_SUCCESS")):
+        (
+            table(spark, sf_dir, "documents")
+            .repartitionByRange(4, "doc_id")
+            .write.mode("overwrite")
+            .parquet(staged)
+        )
+
+    run = os.path.join(tempfile.gettempdir(), f"lws_t18_{uuid.uuid4().hex[:8]}")
+    store_dir = os.path.join(run, "store")
+    pairs_dir = os.path.join(run, "pairs")
+    ckpt = os.path.join(run, "ckpt")
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark_l = batch_df.sparkSession
+        bands = band_projection(
+            minhash_signatures(batch_df.select("doc_id", "text"))
+        ).persist()
+        a, b = bands.alias("a"), bands.alias("b")
+        intra = a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        ).select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        out = intra
+        if os.path.exists(os.path.join(store_dir, "_SUCCESS")):
+            store = spark_l.read.parquet(store_dir)
+            cross = store.alias("s").join(
+                bands.alias("n"),
+                (F.col("s.band_id") == F.col("n.band_id"))
+                & (F.col("s.band_hash") == F.col("n.band_hash")),
+            ).select(
+                F.least("s.doc_id", "n.doc_id").alias("doc_a"),
+                F.greatest("s.doc_id", "n.doc_id").alias("doc_b"),
+            )
+            out = out.unionByName(cross)
+        out.distinct().write.mode("append").parquet(pairs_dir)
+        # append AFTER pair emission: the store must hold strictly
+        # earlier batches when this batch probes it
+        bands.write.mode("append").parquet(store_dir)
+        bands.unpersist()
+
+    stream = (
+        spark.readStream.schema(table(spark, sf_dir, "documents").schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged)
+        .select("doc_id", "text")
+    )
+    q = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    docs = table(spark, sf_dir, "documents")
+    result = (
+        jaccard(spark.read.parquet(pairs_dir).distinct(), docs)
+        .filter(F.col("jaccard") >= 0.7)
+        .orderBy("doc_a", "doc_b")
+        .localCheckpoint(eager=True)  # pin before the run dir vanishes
+    )
+    shutil.rmtree(run, ignore_errors=True)
+    return result

@@ -217,3 +217,22 @@ def test_stream_heavy_hitters_equals_batch(spark):
     got = {tuple(r) for r in t17_stream_heavy_hitters(spark, sf).collect()}
     want = {tuple(r) for r in a16_heavy_hitters(spark, sf).collect()}
     assert got == want and len(want) > 0
+
+
+def test_stream_incremental_neardup_equals_batch(spark):
+    """t18's per-batch union (intra-batch pairs + batch-vs-store pairs)
+    must equal l2's batch LSH pair set over the full corpus: band
+    collision is symmetric and the store holds exactly the earlier
+    batches, so every colliding pair is found in exactly one batch."""
+    registry.load_all()
+    stream = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in registry.QUERIES["t18_stream_incremental_neardup"](
+            spark, SF
+        ).collect()
+    }
+    batch = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in registry.QUERIES["l2_minhash_neardup"](spark, SF).collect()
+    }
+    assert stream == batch and stream
