@@ -771,3 +771,78 @@ def a21_grouped_exact_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# A22: per-group exact ARBITRARY percentile — a21's bracket-then-select
+# generalized from the median to any p (here p90 per event_type). The
+# sketch pass brackets [p-margin, p+margin] per group; the count pass
+# fixes each group's below-bracket rank; selection windows run over
+# ONLY the in-bracket slices. quantile_cont(p) semantics: linear
+# interpolation between the two straddling order statistics at virtual
+# index h = (n-1)*p + 1 (1-based), which the filter picks via
+# floor(h)/ceil(h) and the final select interpolates exactly.
+# ---------------------------------------------------------------------------
+_A22_P = 0.9
+
+
+@register(
+    "a22_grouped_exact_percentile",
+    oracle=f"""
+SELECT event_type,
+       round(quantile_cont(value, {_A22_P}), 4) AS p90_value,
+       CAST(count(*) AS BIGINT) AS n
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def a22_grouped_exact_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    p = _A22_P
+    ev = table(spark, sf_dir, "events").select("event_type", "value")
+    stats = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.percentile_approx("value", max(p - 0.03, 0.0), 50_000).alias("lo"),
+        F.percentile_approx("value", min(p + 0.03, 1.0), 50_000).alias("hi"),
+    )
+    below = (
+        ev.join(F.broadcast(stats.select("event_type", "lo")), "event_type")
+        .filter(F.col("value") < F.col("lo"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_below"))
+    )
+    sliced = ev.join(F.broadcast(stats), "event_type").filter(
+        (F.col("value") >= F.col("lo")) & (F.col("value") <= F.col("hi"))
+    )
+    w = Window.partitionBy("event_type").orderBy("value")
+    # virtual index h (1-based) and its straddling integer ranks
+    h = (F.col("n") - 1) * F.lit(p) + 1
+    k_lo, k_hi = F.floor(h), F.ceil(h)
+    frac = h - k_lo
+    ranked = (
+        sliced.withColumn("rn", F.row_number().over(w))
+        .join(F.broadcast(below), "event_type", "left")
+        .withColumn(
+            "rank", F.col("rn") + F.coalesce(F.col("n_below"), F.lit(0))
+        )
+    )
+    picked = ranked.filter((F.col("rank") == k_lo) | (F.col("rank") == k_hi))
+    # interpolate: v_lo*(1-frac) + v_hi*frac; when k_lo == k_hi the
+    # single row carries both roles
+    return (
+        picked.groupBy("event_type", "n")
+        .agg(
+            F.min("value").alias("v_lo"),
+            F.max("value").alias("v_hi"),
+        )
+        .select(
+            "event_type",
+            F.round(
+                F.col("v_lo") * (F.lit(1) - frac) + F.col("v_hi") * frac, 4
+            ).alias("p90_value"),
+            F.col("n").cast("long").alias("n"),
+        )
+        .orderBy("event_type")
+    )

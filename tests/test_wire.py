@@ -134,3 +134,73 @@ def test_transit_unknown_tag_raises():
 
     with pytest.raises(ValueError):
         transit_parse('["~#unknown-tagged-thing"]')
+
+
+def test_transit_roundtrip_property():
+    """Property: for randomized CNF payloads, encoding with a
+    writer-faithful transit encoder (keyword tagging + cache emission,
+    mirroring the cognitect writer's rules) and decoding recovers the
+    same CohortQuery as plain-JSON parsing."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from lens_warehouse_spark.operators.wire import (
+        cohort_from_json,
+        cohort_from_transit,
+    )
+
+    def encode(obj, cache):
+        """Minimal transit-json writer: keywords for dict keys and the
+        'type' values, cache codes for repeats (len>3 candidates)."""
+        import json
+
+        def key_repr(s):
+            enc = f"~:{s}"
+            if enc in cache:
+                i = cache[enc]
+                return (
+                    f"^{chr(48 + i)}"
+                    if i < 44
+                    else f"^{chr(48 + i // 44)}{chr(48 + i % 44)}"
+                )
+            if len(enc) > 3:
+                cache[enc] = len(cache)
+            return enc
+
+        def enc_val(v):
+            if isinstance(v, dict):
+                out = ["^ "]
+                for k, vv in v.items():
+                    out.append(key_repr(k))
+                    out.append(key_repr(vv) if k == "type" else enc_val(vv))
+                return out
+            if isinstance(v, list):
+                return [enc_val(x) for x in v]
+            return v
+
+        return json.dumps(enc_val(obj))
+
+    atom = st.one_of(
+        st.fixed_dictionaries(
+            {"type": st.just("order"), "priorities": st.lists(st.sampled_from(["1-URGENT", "2-HIGH", "3-MEDIUM"]), min_size=1, max_size=2)}
+        ),
+        st.fixed_dictionaries(
+            {"type": st.just("lineitem"), "returnflags": st.lists(st.sampled_from(["R", "A", "N"]), min_size=1, max_size=2)}
+        ),
+        st.fixed_dictionaries(
+            {"type": st.just("subject"), "max_balance": st.floats(-100, 100, allow_nan=False)}
+        ),
+    )
+    payload = st.fixed_dictionaries(
+        {
+            "include": st.lists(st.lists(atom, min_size=1, max_size=2), min_size=1, max_size=3),
+            "exclude": st.lists(atom, max_size=2),
+        }
+    )
+
+    @settings(max_examples=50, deadline=None)
+    @given(payload)
+    def check(obj):
+        assert cohort_from_transit(encode(obj, {})) == cohort_from_json(obj)
+
+    check()
