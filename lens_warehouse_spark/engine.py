@@ -352,6 +352,38 @@ class LensWarehouse:
 
         return a21_grouped_exact_median(self.spark, self.sf_dir)
 
+    def grouped_exact_percentile(self) -> DataFrame:
+        """Per-group exact p90 via bracket-then-select with
+        quantile_cont interpolation (a22)."""
+        from lens_warehouse_spark.operators.aggregates import (
+            a22_grouped_exact_percentile,
+        )
+
+        return a22_grouped_exact_percentile(self.spark, self.sf_dir)
+
+    def skewed_join(self) -> DataFrame:
+        """Salt-fan-out join on a hot-key workload (j12) — the
+        semantics-transparent fallback when AQE's splitter can't divide
+        a single dominant key."""
+        from lens_warehouse_spark.operators.joins import j12_skew_salted_join
+
+        return j12_skew_salted_join(self.spark, self.sf_dir)
+
+    def stream_neardup(self) -> DataFrame:
+        """Streaming incremental MinHash-LSH near-dup (t18): per-batch
+        candidates against an accumulating signature store."""
+        from lens_warehouse_spark.streaming.jobs import (
+            t18_stream_incremental_neardup,
+        )
+
+        return t18_stream_incremental_neardup(self.spark, self.sf_dir)
+
+    def cohort_from_transit(self, text: str):
+        """EP-1 with the reference's actual transit+json encoding."""
+        from lens_warehouse_spark.operators.wire import cohort_from_transit
+
+        return cohort_from_transit(text)
+
     def asof(self, base_dir: str, t_ms: int) -> DataFrame:
         """Time-travel read: the versioned table at ``base_dir`` as of
         ``t_ms`` (s10; Datomic d/as-of parity — manifest resolves the

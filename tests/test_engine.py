@@ -149,3 +149,19 @@ def test_engine_analytics_surface(spark):
     assert lw.epoch_shuffle().columns == ["doc_id", "epoch_pos"]
     assert lw.budget_select().columns == ["doc_id", "n_tok", "quality", "cum_tok"]
     assert lw.hard_negatives().columns == ["anchor_id", "neg_id", "rn", "cos"]
+
+
+def test_engine_round4_surface(spark):
+    from lens_warehouse_spark.engine import LensWarehouse
+
+    lw = LensWarehouse(spark, "/root/testdata/sf0.001")
+    p90 = lw.grouped_exact_percentile()
+    assert p90.columns == ["event_type", "p90_value", "n"]
+    assert p90.count() == 5
+    sj = lw.skewed_join()
+    assert sj.columns == ["c_mktsegment", "n_orders", "total_price"]
+    q = lw.cohort_from_transit(
+        '["^ ","~:include",[[["^ ","~:type","~:order",'
+        '"~:priorities",["1-URGENT"]]]]]'
+    )
+    assert lw.cohort_count(q).collect()[0][0] > 0
