@@ -753,8 +753,19 @@ def t18_stream_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFram
     # micro-batches. Keyed by source fingerprint like _staged_events.
     src = os.path.join(sf_dir, "documents.parquet")
     st = os.stat(src)
-    tag = f"{sf_dir.strip('/').replace('/', '_')}_{st.st_size}_{int(st.st_mtime)}"
-    staged = os.path.join(tempfile.gettempdir(), f"lws_docs4_{tag}")
+    prefix = f"lws_docs4_{sf_dir.strip('/').replace('/', '_')}"
+    staged = os.path.join(
+        tempfile.gettempdir(), f"{prefix}_{st.st_size}_{int(st.st_mtime)}"
+    )
+    # evict older generations of the same source (anchored fingerprint
+    # glob — same discipline as _staged_events)
+    import glob
+    import re
+
+    for stale in glob.glob(os.path.join(tempfile.gettempdir(), f"{prefix}_*")):
+        rest = os.path.basename(stale)[len(prefix) + 1 :]
+        if stale != staged and re.fullmatch(r"\d+_\d+", rest):
+            shutil.rmtree(stale, ignore_errors=True)
     if not os.path.exists(os.path.join(staged, "_SUCCESS")):
         (
             table(spark, sf_dir, "documents")
