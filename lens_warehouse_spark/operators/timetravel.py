@@ -202,6 +202,23 @@ def s10b_asof_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
 # mechanism that makes every temporal predicate at 100 TB touch only
 # its days.
 # ---------------------------------------------------------------------------
+def _events_partitioned(spark: SparkSession, sf_dir: str) -> str:
+    """Stage events as an event_date-partitioned directory (once per
+    (machine, sf_dir, data generation)) — the 100 TB layout."""
+    out = os.path.join(
+        tempfile.gettempdir(), f"lws_evpart_{_staging_tag(sf_dir, 'events')}"
+    )
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        ev = table(spark, sf_dir, "events")
+        (
+            ev.withColumn("event_date", F.to_date(F.col("ts").cast("timestamp")))
+            .write.mode("overwrite")
+            .partitionBy("event_date")
+            .parquet(out)
+        )
+    return out
+
+
 @register(
     "s12_partitioned_scan",
     oracle="""
@@ -216,17 +233,7 @@ ORDER BY event_type
 """,
 )
 def s12_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    out = os.path.join(
-        tempfile.gettempdir(), f"lws_evpart_{_staging_tag(sf_dir, 'events')}"
-    )
-    if not os.path.exists(os.path.join(out, "_SUCCESS")):
-        ev = table(spark, sf_dir, "events")
-        (
-            ev.withColumn("event_date", F.to_date(F.col("ts").cast("timestamp")))
-            .write.mode("overwrite")
-            .partitionBy("event_date")
-            .parquet(out)
-        )
+    out = _events_partitioned(spark, sf_dir)
     day = spark.read.parquet(out).filter(
         F.col("event_date") == F.lit("2024-01-05").cast("date")
     )
@@ -461,4 +468,50 @@ def s14_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("l_extendedprice")).cast("long").alias("total_price"),
         )
         .orderBy("o_orderstatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# S15: DYNAMIC partition pruning — the filter lives on a DIMENSION, not
+# the fact: a promo-calendar dim (dates with day-of-month % 5 == 0)
+# joins the event_date-partitioned fact, and Spark injects the dim's
+# filtered key set into the fact scan AT RUNTIME (PartitionFilters:
+# [dynamicpruningexpression(...)], asserted in the plan audit). Static
+# pruning (s12) needs the predicate on the partition column itself;
+# DPP is what keeps star-join queries partition-pruned at 100 TB when
+# the selective predicate is on the dim. The oracle applies the same
+# calendar as a direct filter on raw events, proving the pruned plan
+# answer-equivalent.
+# ---------------------------------------------------------------------------
+@register(
+    "s15_dynamic_partition_pruning",
+    oracle="""
+SELECT event_type,
+       count(*) AS n_events,
+       CAST(round(sum(value)) AS BIGINT) AS total_value
+FROM events
+WHERE day(CAST(ts AS DATE)) % 5 = 0
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def s15_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = _events_partitioned(spark, sf_dir)
+    fact = spark.read.parquet(out)
+    promo = (
+        table(spark, sf_dir, "events")
+        .select(F.to_date(F.col("ts").cast("timestamp")).alias("promo_date"))
+        .distinct()
+        .filter(F.dayofmonth("promo_date") % 5 == 0)
+    )
+    joined = fact.join(
+        F.broadcast(promo), fact.event_date == promo.promo_date
+    )
+    return (
+        joined.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value")).cast("long").alias("total_value"),
+        )
+        .orderBy("event_type")
     )

@@ -214,6 +214,10 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         ("vocab-sized partial aggregation for df", "HashAggregate"),
         ("no row-at-a-time python", "!BatchEvalPython"),
     ],
+    "s15_dynamic_partition_pruning": [
+        ("dim filter injected into the fact scan at runtime", "dynamicpruning"),
+        ("dim side broadcast", "BroadcastHashJoin"),
+    ],
 }
 
 
