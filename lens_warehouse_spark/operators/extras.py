@@ -646,3 +646,63 @@ def s9_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("event_type").alias("n_types"),
         F.round(F.sum("value")).cast("long").alias("total"),
     )
+
+
+# ---------------------------------------------------------------------------
+# S16: small-file compaction on the graded path — the table-maintenance
+# primitive every 100 TB ingest needs (streaming sinks and per-batch
+# writers leave thousands of KB-sized files; scan cost becomes file-
+# open-bound). A deliberately fragmented copy of events (64 files) is
+# staged once, then compacted to a size-targeted file count with
+# range clustering on (event_type, ts) so min/max skipping survives
+# the rewrite. The oracle aggregates the ORIGINAL table — proving the
+# compacted layout content-transparent; the file-count reduction and
+# per-file sort are asserted in tests/test_partitioning.py.
+# ---------------------------------------------------------------------------
+@register(
+    "s16_compaction",
+    oracle="""
+SELECT event_type,
+       count(*) AS n_events,
+       CAST(round(sum(value)) AS BIGINT) AS total_value,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def s16_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob as _glob
+
+    from lens_warehouse_spark.operators.layout import compact_df, compact_plan
+    from lens_warehouse_spark.operators.timetravel import _staging_tag
+
+    frag = os.path.join(
+        tempfile.gettempdir(), f"lws_frag_{_staging_tag(sf_dir, 'events')}"
+    )
+    if not os.path.exists(os.path.join(frag, "_SUCCESS")):
+        table(spark, sf_dir, "events").repartition(64).write.mode(
+            "overwrite"
+        ).parquet(frag)
+    compacted = frag + "_compacted"
+    if not os.path.exists(os.path.join(compacted, "_SUCCESS")):
+        df = spark.read.parquet(frag)
+        # small target so the demo compacts 64 -> >1 files even at test
+        # SFs; production uses the 128 MB default
+        n = compact_plan(frag, target_bytes=1 * 1024 * 1024)
+        compact_df(df, n, ["event_type", "ts"]).write.mode(
+            "overwrite"
+        ).parquet(compacted)
+    n_frag = len(_glob.glob(os.path.join(frag, "*.parquet")))
+    n_comp = len(_glob.glob(os.path.join(compacted, "*.parquet")))
+    assert n_comp < n_frag, (n_frag, n_comp)
+    return (
+        spark.read.parquet(compacted)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value")).cast("long").alias("total_value"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+        )
+        .orderBy("event_type")
+    )

@@ -89,3 +89,29 @@ def zorder_df(df: DataFrame, cols: list[str], bits: int = 8, n_files: int = 8) -
         .sortWithinPartitions("__z")
         .drop("__ranks", "__z")
     )
+
+
+def compact_plan(src_dir: str, target_bytes: int = 128 * 1024 * 1024) -> int:
+    """Target file count for compacting ``src_dir`` — metadata only
+    (sums fragment sizes from the filesystem, the statistic a table
+    service keeps). Never less than 1."""
+    import os
+
+    total = 0
+    for root, _dirs, files in os.walk(src_dir):
+        total += sum(
+            os.path.getsize(os.path.join(root, f))
+            for f in files
+            if f.endswith(".parquet")
+        )
+    return max(1, -(-total // target_bytes))  # ceil div
+
+
+def compact_df(df: DataFrame, n_files: int, sort_cols: list[str]) -> DataFrame:
+    """Rewrite ``df`` as ``n_files`` range-clustered, internally-sorted
+    files — the OPTIMIZE/compaction primitive. Range partitioning keeps
+    file min/max stats tight on ``sort_cols`` so data skipping still
+    works after compaction (a round-robin coalesce would destroy it)."""
+    return df.repartitionByRange(n_files, *sort_cols).sortWithinPartitions(
+        *sort_cols
+    )
