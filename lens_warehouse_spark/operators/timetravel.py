@@ -515,3 +515,88 @@ def s15_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("event_type")
     )
+
+
+def expire_snapshots(base: str, keep_last: int) -> list[int]:
+    """Retention maintenance for the versioned table: keep the
+    ``keep_last`` most recent committed snapshots, delete older version
+    dirs, and atomically republish the manifest (the Iceberg
+    expire_snapshots / Delta VACUUM idea on the plain-parquet snapshot
+    store). Returns the expired version numbers. Time-travel to an
+    expired version subsequently raises — by design, the retention
+    window IS the time-travel horizon."""
+    import shutil
+
+    manifest = os.path.join(base, "manifest.json")
+    with open(manifest) as fh:
+        entries = json.load(fh)
+    entries.sort(key=lambda e: e["commit_ms"])
+    drop, keep = entries[:-keep_last], entries[-keep_last:]
+    if not keep:
+        raise ValueError("keep_last must retain at least one snapshot")
+    tmp = manifest + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(keep, fh)
+    os.replace(tmp, manifest)  # publish BEFORE deleting data dirs, so a
+    # concurrent reader resolving the old manifest never sees a
+    # published entry whose dir is already gone
+    for e in drop:
+        shutil.rmtree(e["path"], ignore_errors=True)
+    return [e["version"] for e in drop]
+
+
+# ---------------------------------------------------------------------------
+# S17: snapshot expiry on the graded path — a PRIVATE copy of the s10
+# snapshot store is expired down to the 2 newest versions; v0's dir is
+# deleted and the manifest republished atomically. The query then reads
+# "latest" through the ordinary as-of resolution and aggregates; the
+# oracle recomputes v2's restated state directly from the base table,
+# proving retention never perturbs the surviving snapshots. The
+# raises-on-expired behavior is pinned in tests/test_timetravel.py.
+# ---------------------------------------------------------------------------
+@register(
+    "s17_snapshot_expiry",
+    oracle="""
+WITH snap2 AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 55 = 0 THEN o_totalprice * 0.9
+              WHEN o_orderkey % 89 = 0 THEN o_totalprice * 1.1
+              ELSE o_totalprice END AS price
+  FROM orders
+)
+SELECT CAST(o_orderkey % 10 AS BIGINT) AS bucket,
+       count(*) AS n_rows,
+       CAST(round(sum(price)) AS BIGINT) AS total_price
+FROM snap2
+GROUP BY 1
+ORDER BY bucket
+""",
+)
+def s17_snapshot_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    src = _snapshot_base(spark, sf_dir)
+    base = src + "_expiry"
+    if not os.path.exists(os.path.join(base, "manifest.json")):
+        shutil.rmtree(base, ignore_errors=True)
+        shutil.copytree(src, base)
+        # copytree kept src paths inside the manifest — rewrite them
+        with open(os.path.join(base, "manifest.json")) as fh:
+            entries = json.load(fh)
+        for e in entries:
+            e["path"] = e["path"].replace(src, base, 1)
+        with open(os.path.join(base, "manifest.json"), "w") as fh:
+            json.dump(entries, fh)
+        expired = expire_snapshots(base, keep_last=2)
+        assert expired == [0] and not os.path.exists(
+            os.path.join(base, "v0")
+        )
+    snap = asof_read(spark, base, t_ms=10**12)  # latest survivor = v2
+    return (
+        snap.groupBy((F.col("o_orderkey") % 10).cast("long").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            money_sum(F.col("price")).alias("total_price"),
+        )
+        .orderBy("bucket")
+    )

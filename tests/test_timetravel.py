@@ -54,3 +54,15 @@ def test_s14_staging_keyed_by_sf_dir(spark):
     small = sum(r.n_items for r in s14_bucketed_join(spark, SF_SMOKE).collect())
     big = sum(r.n_items for r in s14_bucketed_join(spark, SF_ORACLE).collect())
     assert big > small, (small, big)
+
+
+def test_expired_snapshot_no_longer_resolvable(spark):
+    """After expiry the retention window IS the time-travel horizon:
+    as-of times before the oldest surviving commit raise."""
+    from lens_warehouse_spark.operators.timetravel import s17_snapshot_expiry
+
+    s17_snapshot_expiry(spark, SF_SMOKE).count()  # ensure expired copy
+    base = _snapshot_base(spark, SF_SMOKE) + "_expiry"
+    with pytest.raises(ValueError):
+        asof_read(spark, base, 1_500)  # v0's window — expired
+    assert asof_read(spark, base, 2_500).count() > 0  # v1 survives
