@@ -384,6 +384,20 @@ class LensWarehouse:
 
         return cohort_from_transit(text)
 
+    def compact(self, df: DataFrame, n_files: int, sort_cols: list[str]) -> DataFrame:
+        """Small-file compaction with clustering survival (s16's
+        primitive): range-repartition + in-file sort."""
+        from lens_warehouse_spark.operators.layout import compact_df
+
+        return compact_df(df, n_files, sort_cols)
+
+    def expire_snapshots(self, base: str, keep_last: int) -> list[int]:
+        """Retention maintenance on a versioned table (s17): keep the
+        N newest snapshots, manifest republished before dirs die."""
+        from lens_warehouse_spark.operators.timetravel import expire_snapshots
+
+        return expire_snapshots(base, keep_last)
+
     def asof(self, base_dir: str, t_ms: int) -> DataFrame:
         """Time-travel read: the versioned table at ``base_dir`` as of
         ``t_ms`` (s10; Datomic d/as-of parity — manifest resolves the
