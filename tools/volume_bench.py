@@ -51,47 +51,70 @@ VOLUME_SUBSET = [
 SCALED_TABLES = {"documents": "doc_id", "events": None}  # events: special
 
 
-def ensure_scaled_dir(base_sf_dir: str, mult: int) -> str:
+def ensure_scaled_dir(base_sf_dir: str, mult: int, spark=None) -> str:
     """Create (once) the MULT-x scaled twin of ``base_sf_dir`` in /tmp,
     fingerprinted by source size+mtime so a testdata refresh invalidates
-    the staging, like every other staging path in this repo."""
+    the staging, like every other staging path in this repo.
+
+    The scaled tables are written by SPARK as multi-file directories
+    (32 files): a single giant parquet file caps the scan parallelism
+    of every downstream query at fileSize/maxPartitionBytes splits —
+    measured at the 100x point, the explode-heavy queries ran on ~5
+    effective tasks out of 32 cores and looked 3x worse than they are.
+    Both engines read the directory (DuckDB via glob), so the layout
+    is fair to both."""
+    from pyspark.sql import functions as F
+
     st = os.stat(os.path.join(base_sf_dir, "documents.parquet"))
+    # v2: multi-file layout — the tag version invalidates v1 (single
+    # giant file) stagings, which are also evicted below
     tag = (
         f"{base_sf_dir.strip('/').replace('/', '_')}"
-        f"_x{mult}_{st.st_size}_{int(st.st_mtime)}"
+        f"_x{mult}_v2_{st.st_size}_{int(st.st_mtime)}"
     )
     out = os.path.join(tempfile.gettempdir(), f"lws_volscale_{tag}")
     marker = os.path.join(out, "_COMPLETE")
     if os.path.exists(marker):
         return out
+    import glob
+
+    base_part = base_sf_dir.strip("/").replace("/", "_")
+    for stale in glob.glob(os.path.join(tempfile.gettempdir(), "lws_volscale_*")):
+        name = os.path.basename(stale)
+        same_target = name.startswith(f"lws_volscale_{base_part}_x{mult}_")
+        old_layout = "_v2_" not in name
+        if stale != out and (same_target or old_layout):
+            shutil.rmtree(stale, ignore_errors=True)
+    if spark is None:
+        from lens_warehouse_spark.session import get_spark
+
+        spark = get_spark("volscale_gen")
     shutil.rmtree(out, ignore_errors=True)
     os.makedirs(out, exist_ok=True)
-    con = duckdb.connect()
-    docs = os.path.join(base_sf_dir, "documents.parquet")
-    con.execute(
-        f"""
-COPY (
-  SELECT d.* REPLACE (
-    d.doc_id + r.i * (SELECT max(doc_id) + 1 FROM read_parquet('{docs}'))
-      AS doc_id)
-  FROM read_parquet('{docs}') d CROSS JOIN range({mult}) r(i)
-) TO '{out}/documents.parquet' (FORMAT parquet)
-"""
+    rep = spark.range(mult).select(F.col("id").alias("__i"))
+    docs = spark.read.parquet(os.path.join(base_sf_dir, "documents.parquet"))
+    d_max = docs.agg(F.max("doc_id")).first()[0] + 1
+    (
+        docs.crossJoin(rep)
+        .withColumn("doc_id", F.col("doc_id") + F.col("__i") * F.lit(d_max))
+        .drop("__i")
+        .repartition(32)
+        .write.mode("overwrite")
+        .parquet(os.path.join(out, "documents.parquet"))
     )
-    ev = os.path.join(base_sf_dir, "events.parquet")
-    con.execute(
-        f"""
-COPY (
-  SELECT e.* REPLACE (
-    e.event_id + r.i * (SELECT max(event_id) + 1 FROM read_parquet('{ev}'))
-      AS event_id,
-    e.user_id + r.i * (SELECT max(user_id) + 1 FROM read_parquet('{ev}'))
-      AS user_id)
-  FROM read_parquet('{ev}') e CROSS JOIN range({mult}) r(i)
-) TO '{out}/events.parquet' (FORMAT parquet)
-"""
+    ev = spark.read.parquet(os.path.join(base_sf_dir, "events.parquet"))
+    e_max, u_max = ev.agg(
+        F.max("event_id").alias("e"), F.max("user_id").alias("u")
+    ).first()
+    (
+        ev.crossJoin(rep)
+        .withColumn("event_id", F.col("event_id") + F.col("__i") * F.lit(e_max + 1))
+        .withColumn("user_id", F.col("user_id") + F.col("__i") * F.lit(u_max + 1))
+        .drop("__i")
+        .repartition(32)
+        .write.mode("overwrite")
+        .parquet(os.path.join(out, "events.parquet"))
     )
-    con.close()
     for t in TABLES:
         if t not in SCALED_TABLES:
             shutil.copy(
@@ -127,9 +150,10 @@ def run_duckdb_subset(sf_dir: str, names=VOLUME_SUBSET) -> dict[str, float]:
         sql = registry.ORACLES[name]
         con = duckdb.connect()  # fresh per query: no cross-query caching
         for t in TABLES:
+            path = f"{sf_dir}/{t}.parquet"
+            src = f"{path}/*.parquet" if os.path.isdir(path) else path
             con.execute(
-                f"CREATE VIEW {t} AS "
-                f"SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')"
             )
         out[name] = round(_best_of(lambda: con.execute(sql).fetchall()), 3)
         con.close()
@@ -153,7 +177,7 @@ def _point(spark, sf_dir: str) -> dict:
 
 def volume_scaling_report(spark, base_sf_dir: str, mult: int = 10) -> dict:
     """The second-SF bench point: base vs mult-x, both engines."""
-    scaled_dir = ensure_scaled_dir(base_sf_dir, mult)
+    scaled_dir = ensure_scaled_dir(base_sf_dir, mult, spark=spark)
     base = _point(spark, base_sf_dir)
     scaled = _point(spark, scaled_dir)
     return {
