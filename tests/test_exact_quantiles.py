@@ -1,0 +1,85 @@
+"""Property tests for the bracket-then-select exact quantile family
+(a20/a21/a22): randomized distributions INCLUDING heavy ties — the case
+where the percentile_approx bracket collapses onto a single repeated
+value and the rank bookkeeping must still pick the true order
+statistics."""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+
+def _quantile_cont(values: list[float], p: float) -> float:
+    """Reference quantile_cont: linear interpolation at h=(n-1)p."""
+    s = sorted(values)
+    h = (len(s) - 1) * p
+    lo = math.floor(h)
+    hi = math.ceil(h)
+    return s[lo] * (hi - h if hi != lo else 1.0) + (
+        s[hi] * (h - lo) if hi != lo else 0.0
+    )
+
+
+# values drawn from a SMALL integer domain -> massive ties by design
+_tied_groups = st.dictionaries(
+    st.sampled_from(["a", "b", "c"]),
+    st.lists(
+        st.integers(min_value=-5, max_value=5).map(float),
+        min_size=1,
+        max_size=60,
+    ),
+    min_size=1,
+    max_size=3,
+)
+
+
+@settings(max_examples=12, deadline=None)
+@given(_tied_groups)
+def test_grouped_bracket_select_median_matches_reference(spark, groups):
+    from pyspark.sql import Window
+
+    rows = [
+        (g, v) for g, vals in groups.items() for v in vals
+    ]
+    ev = spark.createDataFrame(rows, ["event_type", "value"])
+    # inline a21's machinery against the in-memory frame
+    stats = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.percentile_approx("value", 0.47, 50_000).alias("lo"),
+        F.percentile_approx("value", 0.53, 50_000).alias("hi"),
+    )
+    below = (
+        ev.join(F.broadcast(stats.select("event_type", "lo")), "event_type")
+        .filter(F.col("value") < F.col("lo"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_below"))
+    )
+    sliced = ev.join(F.broadcast(stats), "event_type").filter(
+        (F.col("value") >= F.col("lo")) & (F.col("value") <= F.col("hi"))
+    )
+    w = Window.partitionBy("event_type").orderBy("value")
+    ranked = (
+        sliced.withColumn("rn", F.row_number().over(w))
+        .join(F.broadcast(below), "event_type", "left")
+        .withColumn("rank", F.col("rn") + F.coalesce(F.col("n_below"), F.lit(0)))
+    )
+    picked = ranked.filter(
+        (F.col("rank") == F.floor((F.col("n") + 1) / 2))
+        | (F.col("rank") == F.floor(F.col("n") / 2) + 1)
+    )
+    got = {
+        r.event_type: r.med
+        for r in picked.groupBy("event_type")
+        .agg(F.avg("value").alias("med"))
+        .collect()
+    }
+    for g, vals in groups.items():
+        assert abs(got[g] - _quantile_cont(vals, 0.5)) < 1e-9, (
+            g,
+            sorted(vals),
+            got[g],
+        )

@@ -218,6 +218,13 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         ("dim filter injected into the fact scan at runtime", "dynamicpruning"),
         ("dim side broadcast", "BroadcastHashJoin"),
     ],
+    # l17's stats are computed in the projection: no explode and no
+    # distinct-agg Expand may reappear (the 20x regression shape).
+    "l17_repetition_filter": [
+        ("no explode of grams", "!Generate"),
+        ("no distinct-agg expand", "!Expand"),
+        ("no gram shuffle", "!Exchange hashpartitioning"),
+    ],
 }
 
 
