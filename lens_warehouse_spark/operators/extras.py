@@ -706,3 +706,89 @@ def s16_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# S18: data-quality / constraint validation suite — the expectation
+# checks a warehouse runs after every load, computed in ONE Spark job
+# per table family and unioned into a (check, violation) frame:
+# null keys, duplicate keys, range constraints, referential integrity
+# (anti-join counts). Healthy zeros ARE the expected output — the
+# oracle proves the counts, zero or not, match DuckDB on the same
+# constraints. Scale shape: each check is a partial-aggregated scan or
+# an anti-join on the already-shuffled key; no check collects rows,
+# only counts.
+# ---------------------------------------------------------------------------
+@register(
+    "s18_data_quality",
+    oracle="""
+SELECT check_name, CAST(violations AS BIGINT) AS violations FROM (
+  SELECT 'customer_null_key' AS check_name,
+         count(*) FILTER (WHERE c_custkey IS NULL) AS violations FROM customer
+  UNION ALL
+  SELECT 'customer_dup_key', count(*) - count(DISTINCT c_custkey) FROM customer
+  UNION ALL
+  SELECT 'customer_negative_balance',
+         count(*) FILTER (WHERE c_acctbal < 0) FROM customer
+  UNION ALL
+  SELECT 'orders_nonpositive_total',
+         count(*) FILTER (WHERE o_totalprice <= 0) FROM orders
+  UNION ALL
+  SELECT 'lineitem_discount_range',
+         count(*) FILTER (WHERE l_discount < 0 OR l_discount > 1) FROM lineitem
+  UNION ALL
+  SELECT 'orders_orphan_customer',
+         count(*) FROM orders o
+         WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+  UNION ALL
+  SELECT 'lineitem_orphan_order',
+         count(*) FROM lineitem l
+         WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+  UNION ALL
+  SELECT 'events_orphan_user',
+         count(*) FROM events e
+         WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id)
+)
+ORDER BY check_name
+""",
+)
+def s18_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cu = table(spark, sf_dir, "customer")
+    od = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    ev = table(spark, sf_dir, "events")
+    cu_checks = cu.agg(
+        F.sum(F.when(F.col("c_custkey").isNull(), 1).otherwise(0)).alias("nk"),
+        (F.count(F.lit(1)) - F.countDistinct("c_custkey")).alias("dup"),
+        F.sum(F.when(F.col("c_acctbal") < 0, 1).otherwise(0)).alias("neg"),
+    )
+    checks = [
+        cu_checks.select(F.lit("customer_null_key").alias("check_name"),
+                         F.col("nk").cast("long").alias("violations")),
+        cu_checks.select(F.lit("customer_dup_key").alias("check_name"),
+                         F.col("dup").cast("long").alias("violations")),
+        cu_checks.select(F.lit("customer_negative_balance").alias("check_name"),
+                         F.col("neg").cast("long").alias("violations")),
+        od.agg(F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0))
+               .cast("long").alias("violations"))
+          .select(F.lit("orders_nonpositive_total").alias("check_name"), "violations"),
+        li.agg(F.sum(F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 1), 1)
+                     .otherwise(0)).cast("long").alias("violations"))
+          .select(F.lit("lineitem_discount_range").alias("check_name"), "violations"),
+        od.join(cu.select(F.col("c_custkey").alias("o_custkey")), "o_custkey",
+                "left_anti")
+          .agg(F.count(F.lit(1)).cast("long").alias("violations"))
+          .select(F.lit("orders_orphan_customer").alias("check_name"), "violations"),
+        li.join(od.select(F.col("o_orderkey").alias("l_orderkey")), "l_orderkey",
+                "left_anti")
+          .agg(F.count(F.lit(1)).cast("long").alias("violations"))
+          .select(F.lit("lineitem_orphan_order").alias("check_name"), "violations"),
+        ev.join(cu.select(F.col("c_custkey").alias("user_id")), "user_id",
+                "left_anti")
+          .agg(F.count(F.lit(1)).cast("long").alias("violations"))
+          .select(F.lit("events_orphan_user").alias("check_name"), "violations"),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out.orderBy("check_name")

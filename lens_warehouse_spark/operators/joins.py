@@ -520,3 +520,59 @@ def j12_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+# ---------------------------------------------------------------------------
+# J13: record-linkage pipeline (entity resolution) — the classic
+# block-then-verify shape: deterministic "dirty" records are
+# synthesized from part names (suffix corruption, new ids), candidate
+# pairs form ONLY within a blocking key (name prefix — the O(n^2)
+# killer: comparisons happen per block, never across the corpus), and
+# a Levenshtein edit-distance verify keeps pairs within distance 2.
+# Everything is deterministic and SQL-expressible, so unlike most ER
+# systems the whole pipeline is oracle-checked, not just spot-tested.
+# At 100 TB: blocking keys shuffle once; per-block candidate
+# generation is quadratic only in block size (prefix blocks are
+# bounded); the verify is a codegen'd string kernel. j10's fuzzy join
+# is the unblocked 2-table variant; l2e's components would resolve
+# multi-record clusters downstream.
+# ---------------------------------------------------------------------------
+@register(
+    "j13_record_linkage",
+    oracle="""
+WITH dirty AS (
+  SELECT p_partkey + 100000 AS dirty_id,
+         p_name || ' x' AS dirty_name,
+         substring(p_name, 1, 4) AS blk
+  FROM part WHERE p_partkey % 7 = 0
+), clean AS (
+  SELECT p_partkey, p_name, substring(p_name, 1, 4) AS blk FROM part
+)
+SELECT d.dirty_id, c.p_partkey AS matched_partkey,
+       CAST(levenshtein(d.dirty_name, c.p_name) AS BIGINT) AS distance
+FROM dirty d
+JOIN clean c ON c.blk = d.blk
+WHERE levenshtein(d.dirty_name, c.p_name) <= 2
+ORDER BY dirty_id, matched_partkey
+""",
+)
+def j13_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pa = table(spark, sf_dir, "part").select("p_partkey", "p_name")
+    dirty = pa.filter(F.col("p_partkey") % 7 == 0).select(
+        (F.col("p_partkey") + 100000).alias("dirty_id"),
+        F.concat(F.col("p_name"), F.lit(" x")).alias("dirty_name"),
+        F.substring("p_name", 1, 4).alias("blk"),
+    )
+    clean = pa.select(
+        "p_partkey", "p_name", F.substring("p_name", 1, 4).alias("blk")
+    )
+    return (
+        dirty.join(clean, "blk")
+        .filter(F.levenshtein("dirty_name", "p_name") <= 2)
+        .select(
+            "dirty_id",
+            F.col("p_partkey").alias("matched_partkey"),
+            F.levenshtein("dirty_name", "p_name").cast("long").alias("distance"),
+        )
+        .orderBy("dirty_id", "matched_partkey")
+    )
