@@ -398,6 +398,19 @@ class LensWarehouse:
 
         return expire_snapshots(base, keep_last)
 
+    def data_quality(self) -> DataFrame:
+        """Constraint validation suite (s18): null/dup/range/referential
+        counts across the core tables in one frame."""
+        from lens_warehouse_spark.operators.extras import s18_data_quality
+
+        return s18_data_quality(self.spark, self.sf_dir)
+
+    def record_linkage(self) -> DataFrame:
+        """Block-then-verify entity resolution (j13)."""
+        from lens_warehouse_spark.operators.joins import j13_record_linkage
+
+        return j13_record_linkage(self.spark, self.sf_dir)
+
     def asof(self, base_dir: str, t_ms: int) -> DataFrame:
         """Time-travel read: the versioned table at ``base_dir`` as of
         ``t_ms`` (s10; Datomic d/as-of parity — manifest resolves the
