@@ -225,6 +225,14 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         ("no distinct-agg expand", "!Expand"),
         ("no gram shuffle", "!Exchange hashpartitioning"),
     ],
+    "j13_record_linkage": [
+        ("blocked equi join, not cartesian", "!CartesianProduct"),
+        ("no nested loop across blocks", "!BroadcastNestedLoopJoin"),
+    ],
+    "s18_data_quality": [
+        ("orphan checks are hash anti-joins", "BroadcastHashJoin"),
+        ("no cartesian anywhere", "!CartesianProduct"),
+    ],
 }
 
 
