@@ -398,8 +398,22 @@ def l20_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
     )
+    # NOTE: this branch deliberately KEEPS the explode+agg formulation
+    # (not l17's map-side repetition_stats). Measured A/B at sf0.1,
+    # same session: explode+agg 1.41 s vs map-side 2.39 s for the full
+    # pipeline — as a FILTER condition the higher-order gram expression
+    # gets substituted into the predicate and re-evaluated per
+    # reference (interpreted, no codegen, no subexpression
+    # elimination), while l17's projection-only use evaluates it once.
+    # The aggregated repetitive set also gives the anti-join a tiny
+    # build side.
     repetitive = (
-        repetition_stats(docs, 3)
+        word_ngrams(docs, 3)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.countDistinct("gram").alias("n_distinct"),
+        )
         .filter(
             F.lit(5) * (F.col("n_grams") - F.col("n_distinct")) > F.col("n_grams")
         )
