@@ -419,6 +419,42 @@ class LensWarehouse:
 
         return asof_read(self.spark, base_dir, t_ms)
 
+    def substring_dedup(self, window_tokens: int = 8) -> DataFrame:
+        """Per-doc cross-document duplicated-span fraction (l31)."""
+        from lens_warehouse_spark.llm.dedup import substring_dup_stats
+
+        return substring_dup_stats(self.table("documents"), w=window_tokens)
+
+    def gram_matrix(self) -> DataFrame:
+        """Distributed X^T X over the embedding corpus (l32)."""
+        from lens_warehouse_spark.llm.vector import l32_gram_matrix
+
+        return l32_gram_matrix(self.spark, self.sf_dir)
+
+    def pca_project(self) -> DataFrame:
+        """Top-8 principal-component projection of embeddings (l32b)."""
+        from lens_warehouse_spark.llm.vector import l32b_pca_project
+
+        return l32b_pca_project(self.spark, self.sf_dir)
+
+    def canonical_selection(self) -> DataFrame:
+        """Max-quality survivor per near-dup cluster (l33)."""
+        from lens_warehouse_spark.llm.dedup import l33_canonical_selection
+
+        return l33_canonical_selection(self.spark, self.sf_dir)
+
+    def grouped_mode(self) -> DataFrame:
+        """Exact modal event_type per user (a23)."""
+        from lens_warehouse_spark.operators.aggregates import a23_grouped_mode
+
+        return a23_grouped_mode(self.spark, self.sf_dir)
+
+    def anomaly_scores(self) -> DataFrame:
+        """Trailing-window z-scores of bucket volumes (t19)."""
+        from lens_warehouse_spark.operators.timeseries import t19_anomaly_zscore
+
+        return t19_anomaly_zscore(self.spark, self.sf_dir)
+
     def decode_codes(self, df: DataFrame, code_col: str) -> DataFrame:
         """Code-list decode (s11; schema.clj code-list-item parity):
         resolve enum codes to labels via the broadcast metadata dim."""

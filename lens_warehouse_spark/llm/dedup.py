@@ -513,3 +513,139 @@ def l2g_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
         .orderBy("doc_a", "doc_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# L31: exact substring (duplicated-span) detection — the suffix-array
+# dedup of Lee et al., "Deduplicating Training Data Makes Language
+# Models Better" (2022), re-expressed for a distributed engine: instead
+# of one global suffix array, slide a fixed W-token window over every
+# document, key each window by an engine-neutral 128-bit hash (md5), and
+# find spans whose hash occurs in >= 2 distinct documents. Per document
+# we report the fraction of its windows that are cross-document
+# duplicated — the "duplicated span contamination" score used to gate or
+# clip training docs.
+#
+# Scale shape (100 TB): window generation is per-row array work inside
+# whole-stage codegen (transform/sequence/slice — no explode of W-grams
+# as rows until aggregation). The (doc_id, h) aggregation is one shuffle
+# of O(total_tokens) narrow rows; the h-level doc-frequency agg and the
+# join back both run on the *distinct* (doc_id, h) pairs, never the raw
+# window stream, and group on the 128-bit hash so shuffle keys are
+# fixed-width. Nothing is quadratic and no all-pairs comparison exists:
+# duplicated spans meet in the hash bucket, exactly like l1's content
+# hash. W=8 tokens (~the 50-token char threshold of the paper scaled to
+# this synthetic corpus' short docs).
+# ---------------------------------------------------------------------------
+_SPAN_W = 8
+
+
+@register(
+    "l31_substring_dedup",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+  WHERE len(string_split(text, ' ')) >= {_SPAN_W}
+), win AS (
+  SELECT doc_id, md5(array_to_string(l[i:i+{_SPAN_W - 1}], ' ')) AS h
+  FROM t, unnest(range(1, len(l) - {_SPAN_W} + 2)) AS r(i)
+), g AS (
+  SELECT doc_id, h, count(*) AS c FROM win GROUP BY doc_id, h
+), d AS (
+  SELECT h, count(*) AS ndocs FROM g GROUP BY h
+)
+SELECT g.doc_id,
+       CAST(sum(g.c) AS BIGINT) AS n_windows,
+       CAST(sum(CASE WHEN d.ndocs >= 2 THEN g.c ELSE 0 END) AS BIGINT) AS n_dup_windows,
+       round(CAST(sum(CASE WHEN d.ndocs >= 2 THEN g.c ELSE 0 END) AS DOUBLE)
+             / sum(g.c), 6) AS dup_frac
+FROM g JOIN d USING (h)
+GROUP BY g.doc_id
+""",
+)
+def l31_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return substring_dup_stats(table(spark, sf_dir, "documents"))
+
+
+def substring_dup_stats(docs: DataFrame, w: int = _SPAN_W) -> DataFrame:
+    """Per-doc duplicated-span stats for any (doc_id, text) frame."""
+    t = (
+        docs.select("doc_id", F.split("text", " ").alias("l"))
+        .filter(F.size("l") >= w)
+    )
+    win = t.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(l) - {w - 1}),"
+                f" i -> md5(concat_ws(' ', slice(l, i, {w}))))"
+            )
+        ).alias("h"),
+    )
+    g = win.groupBy("doc_id", "h").agg(F.count(F.lit(1)).alias("c"))
+    d = g.groupBy("h").agg(F.count(F.lit(1)).alias("ndocs"))
+    dup_c = F.sum(F.when(F.col("ndocs") >= 2, F.col("c")).otherwise(0))
+    return (
+        g.join(d, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_windows"),
+            dup_c.cast("long").alias("n_dup_windows"),
+            F.round(dup_c.cast("double") / F.sum("c"), 6).alias("dup_frac"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# L33: canonical selection — the step AFTER near-dup clustering in a real
+# curation pipeline: from each near-dup cluster keep the single best
+# document by an explicit quality key (distinct-token ratio, then
+# length, then lowest doc_id), not just the arbitrary lowest id.
+# Output: every kept doc with its cluster id and how many dups it
+# absorbed. Rows-only (clusters come from seeded LSH like l2e);
+# selection invariants are pinned in tests/test_canonical.py.
+#
+# Scale shape: reuses l2e's component machinery (banded LSH, never
+# all-pairs), then ONE window over each cluster — clusters are small by
+# construction (bounded by near-dup neighborhoods), so the rank
+# partition never skews.
+# ---------------------------------------------------------------------------
+@register("l33_canonical_selection")
+def l33_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs).select("doc_id", "sig")
+    pairs = (
+        jaccard(lsh_candidate_pairs(sigs), docs)
+        .filter(F.col("jaccard") >= 0.7)
+        .select("doc_a", "doc_b")
+    )
+    comp = neardup_components(pairs, docs.select("doc_id"))
+    toks = F.split("text", " ")
+    quality = docs.select(
+        "doc_id",
+        "n_chars",
+        F.round(
+            F.size(F.array_distinct(toks)).cast("double") / F.size(toks), 6
+        ).alias("tok_ratio"),
+    )
+    scored = comp.join(quality, "doc_id")
+    w = Window.partitionBy("canonical_id").orderBy(
+        F.col("tok_ratio").desc(), F.col("n_chars").desc(), "doc_id"
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "cluster_size",
+            F.count(F.lit(1)).over(Window.partitionBy("canonical_id")),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("doc_id").alias("keep_doc_id"),
+            F.col("canonical_id").alias("cluster_id"),
+            (F.col("cluster_size") - 1).cast("long").alias("n_dups_absorbed"),
+            "tok_ratio",
+        )
+        .orderBy("cluster_id")
+    )

@@ -945,3 +945,146 @@ def l30_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# L32: distributed Gram matrix of the embedding corpus — the
+# X^T X sufficient statistic behind PCA whitening, covariance shift
+# detection, and linear-probe training over embedding tables.
+#
+# Scale shape (100 TB): each partition computes its partial d x d Gram
+# with one float64 BLAS matmul over the Arrow batch (mapInPandas — the
+# Pandas-UDF fast path, never per-row Python), emits d*(d+1)/2
+# upper-triangle cells, and a single groupBy (i, j) sums the partials.
+# Shuffle volume is O(P * d^2) tiny fixed-width rows — independent of n
+# — and the raw vectors never leave their partitions. This is the
+# textbook map-side-combine reduction of a dense sufficient statistic.
+#
+# Parity: accumulation is float64 on both engines; entries are O(n/d)
+# magnitude and rounded to 6 decimals (registry rule 4 — partial-sum
+# order drift is ~1e-12 here, far inside the rounding slack).
+# ---------------------------------------------------------------------------
+def _partial_gram(batches):
+    import numpy as np
+    import pandas as pd
+
+    acc = None
+    for pdf in batches:
+        x = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+        )
+        g = x.T @ x
+        acc = g if acc is None else acc + g
+    if acc is not None:
+        iu, ju = np.triu_indices(acc.shape[0])
+        yield pd.DataFrame(
+            {  # 1-based to match DuckDB's generate_subscripts
+                "i": (iu + 1).astype("int64"),
+                "j": (ju + 1).astype("int64"),
+                "partial": acc[iu, ju],
+            }
+        )
+
+
+@register(
+    "l32_gram_matrix",
+    oracle="""
+WITH tok AS (
+  SELECT vec_id, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS i
+  FROM embeddings
+)
+SELECT a.i AS i, b.i AS j,
+       round(sum(CAST(a.v AS DOUBLE) * CAST(b.v AS DOUBLE)), 6) AS gram
+FROM tok a JOIN tok b USING (vec_id)
+WHERE a.i <= b.i
+GROUP BY a.i, b.i
+""",
+)
+def l32_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings").select("embedding")
+    partials = emb.mapInPandas(_partial_gram, "i long, j long, partial double")
+    return partials.groupBy("i", "j").agg(
+        F.round(F.sum("partial"), 6).alias("gram")
+    )
+
+
+# ---------------------------------------------------------------------------
+# L32b: PCA projection (top-K principal components of the embedding
+# corpus). Training-pipeline use: dimensionality reduction / whitening
+# before clustering, and spectral drift checks between corpus snapshots.
+#
+# The covariance eigendecomposition happens on the DRIVER over the d x d
+# matrix assembled from l32's distributed Gram pipeline plus the mean
+# vector — O(d^2) floats collected, INDEPENDENT of corpus size, so this
+# is not a driver-scaling anti-pattern (unlike collecting rows). The
+# projection itself stays fully distributed AND fully JVM-side: each of
+# the K components becomes a literal array in a zip_with/aggregate dot
+# expression, so whole-stage codegen applies it with zero Python in the
+# per-row path.
+#
+# Registered rows-only: eigenvectors are LAPACK-convention-dependent
+# (sign/ordering on near-degenerate spectra), so cross-engine value
+# parity is not meaningful. tests/test_pca.py pins the invariants
+# instead: variance(pc_k) monotone decreasing, components orthonormal,
+# projected variance == eigenvalue, reconstruction error bounded.
+# ---------------------------------------------------------------------------
+_PCA_K = 8
+
+
+def pca_components(spark: SparkSession, sf_dir: str, k: int = _PCA_K):
+    """Top-k eigenpairs of the corpus covariance: (eigvals, components).
+
+    Components are canonicalized (largest-|coord| positive) so repeated
+    runs at identical data agree in sign.
+    """
+    import numpy as np
+
+    emb = table(spark, sf_dir, "embeddings").select("embedding")
+    gram_rows = (
+        emb.mapInPandas(_partial_gram, "i long, j long, partial double")
+        .groupBy("i", "j")
+        .agg(F.sum("partial").alias("gram"))
+        .collect()
+    )
+    stats = emb.select(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum(F.col("embedding")[d].cast("double")).alias(f"s{d}")
+            for d in range(64)
+        ],
+    ).collect()[0]
+    n = stats["n"]
+    d = 64
+    gram = np.zeros((d, d))
+    for r in gram_rows:
+        gram[r["i"] - 1, r["j"] - 1] = r["gram"]
+        gram[r["j"] - 1, r["i"] - 1] = r["gram"]
+    mean = np.array([stats[f"s{i}"] for i in range(d)]) / n
+    cov = gram / n - np.outer(mean, mean)
+    vals, vecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(vals)[::-1][:k]
+    vals, vecs = vals[order], vecs[:, order]
+    for c in range(vecs.shape[1]):  # sign canonicalization
+        if vecs[np.argmax(np.abs(vecs[:, c])), c] < 0:
+            vecs[:, c] = -vecs[:, c]
+    return vals, vecs, mean
+
+
+@register("l32b_pca_project")
+def l32b_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _vals, vecs, mean = pca_components(spark, sf_dir)
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cols = []
+    for c in range(vecs.shape[1]):
+        lits = ",".join(f"{float(v)!r}D" for v in vecs[:, c])
+        shift = float(mean @ vecs[:, c])
+        cols.append(
+            F.round(
+                F.expr(
+                    _DOT.format(a="embedding", b=f"array({lits})")
+                )
+                - F.lit(shift),
+                4,
+            ).alias(f"pc{c + 1}")
+        )
+    return emb.select("vec_id", *cols)

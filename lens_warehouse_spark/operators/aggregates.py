@@ -846,3 +846,52 @@ def a22_grouped_exact_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# A23: exact per-group mode — each user's dominant event_type, with a
+# deterministic tie-break (lexicographically smallest among the tied
+# counts). The exact counterpart of a16's approximate heavy-hitter
+# machinery, at per-group granularity.
+#
+# Scale shape: one shuffle to count (user_id, event_type) pairs —
+# partial-aggregated map-side, so raw rows collapse before moving — then
+# a per-user window over at most |event_types| rows per user. No global
+# window, no driver collection.
+# ---------------------------------------------------------------------------
+@register(
+    "a23_grouped_mode",
+    oracle="""
+WITH c AS (
+  SELECT user_id, event_type, count(*) AS cnt
+  FROM events GROUP BY user_id, event_type
+), r AS (
+  SELECT user_id, event_type, cnt,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY cnt DESC, event_type) AS rn
+  FROM c
+)
+SELECT user_id, event_type AS modal_event, CAST(cnt AS BIGINT) AS cnt
+FROM r WHERE rn = 1
+ORDER BY user_id
+""",
+)
+def a23_grouped_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    c = (
+        table(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("cnt").desc(), "event_type")
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("modal_event"),
+            F.col("cnt").cast("long").alias("cnt"),
+        )
+        .orderBy("user_id")
+    )

@@ -398,3 +398,80 @@ def t15_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("purchase_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# T19: time-series anomaly scoring — z-score of each 6h bucket's event
+# count against its own trailing history (previous 8 buckets, per
+# event_type). The standard ops-metrics / data-drift monitor: a bucket
+# whose volume departs from the local regime scores |z| >> 0; the
+# threshold is a consumer-side cut on the score, kept OUT of the query
+# so no float boundary can flip a row's membership between engines
+# (registry rule 4). Buckets without a full 8-bucket history are
+# excluded with integer arithmetic (n_prior = 8).
+#
+# Scale shape: one shuffle for the bucket aggregation (output is
+# |event_types| x |buckets| rows — tiny), then a per-key ordered window
+# over that already-aggregated frame. The raw events table is touched
+# exactly once; the window never sees raw rows. stddev over 8 small
+# integers differs across engines only in accumulation order -> round 4.
+# ---------------------------------------------------------------------------
+@register(
+    "t19_anomaly_zscore",
+    oracle="""
+WITH b AS (
+  SELECT epoch_ms(time_bucket(INTERVAL '6 hours', ts)) AS win_start_ms,
+         event_type, count(*) AS n
+  FROM events GROUP BY 1, 2
+), s AS (
+  SELECT win_start_ms, event_type, n,
+         count(*) OVER f AS n_prior,
+         avg(n) OVER f AS mu,
+         stddev_samp(n) OVER f AS sigma
+  FROM b
+  WINDOW f AS (PARTITION BY event_type ORDER BY win_start_ms
+               ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING)
+)
+SELECT win_start_ms, event_type, n,
+       round((CAST(n AS DOUBLE) - mu) / sigma, 4) AS z
+FROM s
+WHERE n_prior = 8 AND sigma > 0
+ORDER BY event_type, win_start_ms
+""",
+)
+def t19_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    b = (
+        ev.groupBy(F.window(as_ts("ts"), "6 hours").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.unix_millis(F.col("w.start")).alias("win_start_ms"),
+            "event_type",
+            "n",
+        )
+    )
+    f = (
+        Window.partitionBy("event_type")
+        .orderBy("win_start_ms")
+        .rowsBetween(-8, -1)
+    )
+    s = b.select(
+        "win_start_ms",
+        "event_type",
+        "n",
+        F.count(F.lit(1)).over(f).alias("n_prior"),
+        F.avg("n").over(f).alias("mu"),
+        F.stddev_samp("n").over(f).alias("sigma"),
+    )
+    return (
+        s.filter((F.col("n_prior") == 8) & (F.col("sigma") > 0))
+        .select(
+            "win_start_ms",
+            "event_type",
+            "n",
+            F.round(
+                (F.col("n").cast("double") - F.col("mu")) / F.col("sigma"), 4
+            ).alias("z"),
+        )
+        .orderBy("event_type", "win_start_ms")
+    )
