@@ -582,7 +582,18 @@ def substring_dup_stats(docs: DataFrame, w: int = _SPAN_W) -> DataFrame:
             )
         ).alias("h"),
     )
-    g = win.groupBy("doc_id", "h").agg(F.count(F.lit(1)).alias("c"))
+    # Pin g: it feeds BOTH the doc-frequency agg and the final join, and
+    # Catalyst will not ReusedExchange the differently-pruned subtrees —
+    # unpinned, the scan+tokenize+explode+agg tree runs TWICE (measured:
+    # -10% at the 10x volume point, growing with volume; same pattern as
+    # l13). Skew note: the hot-hash case (universal boilerplate span)
+    # stays safe because d is a map-side-combining groupBy, not a window
+    # over an h partition, and the join build side has one row per h.
+    g = (
+        win.groupBy("doc_id", "h")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()
+    )
     d = g.groupBy("h").agg(F.count(F.lit(1)).alias("ndocs"))
     dup_c = F.sum(F.when(F.col("ndocs") >= 2, F.col("c")).otherwise(0))
     return (

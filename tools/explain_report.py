@@ -233,6 +233,29 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         ("orphan checks are hash anti-joins", "BroadcastHashJoin"),
         ("no cartesian anywhere", "!CartesianProduct"),
     ],
+    # l31 pins the tokenize+window-hash+agg subtree (localCheckpoint):
+    # both the doc-frequency agg and the final join read the pinned
+    # relation, so the heavy scan never reruns.
+    "l31_substring_dedup": [
+        ("one tokenize pass pinned for both consumers", "Scan ExistingRDD"),
+        ("no re-scan of documents downstream", "!Scan parquet"),
+        ("no row-at-a-time python", "!BatchEvalPython"),
+    ],
+    "l32_gram_matrix": [
+        ("Gram partials computed as Arrow batches", "MapInPandas"),
+        ("partial+final reduction of partials", "HashAggregate"),
+        ("no explode of dimension pairs into rows", "!Generate"),
+    ],
+    "a23_grouped_mode": [
+        ("rank predicate pushed into the window", "WindowGroupLimit"),
+        ("pair counts partially aggregated", "HashAggregate"),
+        ("window partitioned per user, not global", "windowspecdefinition(user_id"),
+    ],
+    "t19_anomaly_zscore": [
+        ("bucket counts partially aggregated", "HashAggregate"),
+        ("window partitioned per event_type over the aggregated frame", "windowspecdefinition(event_type"),
+        ("no cartesian product", "!CartesianProduct"),
+    ],
 }
 
 
@@ -248,6 +271,9 @@ def normalize_plan(plan: str) -> str:
     plan = re.sub(r"\[codegen id : \d+\]", "[codegen id : x]", plan)
     plan = re.sub(r"\(\d+\)", "(x)", plan)
     plan = re.sub(r"file:[^\s,\]]+", "file:x", plan)
+    # staging-keyed session-catalog names (s14 buckets) embed the
+    # sf_dir fingerprint by design — not plan drift
+    plan = re.sub(r"lws_bucket_[0-9a-f]+", "lws_bucket_x", plan)
     return plan
 
 
