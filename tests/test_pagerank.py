@@ -1,0 +1,58 @@
+"""Invariants for l35 PageRank centrality (rows-only by design)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from lens_warehouse_spark.llm.vector import knn_edges, pagerank
+from lens_warehouse_spark.registry import QUERIES
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def pr(spark):
+    return QUERIES["l35_pagerank_centrality"](spark, SF_SMOKE).toPandas()
+
+
+def test_rank_floor_and_mass(pr):
+    # teleport floor: every node keeps at least (1 - d)
+    assert (pr["rank"] >= 0.15 - 1e-9).all()
+    # total mass <= n (dangling singleton cells leak mass, never create it)
+    assert pr["rank"].sum() <= len(pr) + 1e-6
+
+
+def test_deterministic(spark, pr):
+    again = QUERIES["l35_pagerank_centrality"](spark, SF_SMOKE).toPandas()
+    assert pr.sort_values("vec_id").reset_index(drop=True).equals(
+        again.sort_values("vec_id").reset_index(drop=True)
+    )
+
+
+def test_cell_rank_is_dense_per_cell(pr):
+    for _cell, grp in pr.groupby("cell_id"):
+        assert sorted(grp["cell_rank"]) == list(range(1, len(grp) + 1))
+
+
+def test_power_iteration_converges(spark):
+    """Successive-iterate delta must shrink (power iteration contracts)."""
+    from lens_warehouse_spark.catalog import table
+    from lens_warehouse_spark.llm.vector import N_CELLS, _ivf_assign
+
+    emb = table(spark, SF_SMOKE, "embeddings").select("vec_id", "embedding")
+    codebook = emb.filter(F.col("vec_id") < N_CELLS).select(
+        F.col("vec_id").alias("cell_id"), F.col("embedding").alias("centroid")
+    )
+    assigned = _ivf_assign(emb, codebook)
+    edges = knn_edges(assigned)
+    nodes = assigned.select("vec_id")
+    r5 = pagerank(edges, nodes, iters=5).toPandas().set_index("vec_id")["rank"]
+    r6 = pagerank(edges, nodes, iters=6).toPandas().set_index("vec_id")["rank"]
+    r15 = pagerank(edges, nodes, iters=15).toPandas().set_index("vec_id")["rank"]
+    r16 = pagerank(edges, nodes, iters=16).toPandas().set_index("vec_id")["rank"]
+    early = (r6 - r5).abs().sum()
+    late = (r16 - r15).abs().sum()
+    # geometric contraction: measured per-iteration factor ~0.62 on this
+    # graph, so ten extra iterations shrink the delta ~100x
+    assert late < early / 4
+    assert late < 0.2

@@ -44,10 +44,10 @@ def _canon(value: object) -> object:
         if math.isnan(value):
             return "NaN"
         return value
-    if hasattr(value, "item"):  # numpy scalar
-        return _canon(value.item())
     if isinstance(value, (list, tuple)) or type(value).__name__ == "ndarray":
         return tuple(_canon(v) for v in value)
+    if hasattr(value, "item"):  # numpy scalar (after arrays: they have .item too)
+        return _canon(value.item())
     return value
 
 

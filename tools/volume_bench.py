@@ -46,6 +46,7 @@ VOLUME_SUBSET = [
     "l20_curation_pipeline",
     "l28_boilerplate_scrub",
     "t3_session_window",
+    "l31_substring_dedup",
 ]
 
 SCALED_TABLES = {"documents": "doc_id", "events": None}  # events: special
