@@ -467,6 +467,12 @@ class LensWarehouse:
 
         return l35_pagerank_centrality(self.spark, self.sf_dir)
 
+    def mixture_weights(self) -> DataFrame:
+        """Temperature-scaled domain sampling weights (l36)."""
+        from lens_warehouse_spark.llm.curation import l36_mixture_weights
+
+        return l36_mixture_weights(self.spark, self.sf_dir)
+
     def decode_codes(self, df: DataFrame, code_col: str) -> DataFrame:
         """Code-list decode (s11; schema.clj code-list-item parity):
         resolve enum codes to labels via the broadcast metadata dim."""

@@ -838,3 +838,63 @@ def l28_boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# L36: temperature-scaled domain mixture weights — the UniMax /
+# multilingual-sampling primitive: sampling probability per domain
+# proportional to n_docs^alpha (alpha < 1 upsamples the tail), plus the
+# implied per-epoch repeat factor for a fixed token budget. This is the
+# aggregate that turns l18's domain stats into an actual sampling plan
+# (fed to l11c's mixture sampler).
+#
+# Scale shape: one map-side-combined groupBy to domain cardinality, one
+# single-row total broadcast back — the corpus shuffles nothing but the
+# domain counts. Determinism: pow(x, 0.5) == sqrt (exact IEEE on both
+# engines); weights rounded at 6.
+# ---------------------------------------------------------------------------
+_MIX_ALPHA = 0.5
+_MIX_BUDGET_TOKENS = 1_000_000
+
+
+@register(
+    "l36_mixture_weights",
+    oracle=f"""
+WITH c AS (
+  SELECT lang, source, count(*) AS n_docs,
+         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY lang, source
+), t AS (
+  SELECT sum(pow(CAST(n_docs AS DOUBLE), {_MIX_ALPHA})) AS z FROM c
+)
+SELECT c.lang, c.source, c.n_docs, c.n_tokens,
+       round(pow(CAST(c.n_docs AS DOUBLE), {_MIX_ALPHA}) / t.z, 6) AS weight,
+       round(pow(CAST(c.n_docs AS DOUBLE), {_MIX_ALPHA}) / t.z
+             * {_MIX_BUDGET_TOKENS} / c.n_tokens, 4) AS epochs
+FROM c CROSS JOIN t
+ORDER BY c.lang, c.source
+""",
+)
+def l36_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    c = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("n_tokens"),
+    )
+    raw = F.pow(F.col("n_docs").cast("double"), F.lit(_MIX_ALPHA))
+    z = c.select(F.sum(raw).alias("z"))
+    return (
+        c.crossJoin(F.broadcast(z))  # single-row total
+        .select(
+            "lang",
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round(raw / F.col("z"), 6).alias("weight"),
+            F.round(
+                raw / F.col("z") * F.lit(_MIX_BUDGET_TOKENS) / F.col("n_tokens"),
+                4,
+            ).alias("epochs"),
+        )
+        .orderBy("lang", "source")
+    )

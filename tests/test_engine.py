@@ -165,3 +165,23 @@ def test_engine_round4_surface(spark):
         '"~:priorities",["1-URGENT"]]]]]'
     )
     assert lw.cohort_count(q).collect()[0][0] > 0
+
+
+def test_engine_round4b_surface(spark):
+    lw = LensWarehouse(spark, SF)
+    sd = lw.substring_dedup()
+    assert {"n_windows", "n_dup_windows", "dup_frac"} <= set(sd.columns)
+    gm = lw.gram_matrix()
+    assert gm.count() == 64 * 65 // 2  # upper triangle of d x d
+    pcs = lw.pca_project()
+    assert pcs.columns[0] == "vec_id" and len(pcs.columns) == 9
+    mode = lw.grouped_mode().collect()
+    assert all(r["cnt"] >= 1 for r in mode[:5])
+    idx = lw.inverted_index()
+    assert {"term", "shard", "df_shard", "postings"} == set(idx.columns)
+    mw = lw.mixture_weights().toPandas()
+    assert abs(mw["weight"].sum() - 1.0) < 1e-4  # weights normalize
+    cent = lw.centrality()
+    assert {"vec_id", "cell_id", "rank", "cell_rank"} == set(cent.columns)
+    anom = lw.anomaly_scores()
+    assert {"win_start_ms", "event_type", "n", "z"} == set(anom.columns)

@@ -233,12 +233,12 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         ("orphan checks are hash anti-joins", "BroadcastHashJoin"),
         ("no cartesian anywhere", "!CartesianProduct"),
     ],
-    # l31 pins the tokenize+window-hash+agg subtree (localCheckpoint):
-    # both the doc-frequency agg and the final join read the pinned
-    # relation, so the heavy scan never reruns.
+    # l31 pins the tokenize+window-hash+agg subtree as a columnar cache
+    # (persist MEMORY_AND_DISK): both the doc-frequency agg and the
+    # final join read the same InMemoryRelation, so the heavy scan
+    # executes once (its lineage still PRINTS under both consumers).
     "l31_substring_dedup": [
-        ("one tokenize pass pinned for both consumers", "Scan ExistingRDD"),
-        ("no re-scan of documents downstream", "!Scan parquet"),
+        ("one tokenize pass cached for both consumers", "InMemoryTableScan"),
         ("no row-at-a-time python", "!BatchEvalPython"),
     ],
     "l32_gram_matrix": [
