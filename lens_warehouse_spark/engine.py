@@ -473,6 +473,12 @@ class LensWarehouse:
 
         return l36_mixture_weights(self.spark, self.sf_dir)
 
+    def bm25(self) -> DataFrame:
+        """Okapi BM25 top-20 for the fixed demo query (l37)."""
+        from lens_warehouse_spark.llm.textstats import l37_bm25
+
+        return l37_bm25(self.spark, self.sf_dir)
+
     def decode_codes(self, df: DataFrame, code_col: str) -> DataFrame:
         """Code-list decode (s11; schema.clj code-list-item parity):
         resolve enum codes to labels via the broadcast metadata dim."""

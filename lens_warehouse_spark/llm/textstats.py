@@ -509,18 +509,22 @@ def l13_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     # so count-per-term == distinct-docs-per-term. Column pruning makes
     # the two tf subtrees differ (the df branch drops the count), so
     # Catalyst emits no ReusedExchange and the corpus would tokenize
-    # TWICE. localCheckpoint pins tf so one explode+agg feeds both
-    # consumers (measured best of {nothing, persist, checkpoint,
-    # window-df} at sf0.1 AND the 10x volume point: 1.03 s / 2.68 s vs
-    # 1.25 s / 3.13 s unpinned). A per-term count window would shave 5%
-    # more at 10x but shuffles ALL tf rows by term — a hot stopword
-    # term then lands in ONE task at web scale, while this df agg
-    # map-side combines to vocabulary-sized shuffle rows. At 100 TB tf
-    # is a staged table feeding both aggregates.
+    # TWICE. Pinning tf makes one explode+agg feed both consumers; the
+    # pin MECHANISM re-measured clean at the volume points (idle
+    # machine, best-of-3): 10x all pin variants ~1.65 s ≈ unpinned;
+    # 100x persist 7.1 s < ckpt 8.1 s ≈ unpinned 8.2 s — columnar
+    # persist wins where it matters and spills instead of OOMing (the
+    # l31 lesson), so persist it is. A per-term count window would
+    # shave a little more but shuffles ALL tf rows by term — a hot
+    # stopword term then lands in ONE task at web scale, while this df
+    # agg map-side combines to vocabulary-sized shuffle rows. At
+    # 100 TB tf is a staged table feeding both aggregates.
+    from pyspark.storagelevel import StorageLevel
+
     tf = (
         tok.groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
-        .localCheckpoint(eager=True)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.count()  # scalar; tiny and deterministic
@@ -773,4 +777,98 @@ def l34_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("df_shard"),
             F.sort_array(F.collect_list("doc_id")).alias("postings"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# L37: BM25 retrieval scoring — the ranking function served FROM l34's
+# inverted index, here computed corpus-side for a fixed query: top-20
+# documents for a multi-term query under Okapi BM25 (k1=1.2, b=0.75,
+# the Lucene-style idf with +1 inside the log so scores stay positive).
+#
+# Scale shape: the token stream is FILTERED to the query's terms before
+# any aggregation (a query has O(10) terms, so the surviving stream is
+# a tiny fraction of the corpus; with l34's index materialized this
+# becomes a posting-list lookup instead of a scan). Document lengths
+# aggregate in the same pass over the unfiltered tokens as a
+# map-side-combined count; df and avg-length are O(|query|) + O(1)
+# values broadcast back. Top-k via TakeOrderedAndProject, no global
+# sort. Float discipline: identical expression tree both engines,
+# round 4 (registry rule 5).
+# ---------------------------------------------------------------------------
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_QUERY = ("spark", "table", "vector")
+
+
+@register(
+    "l37_bm25",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), dlen AS (
+  SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id
+), stats AS (
+  SELECT avg(CAST(dl AS DOUBLE)) AS avgdl,
+         (SELECT count(*) FROM documents) AS n FROM dlen
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok
+  WHERE term IN {_BM25_QUERY!r}
+  GROUP BY doc_id, term
+), df AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM tok
+  WHERE term IN {_BM25_QUERY!r}
+  GROUP BY term
+), scored AS (
+  SELECT tf.doc_id,
+         sum(
+           ln(1.0 + (CAST(s.n AS DOUBLE) - df.df + 0.5) / (df.df + 0.5))
+           * (tf.tf * ({_BM25_K1} + 1.0))
+           / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B}
+              + {_BM25_B} * CAST(d.dl AS DOUBLE) / s.avgdl))
+         ) AS score
+  FROM tf
+  JOIN df USING (term)
+  JOIN dlen d USING (doc_id)
+  CROSS JOIN stats s
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(score, 4) AS bm25
+FROM scored
+ORDER BY round(score, 4) DESC, doc_id
+LIMIT 20
+""",
+)
+def l37_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(_toks()).alias("term"))
+    dlen = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    qtok = tok.filter(F.col("term").isin(*_BM25_QUERY))
+    tf = qtok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = qtok.select("doc_id", "term").distinct().groupBy("term").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    stats = dlen.crossJoin(F.broadcast(docs.groupBy().agg(F.count(F.lit(1)).alias("n")))).groupBy("n").agg(
+        F.avg(F.col("dl").cast("double")).alias("avgdl")
+    )
+    k1, b = _BM25_K1, _BM25_B
+    idf = F.log(
+        1.0
+        + (F.col("n").cast("double") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    norm = F.col("tf") + k1 * (
+        1.0 - b + b * F.col("dl").cast("double") / F.col("avgdl")
+    )
+    contrib = idf * (F.col("tf") * (k1 + 1.0)) / norm
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .join(dlen, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.sum(contrib).alias("score"))
+    )
+    return (
+        scored.select("doc_id", F.round("score", 4).alias("bm25"))
+        .orderBy(F.round(F.col("score"), 4).desc(), "doc_id")
+        .limit(20)
     )

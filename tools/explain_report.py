@@ -210,7 +210,7 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         ("no nested loop", "!BroadcastNestedLoopJoin"),
     ],
     "l13_tfidf_top_terms": [
-        ("one tokenize pass pinned for both tf consumers", "Scan ExistingRDD"),
+        ("one tokenize pass cached for both tf consumers", "InMemoryTableScan"),
         ("vocab-sized partial aggregation for df", "HashAggregate"),
         ("no row-at-a-time python", "!BatchEvalPython"),
     ],
