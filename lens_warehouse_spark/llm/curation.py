@@ -81,8 +81,12 @@ def l16_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     corpus = grams.filter(F.col("doc_id") % _BENCH_MOD != 0)
+    # bench derives from ~1% of the corpus -> scales with data; gate the
+    # never-demoted hint on corpus size (l13 vocab precedent), let AQE
+    # upgrade from runtime size on big corpora.
+    bench_side = F.broadcast(bench) if docs.count() <= 100_000 else bench
     return (
-        corpus.join(F.broadcast(bench), "gram")
+        corpus.join(bench_side, "gram")
         .groupBy("doc_id")
         .agg(F.countDistinct("gram").alias("n_contaminated_grams"))
         .orderBy("doc_id")
@@ -419,13 +423,24 @@ def l20_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id")
     )
+    # Rejected alternative (measured, idle machine): persisting the
+    # tokenized corpus once for all four consumers LOST at every volume
+    # point (10x: 2.17 s current vs 2.32 s cached; 100x: 11.0 vs 11.7) —
+    # the parquet re-scan + split is cheaper than materializing token
+    # arrays, and the dominant explode+agg work happens per consumer
+    # either way. Don't re-try token caching here.
     grams5 = word_ngrams(docs, GRAM_N)
     bench = (
         grams5.filter(F.col("doc_id") % _BENCH_MOD == 0).select("gram").distinct()
     )
+    # The benchmark gram set derives from ~1% of the CORPUS, so it
+    # scales with data — same never-demoted-hint hazard as l13's vocab:
+    # keep the measured-faster hint at bench scale, withhold it on big
+    # corpora and let AQE upgrade from runtime size.
+    bench_side = F.broadcast(bench) if docs.count() <= 100_000 else bench
     contaminated = (
         grams5.filter(F.col("doc_id") % _BENCH_MOD != 0)
-        .join(F.broadcast(bench), "gram")
+        .join(bench_side, "gram")
         .select("doc_id")
         .distinct()
     )
@@ -810,7 +825,10 @@ def l28_boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("nd") >= _L28_MIN_DOCS)
         .select("chunk", F.lit(1).alias("__b"))
     )
-    marked = chunks.join(F.broadcast(boiler), "chunk", "left")
+    # boiler is the cross-corpus repeated-chunk set -> scales with data;
+    # gate the hint on corpus size (l13 vocab precedent).
+    boiler_side = F.broadcast(boiler) if docs.count() <= 100_000 else boiler
+    marked = chunks.join(boiler_side, "chunk", "left")
     kept_in_order = F.expr(
         "transform(array_sort(collect_kept), x -> x.chunk)"
     )
