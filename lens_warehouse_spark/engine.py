@@ -479,6 +479,14 @@ class LensWarehouse:
 
         return l37_bm25(self.spark, self.sf_dir)
 
+    def equidepth_histogram(self) -> DataFrame:
+        """Exact decile binning of order totals (a24)."""
+        from lens_warehouse_spark.operators.aggregates import (
+            a24_equidepth_histogram,
+        )
+
+        return a24_equidepth_histogram(self.spark, self.sf_dir)
+
     def decode_codes(self, df: DataFrame, code_col: str) -> DataFrame:
         """Code-list decode (s11; schema.clj code-list-item parity):
         resolve enum codes to labels via the broadcast metadata dim."""

@@ -710,6 +710,23 @@ def a20_exact_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _widen_tiny_group_brackets(stats: DataFrame, margin: float) -> DataFrame:
+    """Disable the GK bracket for groups too small to guarantee BOTH
+    straddling ranks in-bracket (needs margin * n >= 2): set lo/hi to
+    -inf/+inf so the slice becomes the whole (tiny) group and the
+    below-count is consistently zero. Caught by direct construction: a
+    2-row group's p90 bracket [v2, v2] excludes rank 1, silently
+    returning v2 instead of the interpolated quantile. Zero cost for
+    real groups (n >= 2/margin + 1)."""
+    n_min = int(2.0 / margin) + 2
+    tiny = F.col("n") < n_min
+    return stats.withColumn(
+        "lo", F.when(tiny, F.lit(float("-inf"))).otherwise(F.col("lo"))
+    ).withColumn(
+        "hi", F.when(tiny, F.lit(float("inf"))).otherwise(F.col("hi"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # A21: per-GROUP exact median without sorting any group — a20's
 # bracket-then-select composed with groupBy: one sketch pass brackets
@@ -740,6 +757,7 @@ def a21_grouped_exact_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("value", 0.47, 50_000).alias("lo"),
         F.percentile_approx("value", 0.53, 50_000).alias("hi"),
     )
+    stats = _widen_tiny_group_brackets(stats, margin=0.03)
     below = (
         ev.join(F.broadcast(stats.select("event_type", "lo")), "event_type")
         .filter(F.col("value") < F.col("lo"))
@@ -807,6 +825,7 @@ def a22_grouped_exact_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("value", max(p - 0.03, 0.0), 50_000).alias("lo"),
         F.percentile_approx("value", min(p + 0.03, 1.0), 50_000).alias("hi"),
     )
+    stats = _widen_tiny_group_brackets(stats, margin=0.03)
     below = (
         ev.join(F.broadcast(stats.select("event_type", "lo")), "event_type")
         .filter(F.col("value") < F.col("lo"))
@@ -895,3 +914,137 @@ def a23_grouped_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# A24: exact equi-depth histogram — the optimizer-statistics / feature-
+# binning primitive: exact deciles of o_totalprice (quantile_cont
+# semantics) computed with the bracket-then-select machinery, then one
+# aggregation binning every row by how many boundaries it exceeds.
+#
+# Scale shape: FOUR passes over the fact column, all partial-aggregated
+# — (1) one GK sketch call brackets ALL nine deciles at once (18 probe
+# points, rank error 1e-5*n << the ±0.005 bracket margin, so brackets
+# are disjoint and each true decile is guaranteed in-bracket), (2) one
+# conditional-sum pass fixes each bracket's below-rank, (3) the union
+# of the nine tiny slices ranks in a window PARTITIONED by decile
+# index (never the full table, no single-partition window), and the
+# straddling order statistics interpolate exactly like a22, (4) the
+# binning pass compares each row against nine rounded literals inside
+# codegen. Only 9 boundary doubles and 10 counts ever reach the
+# driver. Boundary parity: identical interpolation expression to a22
+# (proven against quantile_cont), rounded to 4 before binning on BOTH
+# engines so bin edges are exact decimals.
+# ---------------------------------------------------------------------------
+_A24_PS = tuple(round(0.1 * i, 1) for i in range(1, 10))
+_A24_MARGIN = 0.005
+
+
+@register(
+    "a24_equidepth_histogram",
+    oracle=f"""
+WITH q AS (
+  SELECT list_transform(
+           quantile_cont(o_totalprice, [{", ".join(str(p) for p in _A24_PS)}]),
+           x -> round(x, 4)) AS qs
+  FROM orders
+)
+SELECT CAST(len(list_filter(q.qs, b -> o.o_totalprice > b)) AS BIGINT) AS bin,
+       count(*) AS n_rows
+FROM orders o CROSS JOIN q
+GROUP BY 1
+ORDER BY 1
+""",
+)
+def a24_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = table(spark, sf_dir, "orders").select("o_totalprice")
+    bounds = exact_quantile_boundaries(od, "o_totalprice", _A24_PS, _A24_MARGIN)
+    # Pass 4: bin by boundary-exceedance count, entirely in codegen.
+    bin_expr = sum(
+        (F.col("o_totalprice") > F.lit(b)).cast("long") for b in bounds
+    )
+    return (
+        od.groupBy(bin_expr.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .orderBy("bin")
+    )
+
+
+def exact_quantile_boundaries(
+    df: DataFrame,
+    col: str,
+    ps: tuple = _A24_PS,
+    margin: float = _A24_MARGIN,
+    accuracy: int = 100_000,
+) -> list[float]:
+    """Exact quantile_cont(p) for every p, rounded to 4 — bracket with
+    one GK sketch call, rank the disjoint slices in a per-p window,
+    interpolate the straddling order statistics (a20/a22 machinery).
+    Returns O(|ps|) floats; nothing data-sized reaches the driver."""
+    from pyspark.sql import Window
+
+    m = margin
+    od = df.select(F.col(col).alias("o_totalprice"))
+    ps = tuple(ps)
+    # Pass 1: bracket all quantiles with one sketch call. The bracket
+    # must contain BOTH straddling ranks floor/ceil((n-1)p+1), which
+    # needs margin*n >= 2 — so widen by 2/n (vanishes at scale, covers
+    # tiny inputs; caught by the hypothesis test at n=2).
+    n0 = od.count()
+    mw = m + 2.0 / max(n0, 1)
+    probes = [max(p - mw, 0.0) for p in ps] + [min(p + mw, 1.0) for p in ps]
+    row = od.agg(
+        F.percentile_approx("o_totalprice", probes, 100_000).alias("b"),
+        F.count(F.lit(1)).alias("n"),
+    ).first()
+    lows, highs, n = row["b"][: len(ps)], row["b"][len(ps):], row["n"]
+    # Pass 2: exact below-bracket rank per decile (one conditional agg).
+    below_row = od.agg(
+        *[
+            F.sum(F.when(F.col("o_totalprice") < lows[i], 1).otherwise(0)).alias(
+                f"b{i}"
+            )
+            for i in range(len(ps))
+        ]
+    ).first()
+    below = [int(below_row[f"b{i}"]) for i in range(len(ps))]
+    # Pass 3: rank the union of the (disjoint) slices, partitioned by
+    # decile index; pick and interpolate the straddling statistics.
+    # Membership via a 9-row broadcast range join, NOT a first-match
+    # CASE tag: under heavy ties the brackets can OVERLAP on a repeated
+    # value, and every p must still see its full slice (caught by the
+    # hypothesis test on tied data). Join output = sum of slice sizes.
+    spark = df.sparkSession
+    brackets = spark.createDataFrame(
+        [(i, float(lows[i]), float(highs[i])) for i in range(len(ps))],
+        "p_idx int, lo double, hi double",
+    )
+    sliced = od.join(
+        F.broadcast(brackets),
+        (F.col("o_totalprice") >= F.col("lo"))
+        & (F.col("o_totalprice") <= F.col("hi")),
+    )
+    w = Window.partitionBy("p_idx").orderBy("o_totalprice")
+    below_map = F.element_at(
+        F.array(*[F.lit(b) for b in below]), F.col("p_idx") + 1
+    )
+    p_arr = F.array(*[F.lit(float(p)) for p in ps])
+    h = (F.lit(n) - 1) * F.element_at(p_arr, F.col("p_idx") + 1) + 1
+    k_lo, k_hi = F.floor(h), F.ceil(h)
+    frac = h - k_lo
+    picked = (
+        sliced.withColumn("rank", F.row_number().over(w) + below_map)
+        .filter((F.col("rank") == k_lo) | (F.col("rank") == k_hi))
+        .groupBy("p_idx")
+        .agg(
+            F.min("o_totalprice").alias("v_lo"),
+            F.max("o_totalprice").alias("v_hi"),
+        )
+        .select(
+            "p_idx",
+            F.round(
+                F.col("v_lo") * (F.lit(1) - frac) + F.col("v_hi") * frac, 4
+            ).alias("boundary"),
+        )
+    )
+    return [r["boundary"] for r in picked.orderBy("p_idx").collect()]

@@ -83,3 +83,49 @@ def test_grouped_bracket_select_median_matches_reference(spark, groups):
             sorted(vals),
             got[g],
         )
+
+
+# a24's boundary machinery: every p's boundary must equal the reference
+# quantile_cont on randomized data INCLUDING heavy ties (where brackets
+# collapse onto one repeated value).
+_tied_values = st.lists(
+    st.integers(min_value=-8, max_value=8).map(float), min_size=2, max_size=80
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(_tied_values)
+def test_exact_quantile_boundaries_match_reference(spark, values):
+    from lens_warehouse_spark.operators.aggregates import (
+        exact_quantile_boundaries,
+    )
+
+    df = spark.createDataFrame([(v,) for v in values], "x double")
+    ps = (0.25, 0.5, 0.9)
+    got = exact_quantile_boundaries(df, "x", ps, margin=0.05, accuracy=100_000)
+    want = [round(_quantile_cont(values, p), 4) for p in ps]
+    assert got == want, (values, got, want)
+
+
+def test_a22_machinery_tiny_distinct_group(spark):
+    """Direct regression for the tiny-group bracket bug: a 2-row group
+    with distinct values must interpolate, not return the upper value."""
+    from lens_warehouse_spark.operators import aggregates as agg
+    import lens_warehouse_spark.catalog as cat
+
+    df = spark.createDataFrame(
+        [("a", 0.0), ("a", 1.0), ("b", 5.0)], "event_type string, value double"
+    )
+    orig = cat.table
+    try:
+        cat.table = lambda _s, _d, _n: df
+        agg.table = cat.table
+        out = {
+            r["event_type"]: r["p90_value"]
+            for r in agg.a22_grouped_exact_percentile(spark, "ignored").collect()
+        }
+    finally:
+        cat.table = orig
+        agg.table = orig
+    assert out["a"] == round(0.0 * 0.1 + 1.0 * 0.9, 4)  # 0.9, interpolated
+    assert out["b"] == 5.0
