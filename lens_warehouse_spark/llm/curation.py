@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from lens_warehouse_spark.catalog import table
+from lens_warehouse_spark.catalog import table, table_rows
 from lens_warehouse_spark.registry import register
 
 GRAM_N = 5  # decontamination n-gram length (words)
@@ -84,7 +84,8 @@ def l16_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bench derives from ~1% of the corpus -> scales with data; gate the
     # never-demoted hint on corpus size (l13 vocab precedent), let AQE
     # upgrade from runtime size on big corpora.
-    bench_side = F.broadcast(bench) if docs.count() <= 100_000 else bench
+    n_docs = table_rows(sf_dir, "documents")  # footer stats, no job
+    bench_side = F.broadcast(bench) if n_docs <= 100_000 else bench
     return (
         corpus.join(bench_side, "gram")
         .groupBy("doc_id")
@@ -437,7 +438,11 @@ def l20_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scales with data — same never-demoted-hint hazard as l13's vocab:
     # keep the measured-faster hint at bench scale, withhold it on big
     # corpora and let AQE upgrade from runtime size.
-    bench_side = F.broadcast(bench) if docs.count() <= 100_000 else bench
+    bench_side = (
+        F.broadcast(bench)
+        if table_rows(sf_dir, "documents") <= 100_000
+        else bench
+    )
     contaminated = (
         grams5.filter(F.col("doc_id") % _BENCH_MOD != 0)
         .join(bench_side, "gram")
@@ -827,7 +832,11 @@ def l28_boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # boiler is the cross-corpus repeated-chunk set -> scales with data;
     # gate the hint on corpus size (l13 vocab precedent).
-    boiler_side = F.broadcast(boiler) if docs.count() <= 100_000 else boiler
+    boiler_side = (
+        F.broadcast(boiler)
+        if table_rows(sf_dir, "documents") <= 100_000
+        else boiler
+    )
     marked = chunks.join(boiler_side, "chunk", "left")
     kept_in_order = F.expr(
         "transform(array_sort(collect_kept), x -> x.chunk)"
