@@ -833,3 +833,57 @@ def t18_stream_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFram
     )
     shutil.rmtree(run, ignore_errors=True)
     return result
+
+
+# ---------------------------------------------------------------------------
+# T20: streaming anomaly scoring — t19's twin on the streaming path.
+# The watermarked tumbling aggregation maintains the per-(window, type)
+# bucket counts incrementally (the "metrics store" of an ops pipeline);
+# the trailing-history z-score then runs over the MATERIALIZED bucket
+# frame — which is |types| x |buckets| rows, never raw events. That
+# split (incremental windowed state -> tiny analytic over the store) is
+# exactly how a production alerting pipeline is shaped: the stream
+# never recomputes history, and the scorer touches only aggregates.
+# Rows-only by design (streaming); tests/test_streaming.py proves the
+# output equals batch t19 row-for-row.
+# ---------------------------------------------------------------------------
+@register("t20_stream_anomaly_zscore")
+def t20_stream_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    buckets = (
+        ev.groupBy(F.window("ts", "6 hours").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.unix_millis(F.col("w.start")).alias("win_start_ms"),
+            "event_type",
+            "n",
+        )
+    )
+    store = _run_to_table(buckets, "t20")
+    f = (
+        Window.partitionBy("event_type")
+        .orderBy("win_start_ms")
+        .rowsBetween(-8, -1)
+    )
+    scored = store.select(
+        "win_start_ms",
+        "event_type",
+        "n",
+        F.count(F.lit(1)).over(f).alias("n_prior"),
+        F.avg("n").over(f).alias("mu"),
+        F.stddev_samp("n").over(f).alias("sigma"),
+    )
+    return (
+        scored.filter((F.col("n_prior") == 8) & (F.col("sigma") > 0))
+        .select(
+            "win_start_ms",
+            "event_type",
+            "n",
+            F.round(
+                (F.col("n").cast("double") - F.col("mu")) / F.col("sigma"), 4
+            ).alias("z"),
+        )
+        .orderBy("event_type", "win_start_ms")
+    )

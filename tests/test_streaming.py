@@ -236,3 +236,30 @@ def test_stream_incremental_neardup_equals_batch(spark):
         for r in registry.QUERIES["l2_minhash_neardup"](spark, SF).collect()
     }
     assert stream == batch and stream
+
+
+def test_stream_anomaly_equals_batch_t19(spark):
+    """t20's stream-maintained bucket store must yield exactly t19's
+    batch z-scores (same buckets, same trailing stats)."""
+    from lens_warehouse_spark.registry import QUERIES
+
+    batch = QUERIES["t19_anomaly_zscore"](spark, SF).toPandas()
+    stream = QUERIES["t20_stream_anomaly_zscore"](spark, SF).toPandas()
+    # append mode emits only watermark-CLOSED windows: the final 6h
+    # bucket stays open (watermark = max_ts - 1h < its end), so batch
+    # rows for it have no stream counterpart — same contract as
+    # test_stream_tumbling_equals_batch_up_to_watermark.
+    max_ts = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .agg(F.max(F.unix_millis(F.col("ts").cast("timestamp"))))
+        .first()[0]
+    )
+    closed = batch["win_start_ms"] + 6 * 3600 * 1000 <= max_ts - 3600 * 1000
+    b = (
+        batch[closed]
+        .sort_values(["event_type", "win_start_ms"])
+        .reset_index(drop=True)
+    )
+    s = stream.sort_values(["event_type", "win_start_ms"]).reset_index(drop=True)
+    assert len(b) > 0
+    assert b.equals(s[b.columns])
