@@ -257,3 +257,48 @@ def f5b_higher_order_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("total_chars"),
         F.exists(toks, lambda t: t == F.lit("join")).alias("mentions_join"),
     )
+
+
+# ---------------------------------------------------------------------------
+# F10: VARIANT semi-structured access (Spark 4 VariantType) — the
+# modern engine answer to schemaless JSON columns: ``parse_json`` once
+# into Spark's binary variant encoding, then ``variant_get`` path
+# extraction with a type hint, plus ``try_variant_get`` returning NULL
+# on missing paths instead of failing. Unlike f7's per-access
+# get_json_object string parsing, the variant parse happens once per
+# row and every subsequent path access reads the binary encoding —
+# the right trade at 100 TB where a props column is touched by many
+# predicates. The oracle reads the same paths with DuckDB's JSON
+# extraction; outputs are plain BIGINTs so the wire format stays
+# engine-neutral.
+# ---------------------------------------------------------------------------
+@register(
+    "f10_variant_extract",
+    oracle="""
+SELECT event_type,
+       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+       CAST(sum(CASE WHEN json_extract(props, '$.missing') IS NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_missing
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def f10_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").withColumn(
+        "v", F.parse_json("props")
+    )
+    k = F.variant_get("v", "$.k", "bigint")
+    missing = F.try_variant_get("v", "$.missing", "bigint")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.sum(k).cast("long").alias("sum_k"),
+            F.max(k).cast("long").alias("max_k"),
+            F.sum(F.when(missing.isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_missing"),
+        )
+        .orderBy("event_type")
+    )

@@ -77,4 +77,5 @@ def load_all() -> None:
         textstats,
         vector,
     )
+    from lens_warehouse_spark import sources  # noqa: F401
     from lens_warehouse_spark.streaming import jobs  # noqa: F401
