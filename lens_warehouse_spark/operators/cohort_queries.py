@@ -286,3 +286,78 @@ def u6_temporal_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("subject_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# U7: washout cohort — "A then NOT B within a window": subjects whose
+# first urgent order is followed by NO high-priority order in the next
+# 90 days (the clinical new-user / washout design; negative temporal
+# constraints are inexpressible in the reference's set algebra, which
+# forgets time — public repo src/lens/api.clj; /root/reference empty,
+# SURVEY.md §0). Two passes: one conditional-MIN groupBy anchors each
+# subject's first A; one join-back of the fact table against the
+# anchors counts in-window B events, kept only when zero. Both
+# shuffles are keyed on the subject — no window, no self-join of the
+# fact table against itself, anchor side is one row per subject.
+# ---------------------------------------------------------------------------
+@register(
+    "u7_washout_cohort",
+    oracle="""
+WITH anchors AS (
+  SELECT o_custkey AS subject_id,
+         min(CASE WHEN o_orderpriority = '1-URGENT' THEN o_orderdate END)
+           AS first_a
+  FROM orders
+  GROUP BY o_custkey
+), violations AS (
+  SELECT a.subject_id, count(*) AS n_b
+  FROM anchors a
+  JOIN orders o ON o.o_custkey = a.subject_id
+  WHERE a.first_a IS NOT NULL
+    AND o.o_orderpriority = '2-HIGH'
+    AND o.o_orderdate > a.first_a
+    AND o.o_orderdate <= a.first_a + INTERVAL 90 DAY
+  GROUP BY a.subject_id
+)
+SELECT a.subject_id, epoch_ms(a.first_a) AS first_urgent_ms
+FROM anchors a
+LEFT JOIN violations v USING (subject_id)
+WHERE a.first_a IS NOT NULL AND v.subject_id IS NULL
+ORDER BY a.subject_id
+""",
+)
+def u7_washout_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from lens_warehouse_spark.catalog import table
+    from lens_warehouse_spark.operators._helpers import epoch_ms
+
+    od = table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_orderpriority"
+    )
+    anchors = (
+        od.groupBy(F.col("o_custkey").alias("subject_id"))
+        .agg(
+            F.min(
+                F.when(
+                    F.col("o_orderpriority") == "1-URGENT", F.col("o_orderdate")
+                )
+            ).alias("first_a")
+        )
+        .filter(F.col("first_a").isNotNull())
+    )
+    violations = (
+        anchors.join(od, od.o_custkey == anchors.subject_id)
+        .filter(
+            (F.col("o_orderpriority") == "2-HIGH")
+            & (F.col("o_orderdate") > F.col("first_a"))
+            & (F.col("o_orderdate") <= F.date_add(F.col("first_a"), 90))
+        )
+        .select("subject_id")
+        .distinct()
+    )
+    return (
+        anchors.join(violations, "subject_id", "left_anti")
+        .select("subject_id", epoch_ms("first_a").alias("first_urgent_ms"))
+        .orderBy("subject_id")
+    )

@@ -475,3 +475,94 @@ def t19_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "win_start_ms")
     )
+
+
+# ---------------------------------------------------------------------------
+# T21: max concurrent sessions per day — the interval-analytics classic
+# (room scheduling / peak load): rebuild 30-min-gap sessions (t3's
+# definition, lag+cumsum formulation so both engines share one
+# construction), explode each session into a +1 delta at its start and
+# a -1 at its end (end-exclusive: a session ending exactly when
+# another starts never overlaps it), then a running sum per start-day
+# timeline whose max is the day's peak concurrency.
+#
+# Determinism under ties: the delta ordering is (t, d), so at equal
+# timestamps all -1s precede all +1s, and within a tie group every row
+# carries the same delta — the running-sum prefix values form the same
+# multiset under any tie permutation, so max(conc) is unique.
+#
+# Scale shape: sessions aggregate map-side per user; deltas are 2 rows
+# per session; the running sum partitions BY DAY (bounded partitions,
+# no global ordered window) — at 100 TB each day's delta set is tiny
+# relative to raw events and the window never sees raw rows.
+# ---------------------------------------------------------------------------
+@register(
+    "t21_max_concurrency",
+    oracle="""
+WITH sess AS (
+  SELECT user_id, min(ts) AS s_start, max(ts) AS s_end
+  FROM (
+    SELECT user_id, ts,
+           sum(CASE WHEN gap_ms IS NULL OR gap_ms > 1800000 THEN 1 ELSE 0 END)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sess_id
+    FROM (
+      SELECT user_id, ts, event_id,
+             epoch_ms(ts) - lag(epoch_ms(ts))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_ms
+      FROM events
+    )
+  )
+  GROUP BY user_id, sess_id
+), deltas AS (
+  SELECT strftime(CAST(date_trunc('day', s_start) AS DATE), '%Y-%m-%d') AS day,
+         epoch_ms(s_start) AS t, 1 AS d FROM sess
+  UNION ALL
+  SELECT strftime(CAST(date_trunc('day', s_start) AS DATE), '%Y-%m-%d') AS day,
+         epoch_ms(s_end) AS t, -1 AS d FROM sess
+), runs AS (
+  SELECT day,
+         sum(d) OVER (PARTITION BY day ORDER BY t, d
+                      ROWS UNBOUNDED PRECEDING) AS conc
+  FROM deltas
+)
+SELECT day, CAST(max(conc) AS BIGINT) AS max_concurrent
+FROM runs GROUP BY day ORDER BY day
+""",
+)
+def t21_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", as_ts("ts").alias("ts"), "event_id"
+    )
+    uw = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_millis("ts") - F.lag(F.unix_millis("ts")).over(uw)
+    sess = (
+        ev.withColumn(
+            "sess_id",
+            F.sum(
+                F.when(gap.isNull() | (gap > 1_800_000), 1).otherwise(0)
+            ).over(uw),
+        )
+        .groupBy("user_id", "sess_id")
+        .agg(F.min("ts").alias("s_start"), F.max("ts").alias("s_end"))
+    )
+    day = F.date_format(F.date_trunc("day", "s_start"), "yyyy-MM-dd")
+    deltas = sess.select(
+        day.alias("day"), F.unix_millis("s_start").alias("t"), F.lit(1).alias("d")
+    ).unionByName(
+        sess.select(
+            day.alias("day"),
+            F.unix_millis("s_end").alias("t"),
+            F.lit(-1).alias("d"),
+        )
+    )
+    dw = (
+        Window.partitionBy("day")
+        .orderBy("t", "d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        deltas.withColumn("conc", F.sum("d").over(dw))
+        .groupBy("day")
+        .agg(F.max("conc").cast("long").alias("max_concurrent"))
+        .orderBy("day")
+    )
