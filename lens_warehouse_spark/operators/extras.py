@@ -792,3 +792,71 @@ def s18_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in checks[1:]:
         out = out.unionByName(c)
     return out.orderBy("check_name")
+
+
+# ---------------------------------------------------------------------------
+# S20: runtime Bloom-filter join pruning — Spark's InjectRuntimeFilter
+# builds a bloom filter from the selective (filtered-dim) side of a
+# shuffle join and applies `might_contain` to the fact side BEFORE the
+# shuffle, so non-matching fact rows never cross the wire. On a real
+# cluster this triggers by itself: the default gates
+# (applicationSideScanSizeThreshold 10GB / creationSideThreshold
+# 100MB) describe exactly the 100 TB regime. The toy SF sits below
+# both, so this op lowers the gates FOR ITS OWN EXECUTION ONLY
+# (confs restored in a finally; the result is materialized eagerly
+# under the adjusted confs because Catalyst optimizes at action time).
+# Broadcast is disabled inside the scope — bloom pruning targets
+# exactly the joins too big to broadcast. tests/test_bloom.py asserts
+# `might_contain` + `bloom_filter_agg` in the executed plan and result
+# equality with the un-pruned join.
+# ---------------------------------------------------------------------------
+_BLOOM_CONFS = {
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+}
+
+
+def _bloom_join_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+    )
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_quantity"
+    )
+    return (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("l_quantity").cast("long").alias("sum_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "s20_bloom_pruned_join",
+    oracle="""
+SELECT l.l_returnflag, count(*) AS n,
+       CAST(sum(l.l_quantity) AS BIGINT) AS sum_qty
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderpriority = '1-URGENT'
+GROUP BY l.l_returnflag
+ORDER BY l.l_returnflag
+""",
+)
+def s20_bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    saved = {k: spark.conf.get(k) for k in _BLOOM_CONFS}
+    try:
+        for k, v in _BLOOM_CONFS.items():
+            spark.conf.set(k, v)
+        # materialize NOW: optimization (where the bloom filter is
+        # injected) happens at action time, inside the conf scope
+        return _bloom_join_frame(spark, sf_dir).localCheckpoint(eager=True)
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
