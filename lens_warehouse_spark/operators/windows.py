@@ -363,3 +363,63 @@ def w9_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("user_id").alias("dau7"))
         .orderBy("day_idx")
     )
+
+
+# ---------------------------------------------------------------------------
+# W10: gaps-and-islands — longest streak of consecutive active DAYS per
+# user. The classic islands construction: distinct (user, day) pairs,
+# then day_number - row_number is CONSTANT within a run of consecutive
+# days, so grouping on that anchor yields the islands and max(count)
+# the longest streak. Two narrow shuffles (distinct + island agg) and
+# one per-user window over the user's distinct days — never raw
+# events, never a global window.
+# ---------------------------------------------------------------------------
+@register(
+    "w10_longest_streak",
+    oracle="""
+WITH days AS (
+  SELECT DISTINCT user_id,
+         CAST(epoch_ms(date_trunc('day', ts)) / 86400000 AS BIGINT) AS d
+  FROM events
+), islands AS (
+  SELECT user_id,
+         d - row_number() OVER (PARTITION BY user_id ORDER BY d) AS anchor
+  FROM days
+), runs AS (
+  SELECT user_id, count(*) AS len FROM islands GROUP BY user_id, anchor
+)
+SELECT user_id,
+       CAST(max(len) AS BIGINT) AS longest_streak,
+       CAST(count(*) AS BIGINT) AS n_streaks
+FROM runs GROUP BY user_id ORDER BY user_id
+""",
+)
+def w10_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lens_warehouse_spark.operators._helpers import as_ts
+
+    days = (
+        table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            (
+                F.unix_millis(F.date_trunc("day", as_ts("ts"))) / 86_400_000
+            )
+            .cast("long")
+            .alias("d"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("d")
+    runs = (
+        days.withColumn("anchor", F.col("d") - F.row_number().over(w))
+        .groupBy("user_id", "anchor")
+        .agg(F.count(F.lit(1)).alias("len"))
+    )
+    return (
+        runs.groupBy("user_id")
+        .agg(
+            F.max("len").cast("long").alias("longest_streak"),
+            F.count(F.lit(1)).cast("long").alias("n_streaks"),
+        )
+        .orderBy("user_id")
+    )

@@ -59,6 +59,7 @@ def load_all() -> None:
     """Import every operator module so registration side-effects run."""
     from lens_warehouse_spark.operators import (  # noqa: F401
         aggregates,
+        graph,
         cohort_queries,
         extras,
         functions,
