@@ -66,3 +66,84 @@ def g1_subtree_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("node")
     )
+
+
+# ---------------------------------------------------------------------------
+# G2: spatial proximity join — the grid-bucket rewrite of "all point
+# pairs within radius r". Points derive deterministically from events
+# (double arithmetic identical on both engines); each point lands in a
+# floor(x/r, y/r) cell, side B explodes to its 3x3 neighbor cells, and
+# the equi-join on the cell key yields candidates that one exact
+# squared-distance filter (pure IEEE arithmetic, no sqrt) confirms.
+# The oracle is the quadratic self-join on the bounded sample —
+# proving the bucketing loses no pair (a point within r of another is
+# always in one of its 3x3 neighbor cells when the cell edge is r).
+#
+# Scale shape: shuffle keys are cell ids (fixed-width ints), candidate
+# volume is bounded by local density x 9, never n^2; the quadratic
+# formulation exists only as the oracle on the sampled subset. This is
+# the same bucket-then-verify pattern as LSH dedup (l2) and the binned
+# interval join (j11), instantiated for metric space.
+# ---------------------------------------------------------------------------
+_G2_R = 1.5
+_G2_MOD = 37  # sample: event_id % 37 == 0
+
+
+@register(
+    "g2_spatial_join",
+    oracle=f"""
+WITH pts AS (
+  SELECT event_id AS id,
+         (value * 13.0) % 100.0 AS x,
+         (value * 29.0 + CAST(user_id AS DOUBLE)) % 100.0 AS y
+  FROM events WHERE event_id % {_G2_MOD} = 0
+)
+SELECT a.id AS id_a, b.id AS id_b,
+       round((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y), 6) AS dist2
+FROM pts a JOIN pts b ON a.id < b.id
+WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= {_G2_R} * {_G2_R}
+ORDER BY id_a, id_b
+""",
+)
+def g2_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = _G2_R
+    pts = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_id") % _G2_MOD == 0)
+        .select(
+            F.col("event_id").alias("id"),
+            ((F.col("value") * 13.0) % 100.0).alias("x"),
+            (
+                (F.col("value") * 29.0 + F.col("user_id").cast("double"))
+                % 100.0
+            ).alias("y"),
+        )
+    )
+    a = pts.select(
+        F.col("id").alias("id_a"),
+        F.col("x").alias("ax"),
+        F.col("y").alias("ay"),
+        F.floor(F.col("x") / r).alias("cx"),
+        F.floor(F.col("y") / r).alias("cy"),
+    )
+    b = pts.select(
+        F.col("id").alias("id_b"),
+        F.col("x").alias("bx"),
+        F.col("y").alias("by"),
+        F.explode(
+            F.expr(
+                f"flatten(transform(sequence(-1, 1), dx ->"
+                f" transform(sequence(-1, 1), dy ->"
+                f" struct(floor(x / {r}) + dx AS cx, floor(y / {r}) + dy AS cy))))"
+            )
+        ).alias("cell"),
+    ).select("id_b", "bx", "by", F.col("cell.cx").alias("cx"), F.col("cell.cy").alias("cy"))
+    dist2 = (F.col("ax") - F.col("bx")) * (F.col("ax") - F.col("bx")) + (
+        F.col("ay") - F.col("by")
+    ) * (F.col("ay") - F.col("by"))
+    return (
+        a.join(b, ["cx", "cy"])
+        .filter((F.col("id_a") < F.col("id_b")) & (dist2 <= r * r))
+        .select("id_a", "id_b", F.round(dist2, 6).alias("dist2"))
+        .orderBy("id_a", "id_b")
+    )
