@@ -487,6 +487,36 @@ class LensWarehouse:
 
         return a24_equidepth_histogram(self.spark, self.sf_dir)
 
+    def max_concurrency(self) -> DataFrame:
+        """Per-day peak concurrent sessions (t21)."""
+        from lens_warehouse_spark.operators.timeseries import t21_max_concurrency
+
+        return t21_max_concurrency(self.spark, self.sf_dir)
+
+    def washout_cohort(self) -> DataFrame:
+        """Subjects with A then NOT B within 90 days (u7)."""
+        from lens_warehouse_spark.operators.cohort_queries import u7_washout_cohort
+
+        return u7_washout_cohort(self.spark, self.sf_dir)
+
+    def longest_streaks(self) -> DataFrame:
+        """Gaps-and-islands longest active-day streak per user (w10)."""
+        from lens_warehouse_spark.operators.windows import w10_longest_streak
+
+        return w10_longest_streak(self.spark, self.sf_dir)
+
+    def subtree_rollup(self) -> DataFrame:
+        """Recursive hierarchy subtree aggregates (g1)."""
+        from lens_warehouse_spark.operators.graph import g1_subtree_rollup
+
+        return g1_subtree_rollup(self.spark, self.sf_dir)
+
+    def spatial_join(self) -> DataFrame:
+        """Grid-bucketed within-radius point pairs (g2)."""
+        from lens_warehouse_spark.operators.graph import g2_spatial_join
+
+        return g2_spatial_join(self.spark, self.sf_dir)
+
     def decode_codes(self, df: DataFrame, code_col: str) -> DataFrame:
         """Code-list decode (s11; schema.clj code-list-item parity):
         resolve enum codes to labels via the broadcast metadata dim."""

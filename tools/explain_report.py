@@ -256,6 +256,28 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         ("window partitioned per event_type over the aggregated frame", "windowspecdefinition(event_type"),
         ("no cartesian product", "!CartesianProduct"),
     ],
+    "g2_spatial_join": [
+        ("cell-bucket equi-join, never all-pairs", "!CartesianProduct"),
+        ("no nested loop", "!BroadcastNestedLoopJoin"),
+        ("neighbor-cell fan-out via explode", "Generate"),
+    ],
+    "g1_subtree_rollup": [
+        ("ancestor closure flattened in codegen", "Generate"),
+        ("rollup partially aggregated (root combines map-side)", "HashAggregate"),
+        ("no iterative driver loop artifacts", "!Scan ExistingRDD"),
+    ],
+    "u7_washout_cohort": [
+        ("violation exclusion is an anti join", "LeftAnti"),
+        ("no cartesian product", "!CartesianProduct"),
+    ],
+    "w10_longest_streak": [
+        ("window only over distinct days per user", "windowspecdefinition(user_id"),
+        ("island aggregation partial+final", "HashAggregate"),
+    ],
+    "t21_max_concurrency": [
+        ("running sum partitioned per day, not global", "windowspecdefinition(day"),
+        ("session rebuild windowed per user", "windowspecdefinition(user_id"),
+    ],
 }
 
 
