@@ -361,3 +361,86 @@ def u7_washout_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("subject_id", epoch_ms("first_a").alias("first_urgent_ms"))
         .orderBy("subject_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# U8: incidence / prevalence over time — the epidemiology view of a
+# cohort (the reference's clinical domain): per month, the number of
+# subjects ENTERING the cohort (first urgent order in that month), the
+# cumulative cohort size, and the at-risk denominator (subjects not yet
+# entered). One conditional-MIN groupBy anchors each subject's entry;
+# the month-level series is a tiny frame (|months| rows), so its
+# cumulative window is trivially bounded. Integer counts throughout —
+# no float crosses the wire.
+# ---------------------------------------------------------------------------
+@register(
+    "u8_incidence_curve",
+    oracle="""
+WITH entry AS (
+  SELECT o_custkey AS subject_id,
+         min(CASE WHEN o_orderpriority = '1-URGENT' THEN o_orderdate END)
+           AS entry_date
+  FROM orders GROUP BY o_custkey
+), monthly AS (
+  SELECT strftime(CAST(date_trunc('month', entry_date) AS DATE), '%Y-%m') AS month,
+         count(*) AS n_new
+  FROM entry WHERE entry_date IS NOT NULL
+  GROUP BY 1
+), total AS (SELECT count(*) AS n_subjects FROM customer)
+SELECT m.month,
+       CAST(m.n_new AS BIGINT) AS n_new,
+       CAST(sum(m.n_new) OVER (ORDER BY m.month
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cohort,
+       CAST(t.n_subjects
+            - sum(m.n_new) OVER (ORDER BY m.month ROWS UNBOUNDED PRECEDING)
+            + m.n_new AS BIGINT) AS at_risk_start
+FROM monthly m CROSS JOIN total t
+ORDER BY m.month
+""",
+)
+def u8_incidence_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from lens_warehouse_spark.catalog import table
+
+    od = table(spark, sf_dir, "orders")
+    entry = (
+        od.groupBy(F.col("o_custkey").alias("subject_id"))
+        .agg(
+            F.min(
+                F.when(
+                    F.col("o_orderpriority") == "1-URGENT", F.col("o_orderdate")
+                )
+            ).alias("entry_date")
+        )
+        .filter(F.col("entry_date").isNotNull())
+    )
+    monthly = entry.groupBy(
+        F.date_format(F.date_trunc("month", "entry_date"), "yyyy-MM").alias(
+            "month"
+        )
+    ).agg(F.count(F.lit(1)).alias("n_new"))
+    n_subjects = (
+        table(spark, sf_dir, "customer")
+        .groupBy()
+        .agg(F.count(F.lit(1)).alias("n_subjects"))
+    )
+    # the month series is |months| rows — the cumulative window runs
+    # over a bounded frame, not the fact table
+    w = Window.orderBy("month").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        monthly.crossJoin(F.broadcast(n_subjects))
+        .withColumn("cum_cohort", F.sum("n_new").over(w).cast("long"))
+        .select(
+            "month",
+            F.col("n_new").cast("long").alias("n_new"),
+            "cum_cohort",
+            (
+                F.col("n_subjects") - F.col("cum_cohort") + F.col("n_new")
+            )
+            .cast("long")
+            .alias("at_risk_start"),
+        )
+        .orderBy("month")
+    )

@@ -164,3 +164,31 @@ def x5_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT d.doc_id, t.token"
         " FROM lws_udtf_docs d, LATERAL lws_tokenize(d.text) t"
     )
+
+
+# ---------------------------------------------------------------------------
+# X6: Arrow-optimized Python scalar UDF (Spark 4 ``useArrow=True``) —
+# the middle tier between x1's pickled row-at-a-time UDF and x2's
+# pandas UDF: the same scalar Python function, but arguments/results
+# cross the boundary as Arrow batches (no per-row pickling). The tier
+# to reach for when logic is genuinely per-scalar Python yet the
+# transfer cost must stay columnar. Same oracle shape as x1 so the
+# three tiers are directly comparable in the bench.
+# ---------------------------------------------------------------------------
+@register(
+    "x6_arrow_udf",
+    oracle="""
+SELECT o_orderkey,
+       CAST(length(o_orderpriority) * 10 +
+            CAST(substring(o_orderpriority, 1, 1) AS INT) AS INT) AS prio_feature
+FROM orders
+""",
+)
+def x6_arrow_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    @F.udf(returnType=IntegerType(), useArrow=True)
+    def prio_feature(p: str) -> int:
+        return len(p) * 10 + int(p[0])
+
+    return table(spark, sf_dir, "orders").select(
+        "o_orderkey", prio_feature("o_orderpriority").alias("prio_feature")
+    )
