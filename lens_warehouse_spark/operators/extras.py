@@ -287,14 +287,14 @@ def s5b_catalog_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "s3b_multiformat_roundtrip",
     oracle="""
-SELECT fmt, n, total
+SELECT fmt, n, total_cents
 FROM (
   SELECT 'csv' AS fmt, count(*) AS n,
-         CAST(round(sum(value)) AS BIGINT) AS total FROM events
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents FROM events
   UNION ALL
-  SELECT 'json', count(*), CAST(round(sum(value)) AS BIGINT) FROM events
+  SELECT 'json', count(*), CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) FROM events
   UNION ALL
-  SELECT 'orc', count(*), CAST(round(sum(value)) AS BIGINT) FROM events
+  SELECT 'orc', count(*), CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) FROM events
 )
 ORDER BY fmt
 """,
@@ -320,8 +320,8 @@ def s3b_multiformat_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             back.agg(
                 F.lit(fmt).alias("fmt"),
                 F.count(F.lit(1)).alias("n"),
-                F.round(F.sum("value")).cast("long").alias("total"),
-            ).select("fmt", "n", "total")
+                F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("total_cents"),
+            ).select("fmt", "n", "total_cents")
         )
     out = outs[0]
     for o in outs[1:]:
@@ -343,7 +343,7 @@ def s3b_multiformat_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT CAST(count(*) AS BIGINT) AS n_rows,
        CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
-       CAST(round(sum(value)) AS BIGINT) AS value_sum
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
 FROM events
 WHERE user_id BETWEEN 20 AND 40 AND value BETWEEN 10 AND 20
 """,
@@ -358,7 +358,7 @@ def s6_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.countDistinct("user_id").alias("n_users"),
-        F.round(F.sum("value")).cast("long").alias("value_sum"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("value_cents"),
     )
 
 
@@ -620,7 +620,7 @@ SELECT CAST(count(*) AS BIGINT) AS n_rows,
        CAST(count(*) FILTER (WHERE event_id % 2 = 0) AS BIGINT) AS n_legacy,
        CAST(count(DISTINCT CASE WHEN event_id % 2 <> 0 THEN event_type END)
             AS BIGINT) AS n_types,
-       CAST(round(sum(value)) AS BIGINT) AS total
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
 FROM events
 """,
 )
@@ -644,7 +644,7 @@ def s9_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.count(F.when(F.col("event_type").isNull(), 1)).alias("n_legacy"),
         F.countDistinct("event_type").alias("n_types"),
-        F.round(F.sum("value")).cast("long").alias("total"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("total_cents"),
     )
 
 
@@ -664,7 +664,7 @@ def s9_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT event_type,
        count(*) AS n_events,
-       CAST(round(sum(value)) AS BIGINT) AS total_value,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_value_cents,
        CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
 FROM events
 GROUP BY event_type
@@ -701,7 +701,7 @@ def s16_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value")).cast("long").alias("total_value"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("total_value_cents"),
             F.countDistinct("user_id").cast("long").alias("n_users"),
         )
         .orderBy("event_type")

@@ -224,7 +224,7 @@ def _events_partitioned(spark: SparkSession, sf_dir: str) -> str:
     oracle="""
 SELECT event_type,
        count(*) AS n_events,
-       CAST(round(sum(value)) AS BIGINT) AS total_value
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_value_cents
 FROM events
 WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
   AND ts <  TIMESTAMP '2024-01-06 00:00:00'
@@ -241,7 +241,7 @@ def s12_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         day.groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value")).cast("long").alias("total_value"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("total_value_cents"),
         )
         .orderBy("event_type")
     )
@@ -488,7 +488,7 @@ def s14_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT event_type,
        count(*) AS n_events,
-       CAST(round(sum(value)) AS BIGINT) AS total_value
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_value_cents
 FROM events
 WHERE day(CAST(ts AS DATE)) % 5 = 0
 GROUP BY event_type
@@ -511,7 +511,7 @@ def s15_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame
         joined.groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value")).cast("long").alias("total_value"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("total_value_cents"),
         )
         .orderBy("event_type")
     )

@@ -16,7 +16,13 @@ hash-compares Spark output against DuckDB at value level):
 3.  Large double sums (magnitude >~1e6, e.g. price sums) -> round to
     integer and cast BIGINT: cross-engine summation-order error is
     ~1e-4 absolute at 1e9 magnitude, so a 2-decimal round could flip a
-    boundary but an integer round practically cannot.
+    boundary but an integer round practically cannot. CAVEAT (hit at
+    sf0.1, round 4b): when the summed data is 2-decimal, the exact
+    group sum CAN land dead on x.50 (observed: signup value sum
+    998497.50), and then the integer round is a coin flip on
+    accumulation order. For 2-decimal columns, sum EXACT INTEGER CENTS
+    instead — sum(CAST(round(value * 100) AS BIGINT)) — on both sides;
+    per-row round is deterministic, integer sums are order-free.
 4.  Small-magnitude aggregates (discount sums) -> round(x, 4). CAUTION
     on averages of low-precision (2-decimal) data: when the group count
     is 2^a*5^b the true average can terminate exactly ON a rounding
