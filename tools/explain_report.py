@@ -278,6 +278,19 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         ("running sum partitioned per day, not global", "windowspecdefinition(day"),
         ("session rebuild windowed per user", "windowspecdefinition(user_id"),
     ],
+    "f10_variant_extract": [
+        ("variant parse/extract stays JVM-side", "!BatchEvalPython"),
+        ("aggregation partial+final", "HashAggregate"),
+    ],
+    "s19_python_datasource": [
+        ("custom source plans as a V2 batch scan", "BatchScan lws_synth"),
+        ("partitioned read, no driver materialization", "!Scan ExistingRDD"),
+    ],
+    "u8_incidence_curve": [
+        ("entry anchors partially aggregated", "HashAggregate"),
+        ("total joined via broadcast single row", "BroadcastNestedLoopJoin"),
+        ("cumulative window over the bounded month series", "windowspecdefinition(month"),
+    ],
 }
 
 
