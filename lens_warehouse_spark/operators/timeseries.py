@@ -482,14 +482,17 @@ def t19_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (room scheduling / peak load): rebuild 30-min-gap sessions (t3's
 # definition, lag+cumsum formulation so both engines share one
 # construction), explode each session into a +1 delta at its start and
-# a -1 at its end (end-exclusive: a session ending exactly when
-# another starts never overlaps it), then a running sum per start-day
+# a -1 one millisecond AFTER its end (sessions are CLOSED intervals —
+# active at their last event, so a single-event session still counts
+# as concurrency 1), then a running sum per start-day
 # timeline whose max is the day's peak concurrency.
 #
 # Determinism under ties: the delta ordering is (t, d), so at equal
 # timestamps all -1s precede all +1s, and within a tie group every row
 # carries the same delta — the running-sum prefix values form the same
-# multiset under any tie permutation, so max(conc) is unique.
+# multiset under any tie permutation, so max(conc) is unique. (The
+# first formulation put -1 AT s_end; a day of only single-event
+# sessions then maxed at 0 — caught by the facade smoke test.)
 #
 # Scale shape: sessions aggregate map-side per user; deltas are 2 rows
 # per session; the running sum partitions BY DAY (bounded partitions,
@@ -518,7 +521,7 @@ WITH sess AS (
          epoch_ms(s_start) AS t, 1 AS d FROM sess
   UNION ALL
   SELECT strftime(CAST(date_trunc('day', s_start) AS DATE), '%Y-%m-%d') AS day,
-         epoch_ms(s_end) AS t, -1 AS d FROM sess
+         epoch_ms(s_end) + 1 AS t, -1 AS d FROM sess
 ), runs AS (
   SELECT day,
          sum(d) OVER (PARTITION BY day ORDER BY t, d
@@ -551,7 +554,7 @@ def t21_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).unionByName(
         sess.select(
             day.alias("day"),
-            F.unix_millis("s_end").alias("t"),
+            (F.unix_millis("s_end") + 1).alias("t"),
             F.lit(-1).alias("d"),
         )
     )

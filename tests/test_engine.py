@@ -185,3 +185,21 @@ def test_engine_round4b_surface(spark):
     assert {"vec_id", "cell_id", "rank", "cell_rank"} == set(cent.columns)
     anom = lw.anomaly_scores()
     assert {"win_start_ms", "event_type", "n", "z"} == set(anom.columns)
+
+
+def test_engine_round4c_surface(spark):
+    lw = LensWarehouse(spark, SF)
+    top = lw.bm25().collect()
+    assert len(top) <= 20 and all(r["bm25"] > 0 for r in top)
+    bins = lw.equidepth_histogram().toPandas()
+    assert bins["n_rows"].sum() == lw.table("orders").count()
+    conc = lw.max_concurrency().toPandas()
+    assert (conc["max_concurrent"] >= 1).all()
+    assert lw.washout_cohort().count() >= 0
+    streaks = lw.longest_streaks().toPandas()
+    assert (streaks["longest_streak"] >= 1).all()
+    roll = lw.subtree_rollup().toPandas().set_index("node")
+    # subtree counts are monotone up the chain: parent >= child
+    child = roll.index[roll.index >= 2][0]
+    assert roll.loc[child // 2, "n_events_subtree"] >= roll.loc[child, "n_events_subtree"]
+    assert {"id_a", "id_b", "dist2"} == set(lw.spatial_join().columns)
