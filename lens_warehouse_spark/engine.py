@@ -517,6 +517,12 @@ class LensWarehouse:
 
         return g2_spatial_join(self.spark, self.sf_dir)
 
+    def corpus_report(self) -> DataFrame:
+        """One-frame dataset card: dedup/quality/contamination/size (l38)."""
+        from lens_warehouse_spark.llm.curation import l38_corpus_report
+
+        return l38_corpus_report(self.spark, self.sf_dir)
+
     def decode_codes(self, df: DataFrame, code_col: str) -> DataFrame:
         """Code-list decode (s11; schema.clj code-list-item parity):
         resolve enum codes to labels via the broadcast metadata dim."""

@@ -925,3 +925,118 @@ def l36_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "source")
     )
+
+
+# ---------------------------------------------------------------------------
+# L38: corpus report — the "dataset card" in one frame: the headline
+# numbers a training-data release documents (size, dedup rate, quality
+# pass rate, language mix entropy, benchmark contamination rate,
+# length moments), each computed with the same definitions as the
+# dedicated operators (l1, l6, l16) so the card never drifts from the
+# pipeline. One union of partial-aggregated scans; every metric is an
+# integer count or a round-6 ratio of integer counts.
+# ---------------------------------------------------------------------------
+@register(
+    "l38_corpus_report",
+    oracle=f"""
+WITH q AS (
+  SELECT doc_id, n_chars, lang,
+         len(string_split(text, ' ')) AS n_tok,
+         len(list_distinct(string_split(text, ' '))) AS n_dist,
+         md5(lower(trim(text))) AS h
+  FROM documents
+), dedup AS (
+  SELECT count(*) AS n_docs, count(DISTINCT h) AS n_unique FROM q
+), qual AS (
+  SELECT count(*) AS n_pass FROM q
+  WHERE n_chars BETWEEN 100 AND 100000 AND lang IN ('en','de','fr','es')
+    AND n_tok >= 10 AND CAST(n_dist AS DOUBLE) / n_tok >= 0.3
+), contam AS (
+  SELECT count(DISTINCT g.doc_id) AS n_contam
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, greatest(len(string_split(text,' ')) - {GRAM_N - 1}, 0) + 1),
+                  i -> array_to_string((string_split(text,' '))[i:i+{GRAM_N - 1}], ' '))) AS gram
+    FROM documents
+  ) g
+  JOIN (
+    SELECT DISTINCT unnest(list_transform(range(1, greatest(len(string_split(text,' ')) - {GRAM_N - 1}, 0) + 1),
+                    i -> array_to_string((string_split(text,' '))[i:i+{GRAM_N - 1}], ' '))) AS gram
+    FROM documents WHERE doc_id % {_BENCH_MOD} = 0
+  ) b ON b.gram = g.gram
+  WHERE g.doc_id % {_BENCH_MOD} <> 0
+), lang_mix AS (
+  SELECT count(DISTINCT lang) AS n_langs FROM q
+), toks AS (
+  SELECT CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+         CAST(max(n_tok) AS BIGINT) AS max_tokens FROM q
+)
+SELECT d.n_docs,
+       CAST(d.n_unique AS BIGINT) AS n_unique,
+       round(1.0 - CAST(d.n_unique AS DOUBLE) / d.n_docs, 6) AS dup_rate,
+       CAST(qu.n_pass AS BIGINT) AS n_quality_pass,
+       round(CAST(qu.n_pass AS DOUBLE) / d.n_docs, 6) AS quality_rate,
+       CAST(c.n_contam AS BIGINT) AS n_contaminated,
+       CAST(lm.n_langs AS BIGINT) AS n_langs,
+       t.total_tokens, t.max_tokens
+FROM dedup d, qual qu, contam c, lang_mix lm, toks t
+""",
+)
+def l38_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    q = docs.select(
+        "doc_id",
+        "n_chars",
+        "lang",
+        F.size(toks).alias("n_tok"),
+        F.size(F.array_distinct(toks)).alias("n_dist"),
+        F.md5(F.lower(F.trim("text"))).alias("h"),
+    )
+    base = q.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("h").cast("long").alias("n_unique"),
+        F.sum(
+            F.when(
+                F.col("n_chars").between(100, 100000)
+                & F.col("lang").isin("en", "de", "fr", "es")
+                & (F.col("n_tok") >= 10)
+                & (F.col("n_dist").cast("double") / F.col("n_tok") >= 0.3),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_quality_pass"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.sum("n_tok").cast("long").alias("total_tokens"),
+        F.max("n_tok").cast("long").alias("max_tokens"),
+    )
+    grams = word_ngrams(docs, GRAM_N)
+    bench = (
+        grams.filter(F.col("doc_id") % _BENCH_MOD == 0).select("gram").distinct()
+    )
+    n_docs_stat = table_rows(sf_dir, "documents")
+    bench_side = F.broadcast(bench) if n_docs_stat <= 100_000 else bench
+    contam = (
+        grams.filter(F.col("doc_id") % _BENCH_MOD != 0)
+        .join(bench_side, "gram")
+        .agg(F.countDistinct("doc_id").cast("long").alias("n_contaminated"))
+    )
+    return (
+        base.crossJoin(F.broadcast(contam))  # both sides single-row
+        .select(
+            "n_docs",
+            "n_unique",
+            F.round(
+                1.0 - F.col("n_unique").cast("double") / F.col("n_docs"), 6
+            ).alias("dup_rate"),
+            "n_quality_pass",
+            F.round(
+                F.col("n_quality_pass").cast("double") / F.col("n_docs"), 6
+            ).alias("quality_rate"),
+            "n_contaminated",
+            "n_langs",
+            "total_tokens",
+            "max_tokens",
+        )
+    )
