@@ -55,3 +55,47 @@ def test_short_docs_excluded_and_counts_exact(spark):
     assert out[2]["n_windows"] == 2
     assert out[2]["n_dup_windows"] == 2
     assert out[2]["dup_frac"] == 1.0
+
+
+# Randomized cross-check against a pure-Python reference, tiny vocab so
+# cross-document window collisions actually occur.
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_docs_strategy = st.lists(
+    st.lists(
+        st.sampled_from(["a", "b", "c"]), min_size=1, max_size=12
+    ).map(" ".join),
+    min_size=1,
+    max_size=10,
+)
+
+
+def _reference(rows, w):
+    wins = {}  # hash -> set of doc_ids
+    per_doc = {}
+    for doc_id, text in rows:
+        toks = text.split(" ")
+        if len(toks) < w:
+            continue
+        windows = [" ".join(toks[i : i + w]) for i in range(len(toks) - w + 1)]
+        per_doc[doc_id] = windows
+        for win in set(windows):
+            wins.setdefault(win, set()).add(doc_id)
+    out = {}
+    for doc_id, windows in per_doc.items():
+        dup = sum(1 for win in windows if len(wins[win]) >= 2)
+        out[doc_id] = (len(windows), dup)
+    return out
+
+
+@settings(max_examples=10, deadline=None)
+@given(_docs_strategy)
+def test_matches_python_reference(spark, texts):
+    rows = [(i, t) for i, t in enumerate(texts)]
+    w = 3
+    got = {
+        r["doc_id"]: (r["n_windows"], r["n_dup_windows"])
+        for r in substring_dup_stats(_docs(spark, rows), w=w).collect()
+    }
+    assert got == _reference(rows, w)
