@@ -411,7 +411,11 @@ def l20_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # reference (interpreted, no codegen, no subexpression
     # elimination), while l17's projection-only use evaluates it once.
     # The aggregated repetitive set also gives the anti-join a tiny
-    # build side.
+    # build side. RE-MEASURED round 4b at the VOLUME points (where
+    # l17's Expand-shuffle win was 20x, so the question deserved a
+    # second look): explode 1.83 s / 13.2 s vs map-side 2.31 s /
+    # 15.5 s at 10x / 100x — the anti-join context keeps favoring
+    # explode+agg at every scale. Closed; don't re-try.
     repetitive = (
         word_ngrams(docs, 3)
         .groupBy("doc_id")
