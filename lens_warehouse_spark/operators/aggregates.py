@@ -1048,3 +1048,41 @@ def exact_quantile_boundaries(
         )
     )
     return [r["boundary"] for r in picked.orderBy("p_idx").collect()]
+
+
+# ---------------------------------------------------------------------------
+# A25: windowed sketch merge — 7-day rolling distinct users from DAILY
+# HLL sketches (Datasketches hll_sketch_agg per day, hll_union_agg over
+# a 7-row frame). The sketch answer to w9's exact rolling DAU: at
+# 100 TB the exact form shuffles (user, day) fan-out pairs, while this
+# one aggregates each day's sketch ONCE (map-side combinable, KB-sized)
+# and the rolling union touches only |days| sketches — the frame is the
+# bounded day series, never raw events. Mergeability is the point:
+# day sketches are computed once and reused by every window that
+# covers them (and by a18's coarser rollups). Rows-only by design
+# (estimates are sketch-impl-specific); tests/test_sketches.py bounds
+# the error against w9's exact counts.
+# ---------------------------------------------------------------------------
+@register("a25_windowed_hll")
+def a25_windowed_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from lens_warehouse_spark.operators._helpers import as_ts
+
+    daily = (
+        table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", as_ts("ts")).alias("day"))
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+    )
+    # the frame is the bounded day series (one row per day), so the
+    # unpartitioned ordered window is O(|days|), like u8's month series
+    w = Window.orderBy("day").rowsBetween(-6, 0)
+    return (
+        daily.select(
+            F.unix_millis("day").alias("day_ms"),
+            F.hll_sketch_estimate(F.hll_union_agg("sk").over(w))
+            .cast("long")
+            .alias("dau7_estimate"),
+        )
+        .orderBy("day_ms")
+    )

@@ -154,3 +154,28 @@ def test_sketch_overlap_within_bound(spark):
     union_ub = ev.select("user_id").distinct().count()
     for pair, est in got.items():
         assert abs(est - exact[pair]) <= 0.05 * union_ub, (pair, est, exact[pair])
+
+
+def test_windowed_hll_tracks_exact_rolling_dau(spark):
+    """a25's sketched 7-day rolling DAU must track w9's exact counts
+    within HLL error (lgk=12 -> ~1.6% relative; allow 5%)."""
+    from lens_warehouse_spark import registry
+    from lens_warehouse_spark.registry import QUERIES
+
+    registry.load_all()
+    sf = "/root/testdata/sf0.001"
+    est = [
+        r["dau7_estimate"]
+        for r in QUERIES["a25_windowed_hll"](spark, sf)
+        .orderBy("day_ms")
+        .collect()
+    ]
+    exact = [
+        r["dau7"]
+        for r in QUERIES["w9_sliding_distinct"](spark, sf)
+        .orderBy("day_idx")
+        .collect()
+    ]
+    assert est and len(est) == len(exact)  # same day series, both ordered
+    for e, x in zip(est, exact):
+        assert abs(e - x) <= max(2, 0.05 * x), (e, x)
