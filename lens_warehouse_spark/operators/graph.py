@@ -147,3 +147,75 @@ def g2_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", F.round(dist2, 6).alias("dist2"))
         .orderBy("id_a", "id_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# G3: geohash encoding — the textbook geo bucketing key (base32 over
+# interleaved lon/lat bits, lon bit first), built ENTIRELY from integer
+# bit arithmetic so the identical expression string runs on both
+# engines: quantize lon/lat to 20 bits each, fold the 40-bit Morton
+# interleave, slice 5-bit groups into base32 chars. The same
+# bit-interleave idea as operators/layout.zorder_df, surfaced as the
+# standard interchange format; prefix truncation gives the hierarchy
+# of cells (geohash4 below) that spatial joins and privacy coarsening
+# bucket by. Deterministic end-to-end — fully oracle-checked.
+# ---------------------------------------------------------------------------
+_GH_ALPHABET = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def _geohash_sql(lon: str, lat: str, chars: int = 8) -> str:
+    """Engine-neutral SQL: geohash of (lon, lat) to ``chars`` chars."""
+    lon_q = f"CAST(floor((({lon}) + 180.0) / 360.0 * 1048576.0) AS BIGINT)"
+    lat_q = f"CAST(floor((({lat}) + 90.0) / 180.0 * 1048576.0) AS BIGINT)"
+    # 40-bit Morton: even positions (MSB first) carry lon bits
+    terms = []
+    for k in range(20):
+        terms.append(f"((({lon_q}) >> {19 - k}) & 1) * {1 << (39 - 2 * k)}")
+        terms.append(f"((({lat_q}) >> {19 - k}) & 1) * {1 << (38 - 2 * k)}")
+    morton = "(" + " + ".join(terms) + ")"
+    parts = [
+        f"substr('{_GH_ALPHABET}', "
+        f"CAST((({morton}) >> {35 - 5 * j}) & 31 AS INT) + 1, 1)"
+        for j in range(chars)
+    ]
+    return "concat(" + ", ".join(parts) + ")"
+
+
+@register(
+    "g3_geohash_encode",
+    oracle=f"""
+WITH pts AS (
+  SELECT event_id AS id,
+         ((value * 13.0) % 100.0) * 3.6 - 180.0 AS lon,
+         ((value * 29.0 + CAST(user_id AS DOUBLE)) % 100.0) * 1.8 - 90.0 AS lat
+  FROM events WHERE event_id % {_G2_MOD} = 0
+)
+SELECT id, {_geohash_sql('lon', 'lat', 8)} AS geohash8,
+       substr({_geohash_sql('lon', 'lat', 8)}, 1, 4) AS cell4
+FROM pts
+ORDER BY id
+""",
+)
+def g3_geohash_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_id") % _G2_MOD == 0)
+        .select(
+            F.col("event_id").alias("id"),
+            (((F.col("value") * 13.0) % 100.0) * 3.6 - 180.0).alias("lon"),
+            (
+                ((F.col("value") * 29.0 + F.col("user_id").cast("double")) % 100.0)
+                * 1.8
+                - 90.0
+            ).alias("lat"),
+        )
+    )
+    gh = F.expr(_geohash_sql("lon", "lat", 8))
+    return (
+        pts.select(
+            "id",
+            gh.alias("geohash8"),
+            F.substring(gh, 1, 4).alias("cell4"),
+        )
+        .orderBy("id")
+    )

@@ -55,3 +55,14 @@ def test_representative_maximizes_quality_key(spark):
     best_by_cluster = {r["canonical_id"]: r["max_tr"] for r in best}
     for r in multi:
         assert r["tok_ratio"] == best_by_cluster[r["cluster_id"]]
+
+
+def test_geohash_matches_reference_algorithm(spark):
+    """g3's bit-arithmetic geohash == the canonical bisection algorithm
+    on the textbook example (lat 42.605, lon -5.603 -> 'ezs42...')."""
+    from lens_warehouse_spark.operators.graph import _geohash_sql
+
+    got = spark.sql(
+        "SELECT " + _geohash_sql("-5.60302734375", "42.60498046875", 8) + " AS gh"
+    ).first()["gh"]
+    assert got == "ezs42s00"
