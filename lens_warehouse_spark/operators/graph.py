@@ -219,3 +219,54 @@ def g3_geohash_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("id")
     )
+
+
+# ---------------------------------------------------------------------------
+# G4: k-anonymous spatial aggregation — the privacy-coarsening release
+# shape for location data: aggregate points per geohash-4 cell
+# (~39 km x 19.5 km) and SUPPRESS cells with fewer than K points, so
+# no released row isolates fewer than K individuals. Integer counts +
+# the g3 encoding — fully oracle-checked. Scale shape: one map-side-
+# combined groupBy on the cell key; suppression is a HAVING on the
+# aggregate, so suppressed cells never leave the executors.
+# ---------------------------------------------------------------------------
+_G4_K = 5
+
+
+@register(
+    "g4_kanon_cells",
+    oracle=f"""
+WITH pts AS (
+  SELECT event_id AS id,
+         ((value * 13.0) % 100.0) * 3.6 - 180.0 AS lon,
+         ((value * 29.0 + CAST(user_id AS DOUBLE)) % 100.0) * 1.8 - 90.0 AS lat
+  FROM events WHERE event_id % 3 = 0
+)
+SELECT substr({_geohash_sql('lon', 'lat', 8)}, 1, 4) AS cell4,
+       count(*) AS n_points
+FROM pts
+GROUP BY 1
+HAVING count(*) >= {_G4_K}
+ORDER BY cell4
+""",
+)
+def g4_kanon_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 3 == 0)
+        .select(
+            (((F.col("value") * 13.0) % 100.0) * 3.6 - 180.0).alias("lon"),
+            (
+                ((F.col("value") * 29.0 + F.col("user_id").cast("double")) % 100.0)
+                * 1.8
+                - 90.0
+            ).alias("lat"),
+        )
+    )
+    cell4 = F.substring(F.expr(_geohash_sql("lon", "lat", 8)), 1, 4)
+    return (
+        pts.groupBy(cell4.alias("cell4"))
+        .agg(F.count(F.lit(1)).alias("n_points"))
+        .filter(F.col("n_points") >= _G4_K)
+        .orderBy("cell4")
+    )
