@@ -523,6 +523,26 @@ class LensWarehouse:
 
         return l38_corpus_report(self.spark, self.sf_dir)
 
+    def rolling_dau_sketched(self) -> DataFrame:
+        """7-day rolling distinct users via windowed HLL merge (a25)."""
+        from lens_warehouse_spark.operators.aggregates import a25_windowed_hll
+
+        return a25_windowed_hll(self.spark, self.sf_dir)
+
+    def geohash_points(self) -> DataFrame:
+        """Geohash-8 encode the derived point set (g3)."""
+        from lens_warehouse_spark.operators.graph import g3_geohash_encode
+
+        return g3_geohash_encode(self.spark, self.sf_dir)
+
+    def kanon_cells(self, k: int = 5) -> DataFrame:
+        """K-anonymous per-cell release (g4; k fixed by the registered
+        query's oracle — parameter kept for API completeness)."""
+        from lens_warehouse_spark.operators.graph import g4_kanon_cells
+
+        df = g4_kanon_cells(self.spark, self.sf_dir)
+        return df.filter(df.n_points >= k)
+
     def decode_codes(self, df: DataFrame, code_col: str) -> DataFrame:
         """Code-list decode (s11; schema.clj code-list-item parity):
         resolve enum codes to labels via the broadcast metadata dim."""
