@@ -115,14 +115,23 @@ def main() -> None:
     # scale-up of documents/events, Spark vs DuckDB oracle per query.
     # One SF cannot separate per-row cost from Spark's fixed per-job
     # overhead; the ratio trend across SFs can (and shows the crossover).
-    volume_scaling = None
+    # Written to VOLUME.json, NOT embedded in the stdout headline: the
+    # driver captures only a bounded tail of stdout, and round 4's
+    # embedded volume_scaling pushed the one JSON line past that capture
+    # (BENCH_r04.json recorded parsed:null). The headline line must stay
+    # compact and LAST.
     if os.environ.get("SPARK_GRAFT_VOLSCALE", "1") != "0":
         try:
             from tools.volume_bench import volume_scaling_report
 
             volume_scaling = volume_scaling_report(spark, sf_dir, mult=10)
+            with open(
+                os.path.join(os.path.dirname(os.path.abspath(__file__)), "VOLUME.json"),
+                "w",
+            ) as fh:
+                json.dump(volume_scaling, fh, indent=1)
         except Exception:  # noqa: BLE001 - the headline metric must survive
-            volume_scaling = None
+            pass
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
@@ -139,8 +148,8 @@ def main() -> None:
         "streams": STREAMS,
         "power_total_sec": round(sum(timings.values()), 3),
     }
-    if volume_scaling is not None:
-        out["volume_scaling"] = volume_scaling
+    # Compact headline JSON as the FINAL stdout line (driver contract).
+    sys.stdout.flush()
     print(json.dumps(out))
 
 

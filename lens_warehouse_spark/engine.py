@@ -536,10 +536,19 @@ class LensWarehouse:
         return g3_geohash_encode(self.spark, self.sf_dir)
 
     def kanon_cells(self, k: int = 5) -> DataFrame:
-        """K-anonymous per-cell release (g4; k fixed by the registered
-        query's oracle — parameter kept for API completeness)."""
-        from lens_warehouse_spark.operators.graph import g4_kanon_cells
+        """K-anonymous per-cell release (g4). ``k`` may only tighten the
+        registered query's floor: g4_kanon_cells pre-suppresses cells
+        below _G4_K (the oracle's fixed threshold), so a smaller k could
+        not take effect — raise instead of silently behaving as k=_G4_K.
+        """
+        from lens_warehouse_spark.operators.graph import _G4_K, g4_kanon_cells
 
+        if k < _G4_K:
+            raise ValueError(
+                f"k={k} is below the registered suppression floor "
+                f"{_G4_K}; cells under {_G4_K} points are already "
+                "suppressed upstream and cannot be released"
+            )
         df = g4_kanon_cells(self.spark, self.sf_dir)
         return df.filter(df.n_points >= k)
 

@@ -596,13 +596,15 @@ def substring_dup_stats(docs: DataFrame, w: int = _SPAN_W) -> DataFrame:
     # heap at 100x), while still cutting the duplicate subtree. Skew
     # note: the hot-hash case (universal boilerplate span) stays safe
     # because d is a map-side-combining groupBy, not a window over an h
-    # partition, and the join build side has one row per h.
-    from pyspark.storagelevel import StorageLevel
+    # partition, and the join build side has one row per h. Cache
+    # lifecycle goes through pin(): each invocation releases the
+    # previous one's blocks, so bench loops / facade calls cannot
+    # accumulate cached relations across a session.
+    from lens_warehouse_spark.operators._helpers import pin
 
-    g = (
-        win.groupBy("doc_id", "h")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    g = pin(
+        "l31.g",
+        win.groupBy("doc_id", "h").agg(F.count(F.lit(1)).alias("c")),
     )
     d = g.groupBy("h").agg(F.count(F.lit(1)).alias("ndocs"))
     dup_c = F.sum(F.when(F.col("ndocs") >= 2, F.col("c")).otherwise(0))

@@ -220,7 +220,15 @@ def l9_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     # table is NOT hint-broadcast — AQE picks the strategy from runtime
     # size (at 100 TB vocab outgrows broadcast; the equi-join shuffles).
     docs = table(spark, sf_dir, "documents")
-    langs = sorted(r["lang"] for r in docs.select("lang").distinct().collect())
+    # NULL langs carry no training signal and would break both sorted()
+    # (NoneType comparison) and the pivot column list; drop them before
+    # the label collect. Pivot columns are referenced backquoted so a
+    # label containing '.' is one column name, not a struct path.
+    langs = sorted(
+        r["lang"]
+        for r in docs.select("lang").filter(F.col("lang").isNotNull()).distinct().collect()
+    )
+    lcol = [F.col(f"`{lang}`") for lang in langs]
     tok = docs.select("doc_id", "lang", F.explode(_toks()).alias("token"))
     weights = tok.groupBy("token").pivot("lang", langs).agg(F.count(F.lit(1)))
     scores = (
@@ -229,15 +237,15 @@ def l9_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             *[
-                F.sum(F.coalesce(F.col(lang), F.lit(0))).alias(lang)
-                for lang in langs
+                F.sum(F.coalesce(c, F.lit(0))).alias(lang)
+                for lang, c in zip(langs, lcol)
             ]
         )
     )
-    best = F.greatest(*[F.col(lang) for lang in langs])
-    pred = F.when(F.col(langs[0]) == best, langs[0])
-    for lang in langs[1:]:  # ASC chain -> ties resolve to smallest lang
-        pred = pred.when(F.col(lang) == best, lang)
+    best = F.greatest(*lcol)
+    pred = F.when(lcol[0] == best, langs[0])
+    for lang, c in zip(langs[1:], lcol[1:]):  # ASC chain -> ties -> smallest
+        pred = pred.when(c == best, lang)
     return (
         scores.select("doc_id", pred.alias("pred_lang"))
         .join(docs.select("doc_id", F.col("lang").alias("true_lang")), "doc_id")
@@ -514,20 +522,22 @@ def l13_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     # machine, best-of-3): 10x all pin variants ~1.65 s ≈ unpinned;
     # 100x persist 7.1 s < ckpt 8.1 s ≈ unpinned 8.2 s — columnar
     # persist wins where it matters and spills instead of OOMing (the
-    # l31 lesson), so persist it is. A per-term count window would
-    # shave a little more but shuffles ALL tf rows by term — a hot
-    # stopword term then lands in ONE task at web scale, while this df
-    # agg map-side combines to vocabulary-sized shuffle rows. At
+    # l31 lesson). At bench SF the materialization COSTS more than the
+    # duplicate recompute it saves (r4 bench: 0.963 s pinned vs 0.811 s
+    # r3 unpinned at sf0.1), so the pin is GATED on corpus size exactly
+    # like the df_side broadcast below: small corpora recompute the
+    # cheap subtree twice, big corpora pin. A per-term count window
+    # would shave a little more but shuffles ALL tf rows by term — a
+    # hot stopword term then lands in ONE task at web scale, while this
+    # df agg map-side combines to vocabulary-sized shuffle rows. At
     # 100 TB tf is a staged table feeding both aggregates.
-    from pyspark.storagelevel import StorageLevel
+    from lens_warehouse_spark.operators._helpers import pin
 
-    tf = (
-        tok.groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.count()  # scalar; tiny and deterministic
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    if n_docs > 100_000:
+        tf = pin("l13.tf", tf)
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     # df is VOCABULARY-sized (one row per distinct term — billions at
     # web scale), so an unconditional broadcast hint is the same
     # never-demoted-hint hazard as the scaling dims. Gate it on corpus

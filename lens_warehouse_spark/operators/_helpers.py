@@ -58,6 +58,36 @@ def global_rank(
     )
 
 
+_PINNED: dict[str, DataFrame] = {}
+
+
+def pin(key: str, df: DataFrame) -> DataFrame:
+    """Persist ``df`` (MEMORY_AND_DISK, columnar, spill-safe) under a
+    per-call-site ``key``, releasing the PREVIOUS invocation's pin for
+    the same key first.
+
+    Centralized cache lifecycle for shared subtrees that feed two
+    consumers inside one returned plan (l31's window-hash agg, l13's
+    tf): the pin cannot be dropped before the caller materializes the
+    result, but repeated invocations in one session (bench loops,
+    facade calls) must not accumulate cached blocks without bound.
+    Keying per call site caps residency at one pinned relation per
+    operator; ``unpersist(blocking=False)`` makes the swap free. An
+    older result DataFrame re-collected after a newer call simply
+    recomputes its subtree unpinned — correctness is unaffected.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    prev = _PINNED.pop(key, None)
+    if prev is not None:
+        try:
+            prev.unpersist(blocking=False)
+        except Exception:  # noqa: BLE001 - stale session handles
+            pass
+    _PINNED[key] = df.persist(StorageLevel.MEMORY_AND_DISK)
+    return _PINNED[key]
+
+
 def as_ts(col: Column | str) -> Column:
     """Normalize a timestamp column to session-TZ TIMESTAMP.
 

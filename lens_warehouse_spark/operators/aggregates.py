@@ -994,7 +994,7 @@ def exact_quantile_boundaries(
     mw = m + 2.0 / max(n0, 1)
     probes = [max(p - mw, 0.0) for p in ps] + [min(p + mw, 1.0) for p in ps]
     row = od.agg(
-        F.percentile_approx("o_totalprice", probes, 100_000).alias("b"),
+        F.percentile_approx("o_totalprice", probes, accuracy).alias("b"),
         F.count(F.lit(1)).alias("n"),
     ).first()
     lows, highs, n = row["b"][: len(ps)], row["b"][len(ps):], row["n"]

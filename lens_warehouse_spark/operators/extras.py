@@ -850,7 +850,11 @@ ORDER BY l.l_returnflag
 """,
 )
 def s20_bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    saved = {k: spark.conf.get(k) for k in _BLOOM_CONFS}
+    # Save-with-unset-tracking: conf.get on a never-set key returns its
+    # DEFAULT, and blindly re-setting that default would pin it as an
+    # explicit value — masking later spark-defaults changes in a
+    # long-lived session. Keys that were unset get unset again.
+    saved = {k: spark.conf.get(k, None) for k in _BLOOM_CONFS}
     try:
         for k, v in _BLOOM_CONFS.items():
             spark.conf.set(k, v)
@@ -859,4 +863,7 @@ def s20_bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _bloom_join_frame(spark, sf_dir).localCheckpoint(eager=True)
     finally:
         for k, v in saved.items():
-            spark.conf.set(k, v)
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -163,11 +163,20 @@ _CACHE_OFFSET = 48  # '0'
 
 def _transit_decode_str(s: str, cache: list[str], as_map_key: bool):
     if s.startswith("^") and s != "^ ":
-        idx = (
-            (ord(s[1]) - _CACHE_OFFSET) * _CACHE_BASE + (ord(s[2]) - _CACHE_OFFSET)
-            if len(s) == 3
-            else ord(s[1]) - _CACHE_OFFSET
-        )
+        # A cache ref is EXACTLY "^C" or "^CC" with C in the base-44
+        # digit range [0-9A-Za-z...] (codepoints 48..48+44). Anything
+        # else must raise, never mis-decode: a longer string would
+        # silently drop its tail, and an out-of-range char would
+        # produce a NEGATIVE index that python happily resolves to the
+        # wrong cache entry (found by the round-5 fuzz).
+        digits = s[1:]
+        if len(digits) not in (1, 2) or any(
+            not (0 <= ord(c) - _CACHE_OFFSET < _CACHE_BASE) for c in digits
+        ):
+            raise ValueError(f"malformed transit cache code {s!r}")
+        idx = 0
+        for c in digits:
+            idx = idx * _CACHE_BASE + (ord(c) - _CACHE_OFFSET)
         try:
             return cache[idx]
         except IndexError:
@@ -190,6 +199,8 @@ def _transit_decode_str(s: str, cache: list[str], as_map_key: bool):
         elif tag == "d":
             out = float(rest)
         elif tag == "?":
+            if rest not in ("t", "f"):
+                raise ValueError(f"malformed transit bool {s!r}")
             out = rest == "t"
         elif tag == "_":
             out = None

@@ -528,11 +528,28 @@ def t13_stream_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # At scale each micro-batch shuffles only its own changes on the key;
 # the sink rewrite is partition-pruned by the key buckets touched.
 # ---------------------------------------------------------------------------
-@register("t16_stream_cdc_apply")
-def t16_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+def cdc_apply_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    fail_after_batch: int | None = None,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Run the CDC change feed through the checkpointed foreachBatch
+    merge into ``out_dir`` and return the final table state.
+
+    ``fail_after_batch`` injects a crash AFTER that micro-batch's sink
+    write but BEFORE Structured Streaming commits the batch to the
+    checkpoint — the worst-case failure point for a non-transactional
+    sink: on restart the engine replays that batch, so the sink-side
+    merge must be idempotent for end-to-end exactly-once. The
+    time-aware merge is (re-merging identical rows is a fixpoint);
+    tests/test_streaming.py proves crash+restart == uninterrupted.
+    ``max_files_per_trigger`` splits the finite source into multiple
+    micro-batches so there is a mid-stream batch boundary to crash at.
+    """
     from pyspark.sql import Window
 
-    out_dir = os.path.join(tempfile.gettempdir(), f"lws_t16_{uuid.uuid4().hex[:8]}")
     ckpt = os.path.join(out_dir, "_ckpt")
     data_dir = os.path.join(out_dir, "data")
 
@@ -550,7 +567,9 @@ def t16_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Time-aware merge: the sink retains the latest change per key
         # INCLUDING delete tombstones, so late/out-of-order micro-batches
         # can never resurrect a key or regress it to an older value —
-        # the result is batch-partitioning-independent.
+        # the result is batch-partitioning-independent (and replay-
+        # idempotent, which is what makes the checkpoint exactly-once
+        # end-to-end rather than merely at-least-once).
         spark_l = batch_df.sparkSession
         try:
             current = spark_l.read.parquet(data_dir)
@@ -568,21 +587,50 @@ def t16_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         staging = data_dir + ".tmp"
         merged.write.mode("overwrite").parquet(staging)
         spark_l.read.parquet(staging).write.mode("overwrite").parquet(data_dir)
+        if fail_after_batch is not None and batch_id == fail_after_batch:
+            raise RuntimeError(f"injected crash after batch {batch_id}")
 
-    changes = to_changes(_events_stream(spark, sf_dir))
+    if max_files_per_trigger is None:
+        src_stream = _events_stream(spark, sf_dir)
+    else:
+        # Multi-batch mode needs a multi-file source (the shared staging
+        # is one part file): stage under out_dir so a restart against
+        # the same out_dir sees the identical file set.
+        src = os.path.join(out_dir, "src")
+        if not os.path.exists(os.path.join(src, "_SUCCESS")):
+            table(spark, sf_dir, "events").repartition(4).write.mode(
+                "overwrite"
+            ).parquet(src)
+        schema = table(spark, sf_dir, "events").schema
+        src_stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .parquet(src)
+        )
+    changes = to_changes(src_stream)
     q = (
         changes.writeStream.foreachBatch(apply_batch)
         .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    try:
+        q.awaitTermination(300)
+    except Exception:
+        if fail_after_batch is None:
+            raise  # only the injected crash is expected
     return (
         spark.read.parquet(data_dir)
         .filter(F.col("op") != "D")
         .select("key", F.unix_millis("ts").alias("ts_ms"), "value")
         .orderBy("key")
     )
+
+
+@register("t16_stream_cdc_apply")
+def t16_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out_dir = os.path.join(tempfile.gettempdir(), f"lws_t16_{uuid.uuid4().hex[:8]}")
+    return cdc_apply_stream(spark, sf_dir, out_dir)
 
 
 # ---------------------------------------------------------------------------

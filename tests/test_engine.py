@@ -203,3 +203,32 @@ def test_engine_round4c_surface(spark):
     child = roll.index[roll.index >= 2][0]
     assert roll.loc[child // 2, "n_events_subtree"] >= roll.loc[child, "n_events_subtree"]
     assert {"id_a", "id_b", "dist2"} == set(lw.spatial_join().columns)
+
+
+def test_engine_round5_guards(spark):
+    """k below the registered suppression floor must raise, not silently
+    behave as k=_G4_K (ADVICE r4)."""
+    import pytest
+
+    from lens_warehouse_spark.operators.graph import _G4_K
+
+    lw = LensWarehouse(spark, SF)
+    with pytest.raises(ValueError, match="suppression floor"):
+        lw.kanon_cells(k=_G4_K - 1)
+    # at or above the floor it filters normally
+    assert lw.kanon_cells(k=_G4_K).count() >= lw.kanon_cells(k=_G4_K + 1).count()
+
+
+def test_pin_lifecycle(spark):
+    """pin() caps cache residency at one pinned relation per call site:
+    re-invoking the same key unpersists the previous DataFrame."""
+    from lens_warehouse_spark.operators._helpers import pin
+
+    a = pin("test.pin", spark.range(10))
+    a.count()
+    assert a.storageLevel.useMemory
+    b = pin("test.pin", spark.range(20))
+    b.count()
+    assert not a.storageLevel.useMemory  # previous pin released
+    assert b.storageLevel.useMemory
+    b.unpersist()
