@@ -219,6 +219,23 @@ def l9_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the 10x volume point (1.51 -> 1.17 s). The vocab-scaled weight
     # table is NOT hint-broadcast — AQE picks the strategy from runtime
     # size (at 100 TB vocab outgrows broadcast; the equi-join shuffles).
+    # NEGATIVE RESULT (round 5, don't re-try): rewriting both branches
+    # over the per-(doc, token) tf PAIR table — weight = sum(tf) per
+    # (token, lang), score = sum(tf * weight) over distinct tokens,
+    # algebraically identical — LOST at every measured point (sf0.1
+    # 0.41 -> 0.86 s, 10x 0.81 -> 1.05 s): this corpus's per-doc token
+    # frequency is ~1, so pairs ≈ occurrences and the extra pre-agg
+    # shuffle buys nothing. The pair form only pays when mean tf >> 1
+    # (Zipf-heavy web text at 100 TB); at that scale the same rewrite
+    # is one added map-combined groupBy away — revisit only with data
+    # whose measured mean tf is materially above 1. Also rejected
+    # (A/B at the 100x point, same process): pinning tok so one
+    # tokenize pass feeds both branches — 4.00 s pinned vs 3.66 s
+    # recomputed; materializing occurrence rows costs more than the
+    # second split+explode. l9's 100x floor is ~1.2x DuckDB (3.66 vs
+    # 3.02 s): the residual gap is the two shuffles (vocab pivot, doc
+    # agg) vs a single-process hash table — the price of the plan that
+    # actually distributes.
     docs = table(spark, sf_dir, "documents")
     # NULL langs carry no training signal and would break both sorted()
     # (NoneType comparison) and the pivot column list; drop them before

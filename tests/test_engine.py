@@ -227,6 +227,10 @@ def test_pin_lifecycle(spark):
     a = pin("test.pin", spark.range(10))
     a.count()
     assert a.storageLevel.useMemory
+    # SAME plan re-pinned -> existing blocks kept (bench best-of-3 path)
+    a2 = pin("test.pin", spark.range(10))
+    assert a.storageLevel.useMemory and a2.storageLevel.useMemory
+    # DIFFERENT plan under the same key -> previous entry released
     b = pin("test.pin", spark.range(20))
     b.count()
     assert not a.storageLevel.useMemory  # previous pin released

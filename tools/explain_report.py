@@ -209,8 +209,12 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         ("salted join is a real equi join", "!CartesianProduct"),
         ("no nested loop", "!BroadcastNestedLoopJoin"),
     ],
+    # The tf persist pin is size-GATED (round 5): below 100k docs the
+    # cheap tokenize subtree recomputes instead of materializing, so at
+    # the audit SF the plan must show NO cache scan; the pinned variant
+    # is exercised by the volume bench at 10x/100x.
     "l13_tfidf_top_terms": [
-        ("one tokenize pass cached for both tf consumers", "InMemoryTableScan"),
+        ("pin gated off at small SF", "!InMemoryTableScan"),
         ("vocab-sized partial aggregation for df", "HashAggregate"),
         ("no row-at-a-time python", "!BatchEvalPython"),
     ],

@@ -123,8 +123,28 @@ def ensure_scaled_dir(base_sf_dir: str, mult: int, spark=None) -> str:
                 os.path.join(out, f"{t}.parquet"),
             )
     with open(marker, "w") as fh:
-        fh.write(f"mult={mult}\n")
+        fh.write(f"mult={mult}\n{content_fingerprint(out)}\n")
     return out
+
+
+def content_fingerprint(sf_dir: str) -> str:
+    """Deterministic content hash of the two volume-bearing tables —
+    order-insensitive (sum-of-row-hashes), so it is stable across file
+    layouts and write parallelism. Two sessions reporting the same
+    fingerprint measured the SAME bytes; a ratio spread between them is
+    machine state, not data (the round-4 0.38x-vs-0.72x question)."""
+    con = duckdb.connect()
+    parts = []
+    for t in ("documents", "events"):
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        src = f"{path}/*.parquet" if os.path.isdir(path) else path
+        row = con.execute(
+            "SELECT count(*) AS n, to_hex(bit_xor(hash(t::VARCHAR))) AS h "
+            f"FROM read_parquet('{src}') t"
+        ).fetchone()
+        parts.append(f"{t}:n={row[0]}:h={row[1]}")
+    con.close()
+    return "fingerprint " + " ".join(parts)
 
 
 def _best_of(fn, reps: int = 3) -> float:
@@ -177,12 +197,26 @@ def _point(spark, sf_dir: str) -> dict:
 
 
 def volume_scaling_report(spark, base_sf_dir: str, mult: int = 10) -> dict:
-    """The second-SF bench point: base vs mult-x, both engines."""
+    """The second-SF bench point: base vs mult-x, both engines.
+
+    The report carries the staged data's content fingerprint and the
+    machine load at measurement start: the round-4 judge and builder
+    measured 100x totals 2x apart (0.38x vs 0.72x) with no way to tell
+    data drift from machine state. Matching fingerprints pin the bytes;
+    loadavg >~ 1 at start flags a contended run whose ratios should not
+    be compared against an idle-machine baseline (see BASELINE.md)."""
     scaled_dir = ensure_scaled_dir(base_sf_dir, mult, spark=spark)
+    load1, load5, _ = os.getloadavg()
     base = _point(spark, base_sf_dir)
     scaled = _point(spark, scaled_dir)
     return {
         "mult": mult,
+        "staged_fingerprint": content_fingerprint(scaled_dir),
+        "machine": {
+            "cpus": os.cpu_count(),
+            "loadavg_1m_at_start": round(load1, 2),
+            "loadavg_5m_at_start": round(load5, 2),
+        },
         "subset": VOLUME_SUBSET,
         "sf_base": base,
         "sf_scaled": scaled,
@@ -202,13 +236,25 @@ def main() -> None:
     from lens_warehouse_spark.session import get_spark
 
     spark = get_spark("volume_bench")
-    # warm plans at the smallest SF (JIT + codegen outside timed region)
-    for name in VOLUME_SUBSET:
-        try:
-            registry.QUERIES[name](spark, "/root/testdata/sf0.001").count()
-        except Exception:  # noqa: BLE001 - warmup is best-effort
-            pass
-    print(json.dumps(volume_scaling_report(spark, base_sf_dir, mult)))
+    # warm plans at the smallest SF (JIT + codegen outside timed region).
+    # Two passes, matching bench.py: one compile pass is not enough for
+    # the JIT to reach steady state on the widest plans — single-pass
+    # warmup measured the same code up to 1.8x slower run-to-run, which
+    # is exactly the cross-session spread this artifact exists to kill.
+    for _pass in range(2):
+        for name in VOLUME_SUBSET:
+            try:
+                registry.QUERIES[name](spark, "/root/testdata/sf0.001").count()
+            except Exception:  # noqa: BLE001 - warmup is best-effort
+                pass
+    report = volume_scaling_report(spark, base_sf_dir, mult)
+    out_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        f"VOLUME_{mult}x.json",
+    )
+    with open(out_path, "w") as fh:
+        json.dump(report, fh, indent=1)
+    print(json.dumps(report))
 
 
 if __name__ == "__main__":
