@@ -43,9 +43,21 @@ _ATOM_TYPES = {
     ),
     "lineitem": (LineitemAtom, {"returnflags", "min_quantity", "max_quantity"}),
 }
+# Field-level type contract (the reference validates in the Liberator
+# malformed? hook — bad payloads 400 at the wire, they never reach the
+# query engine): list-of-string fields, numeric bounds, ISO date strings.
+_LIST_FIELDS = {"segments", "priorities", "statuses", "returnflags"}
+_NUM_FIELDS = {
+    "min_balance", "max_balance", "min_total", "min_quantity", "max_quantity",
+}
+_DATE_FIELDS = {"date_from", "date_to"}
 
 
 def atom_from_json(obj: dict[str, Any]) -> Atom:
+    # Wire-facing parser contract: malformed payloads raise ValueError,
+    # never AttributeError/TypeError (fuzz-pinned in tests/test_wire.py)
+    if not isinstance(obj, dict):
+        raise ValueError(f"atom must be a JSON object, got {type(obj).__name__}")
     kind = obj.get("type")
     if kind not in _ATOM_TYPES:
         raise ValueError(f"unknown atom type {kind!r}; expected {sorted(_ATOM_TYPES)}")
@@ -56,12 +68,30 @@ def atom_from_json(obj: dict[str, Any]) -> Atom:
             continue
         if k not in allowed:
             raise ValueError(f"unknown field {k!r} for atom type {kind!r}")
-        kwargs[k] = tuple(v) if isinstance(v, list) else v
+        if k in _LIST_FIELDS:
+            if not isinstance(v, list) or not all(isinstance(x, str) for x in v):
+                raise ValueError(f"field {k!r} must be a list of strings")
+            kwargs[k] = tuple(v)
+        elif k in _NUM_FIELDS:
+            if isinstance(v, bool) or not isinstance(v, (int, float)):
+                raise ValueError(f"field {k!r} must be a number")
+            kwargs[k] = v
+        elif k in _DATE_FIELDS:
+            if not isinstance(v, str):
+                raise ValueError(f"field {k!r} must be a 'YYYY-MM-DD' string")
+            kwargs[k] = v
+        else:  # unreachable while allowed == union of the three sets
+            kwargs[k] = v
     return cls(**kwargs)
 
 
 def cohort_from_json(obj: dict[str, Any]) -> CohortQuery:
-    """Parse the JSON wire format into a CohortQuery (EP-1 malformed? hook)."""
+    """Parse the JSON wire format into a CohortQuery (EP-1 malformed? hook).
+
+    Malformed input of ANY shape raises ValueError — a wire endpoint
+    must map bad payloads to 400, not 500 (fuzz-pinned)."""
+    if not isinstance(obj, dict):
+        raise ValueError(f"cohort payload must be a JSON object, got {type(obj).__name__}")
     include = obj.get("include")
     if not include or not isinstance(include, list):
         raise ValueError("'include' must be a non-empty list of disjunctions")
@@ -70,8 +100,14 @@ def cohort_from_json(obj: dict[str, Any]) -> CohortQuery:
         if not d or not isinstance(d, list):
             raise ValueError("each disjunction must be a non-empty list of atoms")
         disjunctions.append(tuple(atom_from_json(a) for a in d))
-    exclusions = tuple(atom_from_json(a) for a in obj.get("exclude", []))
-    return CohortQuery(disjunctions=tuple(disjunctions), exclusions=exclusions)
+    exclude = obj.get("exclude", [])
+    if not isinstance(exclude, list):
+        raise ValueError("'exclude' must be a list of atoms")
+    exclusions = tuple(atom_from_json(a) for a in exclude)
+    try:
+        return CohortQuery(disjunctions=tuple(disjunctions), exclusions=exclusions)
+    except TypeError as exc:  # dataclass arity/shape errors -> 400, not 500
+        raise ValueError(f"malformed cohort query: {exc}") from None
 
 
 def hal_page(

@@ -316,3 +316,76 @@ def test_transit_two_char_cache_codes_roundtrip():
     encoded = json.dumps(_t_encode(doc, cache={}))
     assert '"^' in encoded  # second map really uses cache refs
     assert transit_parse(encoded) == doc
+
+
+# ---------------------------------------------------------------------------
+# Fuzz the JSON cohort parser with the same contract as the transit
+# decoder: arbitrary JSON-ish input either parses to a CohortQuery or
+# raises ValueError — never AttributeError/TypeError (a wire endpoint
+# maps ValueError to 400; anything else becomes a 500).
+# ---------------------------------------------------------------------------
+_json_scalar = (
+    hst.none()
+    | hst.booleans()
+    | hst.integers(min_value=-1000, max_value=1000)
+    | hst.floats(allow_nan=False, allow_infinity=False, width=32)
+    | hst.sampled_from(
+        ["order", "lineitem", "subject", "type", "include", "exclude",
+         "priorities", "min_balance", "1-URGENT", "R", "1996-01-01", ""]
+    )
+    | hst.text(max_size=8)
+)
+_json_tree = hst.recursive(
+    _json_scalar,
+    lambda inner: hst.lists(inner, max_size=3)
+    | hst.dictionaries(
+        hst.sampled_from(
+            ["type", "include", "exclude", "priorities", "statuses",
+             "returnflags", "segments", "min_balance", "max_balance",
+             "date_from", "date_to", "min_total", "min_quantity",
+             "max_quantity", "bogus"]
+        ),
+        inner,
+        max_size=4,
+    ),
+    max_leaves=20,
+)
+
+
+@settings(max_examples=400, deadline=None)
+@given(_json_tree)
+def test_cohort_from_json_fuzz_total(doc):
+    from lens_warehouse_spark.operators.cohort import CohortQuery
+    from lens_warehouse_spark.operators.wire import cohort_from_json
+
+    try:
+        q = cohort_from_json(doc)
+    except ValueError:
+        return
+    assert isinstance(q, CohortQuery)
+
+
+@pytest.mark.parametrize(
+    "bad_atom",
+    [
+        {"type": "order", "priorities": "1-URGENT"},      # scalar for list
+        {"type": "order", "priorities": [1, 2]},           # non-string items
+        {"type": "order", "min_total": "1000"},            # string for number
+        {"type": "order", "min_total": True},              # bool is not a number
+        {"type": "order", "date_from": 1996},              # number for date
+        {"type": "subject", "segments": {"a": 1}},         # dict for list
+        "not-an-object",                                    # atom not a dict
+    ],
+)
+def test_cohort_field_type_validation(bad_atom):
+    from lens_warehouse_spark.operators.wire import cohort_from_json
+
+    with pytest.raises(ValueError):
+        cohort_from_json({"include": [[bad_atom]]})
+
+
+def test_cohort_exclude_must_be_list():
+    from lens_warehouse_spark.operators.wire import cohort_from_json
+
+    with pytest.raises(ValueError):
+        cohort_from_json({"include": [[{"type": "order"}]], "exclude": "nope"})
