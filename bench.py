@@ -121,17 +121,22 @@ def main() -> None:
     # (BENCH_r04.json recorded parsed:null). The headline line must stay
     # compact and LAST.
     if os.environ.get("SPARK_GRAFT_VOLSCALE", "1") != "0":
+        vol_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "VOLUME.json"
+        )
         try:
+            # Remove any previous run's artifact FIRST: a stale
+            # VOLUME.json surviving a failed attempt is indistinguishable
+            # from fresh output.
+            if os.path.exists(vol_path):
+                os.remove(vol_path)
             from tools.volume_bench import volume_scaling_report
 
             volume_scaling = volume_scaling_report(spark, sf_dir, mult=10)
-            with open(
-                os.path.join(os.path.dirname(os.path.abspath(__file__)), "VOLUME.json"),
-                "w",
-            ) as fh:
+            with open(vol_path, "w") as fh:
                 json.dump(volume_scaling, fh, indent=1)
-        except Exception:  # noqa: BLE001 - the headline metric must survive
-            pass
+        except Exception as exc:  # noqa: BLE001 - headline metric must survive
+            print(f"volume_scaling failed: {exc!r}", file=sys.stderr)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:

@@ -88,9 +88,21 @@ def pin(key: str, df: DataFrame) -> DataFrame:
     from pyspark.storagelevel import StorageLevel
 
     if df.storageLevel != StorageLevel.NONE:
-        # identical plan already cached (it IS the previous pin's entry)
-        _PINNED[key] = df
-        return df
+        # The plan is already cached. Claim ownership ONLY if the entry
+        # is this key's own previous pin (same canonicalized plan) —
+        # adopting an entry another key/user owns would let a later
+        # swap under this key unpersist blocks the true owner still
+        # relies on.
+        prev = _PINNED.get(key)
+        try:
+            owned = prev is not None and prev._jdf.queryExecution().analyzed().sameResult(
+                df._jdf.queryExecution().analyzed()
+            )
+        except Exception:  # noqa: BLE001 - stale JVM handles
+            owned = False
+        if owned:
+            _PINNED[key] = df
+        return df  # either way: reuse the existing blocks
     prev = _PINNED.pop(key, None)
     if prev is not None:
         try:

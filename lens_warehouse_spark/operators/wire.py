@@ -59,7 +59,9 @@ def atom_from_json(obj: dict[str, Any]) -> Atom:
     if not isinstance(obj, dict):
         raise ValueError(f"atom must be a JSON object, got {type(obj).__name__}")
     kind = obj.get("type")
-    if kind not in _ATOM_TYPES:
+    # isinstance check first: an unhashable kind (list/dict) would make
+    # the membership test itself raise TypeError, escaping the contract
+    if not isinstance(kind, str) or kind not in _ATOM_TYPES:
         raise ValueError(f"unknown atom type {kind!r}; expected {sorted(_ATOM_TYPES)}")
     cls, allowed = _ATOM_TYPES[kind]
     kwargs = {}
@@ -68,6 +70,8 @@ def atom_from_json(obj: dict[str, Any]) -> Atom:
             continue
         if k not in allowed:
             raise ValueError(f"unknown field {k!r} for atom type {kind!r}")
+        if v is None:
+            continue  # explicit JSON null == field unset (pre-round-5 behavior)
         if k in _LIST_FIELDS:
             if not isinstance(v, list) or not all(isinstance(x, str) for x in v):
                 raise ValueError(f"field {k!r} must be a list of strings")
@@ -261,14 +265,22 @@ def _transit_decode(x, cache: list[str], as_map_key: bool = False):
             out = {}
             for i in range(1, len(x), 2):
                 k = _transit_decode(x[i], cache, as_map_key=True)
+                if isinstance(k, (list, dict)):
+                    # unhashable decoded key would TypeError out of the
+                    # malformed->ValueError contract (composite keys are
+                    # outside this decoder's declared subset anyway)
+                    raise ValueError("transit map key decodes to a non-scalar")
                 out[k] = _transit_decode(x[i + 1], cache)
             return out
         return [_transit_decode(v, cache) for v in x]
     if isinstance(x, dict):  # verbose mode
-        return {
-            _transit_decode(k, cache, as_map_key=True): _transit_decode(v, cache)
-            for k, v in x.items()
-        }
+        out = {}
+        for k, v in x.items():
+            dk = _transit_decode(k, cache, as_map_key=True)
+            if isinstance(dk, (list, dict)):
+                raise ValueError("transit map key decodes to a non-scalar")
+            out[dk] = _transit_decode(v, cache)
+        return out
     return x  # JSON scalar (int/float/bool/None)
 
 

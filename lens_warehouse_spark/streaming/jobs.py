@@ -616,9 +616,12 @@ def cdc_apply_stream(
     )
     try:
         q.awaitTermination(300)
-    except Exception:
-        if fail_after_batch is None:
-            raise  # only the injected crash is expected
+    except Exception as exc:
+        # Swallow ONLY the injected crash; a genuine failure in the same
+        # run (sink write error, corrupt staging, checkpoint init) must
+        # surface, not masquerade as the planned kill.
+        if fail_after_batch is None or "injected crash after batch" not in str(exc):
+            raise
     return (
         spark.read.parquet(data_dir)
         .filter(F.col("op") != "D")

@@ -230,9 +230,17 @@ def test_pin_lifecycle(spark):
     # SAME plan re-pinned -> existing blocks kept (bench best-of-3 path)
     a2 = pin("test.pin", spark.range(10))
     assert a.storageLevel.useMemory and a2.storageLevel.useMemory
+    # A cached plan pinned under a DIFFERENT key must not be adopted:
+    # swapping the foreign key later cannot unpersist our blocks.
+    c = pin("test.pin.other", spark.range(10))
+    assert c.storageLevel.useMemory
+    c2 = pin("test.pin.other", spark.range(30))  # swap the foreign key
+    c2.count()
+    assert a.storageLevel.useMemory  # our entry survived the foreign swap
     # DIFFERENT plan under the same key -> previous entry released
     b = pin("test.pin", spark.range(20))
     b.count()
     assert not a.storageLevel.useMemory  # previous pin released
     assert b.storageLevel.useMemory
     b.unpersist()
+    c2.unpersist()

@@ -389,3 +389,45 @@ def test_cohort_exclude_must_be_list():
 
     with pytest.raises(ValueError):
         cohort_from_json({"include": [[{"type": "order"}]], "exclude": "nope"})
+
+
+@pytest.mark.parametrize(
+    "bad",
+    [
+        '["^ ", ["a"], 1]',          # map-as-array key decodes to a list
+        '["^ ", ["^ "], 1]',         # ...or to a dict
+        '{"include": 1, "2": 2}',    # fine shape-wise; exercises verbose path
+    ],
+)
+def test_transit_nonscalar_map_keys(bad):
+    """Map keys that decode to lists/dicts must raise ValueError, never
+    TypeError: unhashable (self-review round 5)."""
+    from lens_warehouse_spark.operators.wire import transit_parse
+
+    if bad.startswith("{"):
+        assert transit_parse(bad) == {"include": 1, "2": 2}
+    else:
+        with pytest.raises(ValueError):
+            transit_parse(bad)
+
+
+def test_cohort_unhashable_type_field():
+    """'type' as a list/dict must ValueError, not TypeError on the
+    membership test (self-review round 5)."""
+    from lens_warehouse_spark.operators.wire import cohort_from_json
+
+    for kind in (["order"], {"t": 1}, 7, None):
+        with pytest.raises(ValueError):
+            cohort_from_json({"include": [[{"type": kind}]]})
+
+
+def test_cohort_explicit_null_fields_are_unset():
+    """Explicit JSON null for an optional field == omitting it (the
+    pre-validation wire behavior; common JSON-writer output)."""
+    from lens_warehouse_spark.operators.wire import cohort_from_json
+
+    a = cohort_from_json(
+        {"include": [[{"type": "order", "min_total": None, "priorities": None}]]}
+    )
+    b = cohort_from_json({"include": [[{"type": "order"}]]})
+    assert a == b

@@ -129,17 +129,22 @@ def ensure_scaled_dir(base_sf_dir: str, mult: int, spark=None) -> str:
 
 def content_fingerprint(sf_dir: str) -> str:
     """Deterministic content hash of the two volume-bearing tables —
-    order-insensitive (sum-of-row-hashes), so it is stable across file
-    layouts and write parallelism. Two sessions reporting the same
-    fingerprint measured the SAME bytes; a ratio spread between them is
-    machine state, not data (the round-4 0.38x-vs-0.72x question)."""
+    order-insensitive (mod-2^64 sum of row hashes), so it is stable
+    across file layouts and write parallelism but still duplicate-
+    SENSITIVE (bit_xor was not: rows duplicated an even number of times
+    cancel out, so a double-write staging bug would fingerprint clean).
+    Two sessions reporting the same fingerprint measured the SAME
+    bytes; a ratio spread between them is machine state, not data (the
+    round-4 0.38x-vs-0.72x question)."""
     con = duckdb.connect()
     parts = []
     for t in ("documents", "events"):
         path = os.path.join(sf_dir, f"{t}.parquet")
         src = f"{path}/*.parquet" if os.path.isdir(path) else path
         row = con.execute(
-            "SELECT count(*) AS n, to_hex(bit_xor(hash(t::VARCHAR))) AS h "
+            "SELECT count(*) AS n, "
+            "to_hex(CAST(sum(hash(t::VARCHAR)::HUGEINT) % 18446744073709551616 "
+            "AS UBIGINT)) AS h "
             f"FROM read_parquet('{src}') t"
         ).fetchone()
         parts.append(f"{t}:n={row[0]}:h={row[1]}")
