@@ -431,3 +431,19 @@ def test_cohort_explicit_null_fields_are_unset():
     )
     b = cohort_from_json({"include": [[{"type": "order"}]]})
     assert a == b
+
+
+@settings(max_examples=300, deadline=None)
+@given(_json_tree)
+def test_transit_total_on_arbitrary_json(doc):
+    """transit_parse over ARBITRARY JSON (not just writer output) either
+    decodes or raises ValueError — totality twin of the cohort fuzz.
+    Run at 5000 examples in the round-5 deep sweep: clean."""
+    import json
+
+    from lens_warehouse_spark.operators.wire import transit_parse
+
+    try:
+        transit_parse(json.dumps(doc))
+    except ValueError:
+        pass

@@ -218,6 +218,74 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         ("vocab-sized partial aggregation for df", "HashAggregate"),
         ("no row-at-a-time python", "!BatchEvalPython"),
     ],
+    # --- round-5 breadth: scale-critical plans previously unaudited ---
+    "j8_asof_latest_event": [
+        ("as-of rank predicate pushed into the window", "WindowGroupLimit"),
+        ("as-of cutoff pushed to scan", "LessThanOrEqual(ts"),
+        ("no cartesian", "!CartesianProduct"),
+    ],
+    "o5_top_k_per_group": [
+        ("per-group top-k pushed into the window", "WindowGroupLimit"),
+        ("dim side broadcast", "BroadcastHashJoin"),
+        ("no distinct-agg expand", "!Expand"),
+    ],
+    "w1_ranking": [
+        ("window partitioned per brand, not global", "windowspecdefinition(p_brand"),
+        ("no row-at-a-time python", "!BatchEvalPython"),
+    ],
+    "j7b_range_join": [
+        ("binned rewrite yields an equi join", "BroadcastHashJoin"),
+        ("no cartesian", "!CartesianProduct"),
+        ("no nested loop", "!BroadcastNestedLoopJoin"),
+    ],
+    "j9_cross_join": [
+        ("guarded cross joins via broadcast NLJ, small side broadcast", "BroadcastNestedLoop"),
+        ("never a shuffled cartesian", "!CartesianProduct"),
+    ],
+    "p9_correlated_subquery": [
+        ("subquery decorrelated to an equi join", "BroadcastHashJoin"),
+        ("no per-row re-execution shape", "!BroadcastNestedLoopJoin"),
+    ],
+    "l12_chunking": [
+        ("chunks from one exploded sequence", "Generate"),
+        ("no row-at-a-time python", "!BatchEvalPython"),
+    ],
+    "l11_deterministic_sample": [
+        ("md5 bucket filter evaluated natively", "!BatchEvalPython"),
+        ("scan pruned by pushdown", "PushedFilters: [IsNotNull(doc_id)"),
+    ],
+    "g4_kanon_cells": [
+        ("cell counts partially aggregated", "HashAggregate"),
+        ("geohash bit arithmetic stays native", "!BatchEvalPython"),
+    ],
+    "q18_large_orders": [
+        ("top-k, not full sort", "TakeOrderedAndProject"),
+        ("dims broadcast", "BroadcastHashJoin"),
+    ],
+    "u5_cohort_count_naive": [
+        ("atom predicates pushed to scans", "In(o_orderpriority"),
+        ("hash aggregation", "HashAggregate"),
+    ],
+    "t11_gap_fill": [
+        ("calendar from exploded sequence", "Generate"),
+        ("grid joined broadcast", "BroadcastHashJoin"),
+        ("time bounds pushed to scan", "GreaterThanOrEqual(ts"),
+    ],
+    "t14_retention_matrix": [
+        ("cohort self-join broadcast at this SF", "BroadcastHashJoin"),
+        ("no cartesian", "!CartesianProduct"),
+    ],
+    "s13_incremental_mv": [
+        ("base+delta merge is a key join (SMJ: both sides large at scale)", "SortMergeJoin"),
+        ("partial aggregation", "HashAggregate"),
+    ],
+    "x1_python_udf": [
+        ("deliberate row-at-a-time demo IS BatchEvalPython", "BatchEvalPython"),
+    ],
+    "x6_arrow_udf": [
+        ("arrow-vectorized eval", "ArrowEvalPython"),
+        ("not row-at-a-time", "!BatchEvalPython"),
+    ],
     "s15_dynamic_partition_pruning": [
         ("dim filter injected into the fact scan at runtime", "dynamicpruning"),
         ("dim side broadcast", "BroadcastHashJoin"),
