@@ -1044,3 +1044,53 @@ def l38_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_tokens",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# L39: weighted reservoir sampling — Efraimidis-Spirakis A-ES, the
+# standard "sample k docs with probability proportional to weight"
+# primitive for corpus mixing (weight = document length here, the usual
+# token-budget proxy). Each row gets key = ln(u)/w with u a
+# DETERMINISTIC uniform in (0,1] derived from md5(doc_id) — equivalent
+# to the textbook u^(1/w) order (ln is monotone; /w flips magnitude
+# exactly like the exponent) but numerically tame for 60-bit u. The
+# sample is the top-k by key.
+#
+# Scale shape: one map-only projection then TakeOrderedAndProject —
+# no shuffle of the corpus, no window, k rows to the driver. At 100 TB
+# this is exactly the plan you want (per-partition top-k, merged).
+#
+# Rows-only BY DESIGN: the k-th selection boundary compares ln()
+# outputs, and libm ulp drift between DuckDB and the JVM can flip a
+# boundary row (ROADMAP: "float pow selection boundaries are not
+# oracle-safe"). Exact invariants are pinned in
+# tests/test_weighted_sample.py instead: determinism, weight-scaling
+# invariance (selection is unchanged under w -> c*w), monotone
+# dominance (raising a selected doc's weight keeps it selected), and
+# the equal-weights degeneration to the pure-u top-k.
+# Reference has no sampling at all [P src/lens/handler.clj — browse
+# only]; NS training-pipeline extension.
+# ---------------------------------------------------------------------------
+_L39_K = 200
+
+
+def weighted_sample_keys(docs: DataFrame, weight_col: str = "n_chars") -> DataFrame:
+    """(doc_id, weight, es_key) for every doc — A-ES key material."""
+    # 60-bit uniform from the md5 of the doc id: (m+1)/2^60 in (0,1].
+    m = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+    u = (m.cast("double") + F.lit(1.0)) / F.lit(float(1 << 60))
+    return docs.select(
+        "doc_id",
+        F.col(weight_col).cast("double").alias("weight"),
+        (F.log(u) / F.col(weight_col)).alias("es_key"),
+    )
+
+
+@register("l39_weighted_sample")
+def l39_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    keys = weighted_sample_keys(table(spark, sf_dir, "documents"))
+    return (
+        keys.orderBy(F.col("es_key").desc(), "doc_id")
+        .limit(_L39_K)
+        .select("doc_id", F.col("weight").cast("long").alias("weight"))
+    )
