@@ -6,9 +6,12 @@ Pretraining-corpus dedup at 100 TB is the motivating workload:
 - Exact dedup is a hash-groupBy — one shuffle on a 256-bit content hash,
   keep-first by a deterministic tiebreak.
 - MinHash-LSH turns the quadratic all-pairs problem into
-  band-bucket joins: k seeded xxhash64 minima per document, banded so
-  that documents sharing any band bucket become candidate pairs, then
-  candidates are verified with exact Jaccard. Everything is built from
+  band-bucket joins: k seeded xxhash64 minima per document over 3-token
+  shingles, banded so that documents sharing any band bucket become
+  candidate pairs, then candidates are verified with exact Jaccard over
+  the SAME shingle sets (sketch and verify must share one measure or
+  the S-curve guarantee breaks; the unigram token-set measure belongs
+  to the l2b/l2g exact baselines). Everything is built from
   higher-order array functions (transform / array_min / slice) — no
   Python UDF, so the whole pipeline stays in whole-stage codegen.
 - SimHash packs 64 per-bit majority votes over token hashes into one
@@ -27,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from lens_warehouse_spark.catalog import table
+from lens_warehouse_spark.operators._helpers import pin
 from lens_warehouse_spark.registry import register
 
 N_HASHES = 16  # minhash signature length
@@ -100,6 +104,18 @@ def l1b_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _shingle_expr(tok_col: str = "__t") -> str:
+    """SQL expression producing the 3-token shingle array of a token
+    array column. Single source of truth: the minhash sketch and the
+    exact-Jaccard verify step MUST measure the same sets, or the LSH
+    S-curve guarantee silently breaks (the sketch would approximate one
+    similarity while the threshold filter tests another)."""
+    return (
+        f"transform(sequence(1, greatest(size({tok_col}) - 2, 1)),"
+        f" i -> concat_ws(' ', slice({tok_col}, i, 3)))"
+    )
+
+
 def minhash_signatures(
     df: DataFrame, text_col: str = "text", n_hashes: int = N_HASHES
 ) -> DataFrame:
@@ -116,11 +132,7 @@ def minhash_signatures(
     # hoist split() into a column so tokenization runs once per row,
     # not once per shingle inside the higher-order expression
     toks = df.select("doc_id", F.split(text_col, " ").alias("__t"))
-    shingles = (
-        "transform(sequence(1, greatest(size(__t) - 2, 1)),"
-        " i -> concat_ws(' ', slice(__t, i, 3)))"
-    )
-    exploded = toks.select("doc_id", F.explode(F.expr(shingles)).alias("__s"))
+    exploded = toks.select("doc_id", F.explode(F.expr(_shingle_expr())).alias("__s"))
     aggs = [
         F.min(F.xxhash64(F.lit(seed), F.col("__s"))).alias(f"__h{seed}")
         for seed in range(n_hashes)
@@ -187,9 +199,11 @@ def lsh_candidate_pairs(
     (band_id, band_hash), so only documents agreeing on a full band
     co-locate; the shuffle is O(n_docs * n_bands), never O(n^2).
     """
-    sigs = sigs.persist()  # signature relation feeds both sides of the
-    # band self-join; without this Spark recomputes the minhash
-    # expression tree (16 x shingle hashing) twice.
+    # The signature relation feeds both sides of the band self-join;
+    # unpinned, Spark recomputes the minhash expression tree (16 x
+    # shingle hashing) twice. pin() scopes residency to one relation
+    # per call site instead of leaking a cached copy per invocation.
+    sigs = pin("dedup.lsh_sigs", sigs)
     banded = band_projection(sigs, id_col, n_bands, n_hashes)
     a = banded.alias("a")
     b = banded.alias("b")
@@ -207,19 +221,56 @@ def lsh_candidate_pairs(
     )
 
 
-def jaccard(df: DataFrame, docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Verify candidate pairs with exact token-set Jaccard."""
-    toks = docs.select(
-        F.col(id_col), F.array_distinct(F.split("text", " ")).alias("toks")
+def jaccard(
+    df: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    measure: str = "tokens",
+) -> DataFrame:
+    """Verify candidate pairs with exact set Jaccard.
+
+    ``measure='tokens'`` compares distinct unigram token sets (the
+    measure of the l2b/l2g exact baselines); ``measure='shingles'``
+    compares distinct 3-token shingle sets — the measure the minhash
+    sketch actually approximates. LSH pipelines MUST verify on
+    'shingles': a threshold filter applied to a different measure than
+    the sketch voids the S-curve recall guarantee (e.g. two docs with
+    identical token sets in different order have token Jaccard 1.0 but
+    near-disjoint shingle sets, so no band ever collides)."""
+    if measure == "tokens":
+        def set_expr(text_col: str) -> Column:
+            return F.array_distinct(F.split(text_col, " "))
+    elif measure == "shingles":
+        # Compare HASHED shingle sets (array<bigint>): set Jaccard is
+        # identical up to 64-bit hash collisions (P ~ n^2/2^64,
+        # negligible), and intersect/union over longs beats 3-token
+        # strings.
+        def set_expr(text_col: str) -> Column:
+            shingles = _shingle_expr(f"split({text_col}, ' ')")
+            return F.array_distinct(
+                F.expr(f"transform({shingles}, s -> xxhash64(s))")
+            )
+    else:  # pragma: no cover - programmer error
+        raise ValueError(f"unknown jaccard measure: {measure!r}")
+    # Join candidate pairs to raw TEXT first, build the sets inline per
+    # candidate row. Candidates ≪ corpus (that is the point of LSH), so
+    # evaluating the interpreted higher-order shingle expression only on
+    # candidate rows beats precomputing sets for every document on both
+    # join sides (measured at sf0.1: l2 2.0 s -> 1.1 s); a document
+    # appearing in k candidate pairs recomputes its set k times, bounded
+    # by the band count.
+    a = docs.select(F.col(id_col).alias("doc_a"), F.col("text").alias("__text_a"))
+    b = docs.select(F.col(id_col).alias("doc_b"), F.col("text").alias("__text_b"))
+    joined = df.join(a, "doc_a").join(b, "doc_b").select(
+        "doc_a",
+        "doc_b",
+        set_expr("__text_a").alias("toks_a"),
+        set_expr("__text_b").alias("toks_b"),
     )
-    a = toks.select(F.col(id_col).alias("doc_a"), F.col("toks").alias("toks_a"))
-    b = toks.select(F.col(id_col).alias("doc_b"), F.col("toks").alias("toks_b"))
     inter = F.size(F.array_intersect("toks_a", "toks_b")).cast("double")
     union = F.size(F.array_union("toks_a", "toks_b")).cast("double")
-    return (
-        df.join(a, "doc_a")
-        .join(b, "doc_b")
-        .select("doc_a", "doc_b", F.round(inter / union, 6).alias("jaccard"))
+    return joined.select(
+        "doc_a", "doc_b", F.round(inter / union, 6).alias("jaccard")
     )
 
 
@@ -232,7 +283,7 @@ def l2_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = minhash_signatures(docs).select("doc_id", "sig")
     pairs = lsh_candidate_pairs(sigs)
     return (
-        jaccard(pairs, docs)
+        jaccard(pairs, docs, measure="shingles")
         .filter(F.col("jaccard") >= 0.7)
         .orderBy("doc_a", "doc_b")
     )
@@ -248,7 +299,7 @@ def minhash_neardup(
     sigs = minhash_signatures(docs, n_hashes=n_hashes).select("doc_id", "sig")
     pairs = lsh_candidate_pairs(sigs, n_bands=n_bands, n_hashes=n_hashes)
     return (
-        jaccard(pairs, docs)
+        jaccard(pairs, docs, measure="shingles")
         .filter(F.col("jaccard") >= threshold)
         .orderBy("doc_a", "doc_b")
     )
@@ -262,8 +313,11 @@ def l2f_minhash_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# L2b: exact n-gram Jaccard over all shared-token pairs (the oracle-able
-# quadratic baseline LSH approximates). Filter >= 0.5 keeps output small.
+# L2b: exact unigram token-set Jaccard over all shared-token pairs —
+# the oracle-able quadratic baseline. Note the measure: token sets here
+# (SQL-expressible for the oracle), 3-token shingle sets in the LSH
+# pipeline (l2/l2f verify on the measure their sketch approximates).
+# Filter >= 0.5 keeps output small.
 # ---------------------------------------------------------------------------
 @register(
     "l2b_jaccard_exact",
@@ -354,9 +408,12 @@ def l2c_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # "keep one per cluster" step).
 #
 # Scale shape: each iteration is one groupBy(doc) min(label) over the
-# edge list; components with diameter d converge in O(log d) doubled
-# iterations. localCheckpoint() truncates lineage so plans don't grow
+# edge list plus one pointer-jumping self-join, so components with
+# diameter d converge in O(log d) iterations (verified by the 40-node
+# chain test). localCheckpoint() truncates lineage so plans don't grow
 # exponentially — the standard Spark iterative-algorithm discipline.
+# Non-convergence within max_iters raises instead of returning split
+# clusters silently.
 # ---------------------------------------------------------------------------
 def neardup_components(
     pairs: DataFrame, ids: DataFrame, max_iters: int = 10
@@ -377,21 +434,33 @@ def neardup_components(
     labels = ids.select(
         F.col("doc_id"), F.col("doc_id").alias("canonical_id")
     ).localCheckpoint()
+    changed = -1
     for _ in range(max_iters):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.doc_id)
             .groupBy(F.col("src").alias("doc_id"))
             .agg(F.min("canonical_id").alias("nb_min"))
         )
+        propagated = labels.join(neighbor_min, "doc_id", "left").select(
+            "doc_id",
+            F.least(
+                F.col("canonical_id"),
+                F.coalesce("nb_min", F.col("canonical_id")),
+            ).alias("canonical_id"),
+        )
+        # Pointer-jumping: replace each label by its label's label.
+        # One-hop propagation alone needs diameter-many iterations (a
+        # 12-doc chain would NOT converge in 10); the extra self-join
+        # halves the remaining path length every pass, so convergence
+        # is O(log diameter) — 10 iterations covers diameter ~2^10.
+        # Labels are always doc_ids drawn from ``ids``, so the inner
+        # join below never drops rows.
+        hop = propagated.select(
+            F.col("doc_id").alias("mid"), F.col("canonical_id").alias("root")
+        )
         updated = (
-            labels.join(neighbor_min, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("canonical_id"),
-                    F.coalesce("nb_min", F.col("canonical_id")),
-                ).alias("canonical_id"),
-            )
+            propagated.join(hop, propagated.canonical_id == hop.mid)
+            .select("doc_id", F.col("root").alias("canonical_id"))
             .localCheckpoint()
         )
         changed = (
@@ -406,6 +475,13 @@ def neardup_components(
         if changed == 0:
             break
     edges.unpersist()
+    if changed != 0:
+        # Never return silently-wrong components: a label still moving
+        # after max_iters means some cluster has not converged.
+        raise RuntimeError(
+            f"neardup_components did not converge in {max_iters} iterations "
+            f"({changed} labels still changing); raise max_iters"
+        )
     return labels
 
 
@@ -416,7 +492,7 @@ def l2e_neardup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     sigs = minhash_signatures(docs).select("doc_id", "sig")
     pairs = (
-        jaccard(lsh_candidate_pairs(sigs), docs)
+        jaccard(lsh_candidate_pairs(sigs), docs, measure="shingles")
         .filter(F.col("jaccard") >= 0.7)
         .select("doc_a", "doc_b")
     )
@@ -640,7 +716,7 @@ def l33_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     sigs = minhash_signatures(docs).select("doc_id", "sig")
     pairs = (
-        jaccard(lsh_candidate_pairs(sigs), docs)
+        jaccard(lsh_candidate_pairs(sigs), docs, measure="shingles")
         .filter(F.col("jaccard") >= 0.7)
         .select("doc_a", "doc_b")
     )

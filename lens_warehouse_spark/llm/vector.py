@@ -22,6 +22,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from lens_warehouse_spark.catalog import table
+from lens_warehouse_spark.operators._helpers import pin
 from lens_warehouse_spark.registry import register
 
 # Spark-side exact double dot product of two array<float> columns.
@@ -248,8 +249,15 @@ def l3d_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # L2d: embedding-cosine near-duplicate detection — pairs above a high
-# cosine threshold. Exact formulation (oracle-able); at 100 TB the same
-# verify runs on LSH-bucketed candidates (l3c) instead of all pairs.
+# cosine threshold. Exact quadratic formulation (oracle-able), so like
+# l2b the corpus is BOUNDED (vec_id < 2000): the broadcast side must
+# stay under the 8 GB broadcast limit at any SF, and an unbounded
+# all-pairs join is never the 100 TB path anyway — at scale the same
+# verify runs on LSH-bucketed (l3c) or IVF-cell-bounded (l29)
+# candidates instead of all pairs. The threshold compares the ROUNDED
+# cosine (round 6), matching l29/_cell_bounded_dedup's discipline:
+# comparing unrounded float sums across engines is a boundary coin
+# flip.
 # ---------------------------------------------------------------------------
 @register(
     "l2d_embedding_neardup",
@@ -257,19 +265,24 @@ def l3d_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        round({_DOT_SQL.format(a='a.embedding', b='b.embedding')}, 6) AS cos
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE {_DOT_SQL.format(a='a.embedding', b='b.embedding')} >= 0.45
+WHERE a.vec_id < 2000 AND b.vec_id < 2000
+  AND round({_DOT_SQL.format(a='a.embedding', b='b.embedding')}, 6) >= 0.45
 ORDER BY vec_a, vec_b
 """,
 )
 def l2d_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    emb = (
+        table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 2000)  # bounded quadratic baseline
+        .select("vec_id", "embedding")
+    )
     a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
     b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
-    d = dot("ea", "eb")
+    d = F.round(dot("ea", "eb"), 6)
     return (
         a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
         .filter(d >= 0.45)
-        .select("vec_a", "vec_b", F.round(d, 6).alias("cos"))
+        .select("vec_a", "vec_b", d.alias("cos"))
         .orderBy("vec_a", "vec_b")
     )
 
@@ -336,7 +349,7 @@ def l3e_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     codebook = emb.filter(F.col("vec_id") < N_CELLS).select(
         F.col("vec_id").alias("cell_id"), F.col("embedding").alias("centroid")
     )
-    assigned = _ivf_assign(emb, codebook).persist()
+    assigned = pin("l3e.ivf_assigned", _ivf_assign(emb, codebook))
     probes = assigned.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
@@ -432,7 +445,7 @@ def l3f_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     l3e, better cells. Rows-only (float centroid means)."""
     emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     codebook = train_codebook(emb, k=N_CELLS, iters=3)
-    assigned = _ivf_assign(emb, codebook).persist()
+    assigned = pin("l3f.ivf_assigned", _ivf_assign(emb, codebook))
     probes = assigned.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
@@ -489,14 +502,17 @@ def l3g_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = emb.filter(F.col("vec_id") >= 5).select(
         F.col("vec_id").alias("neighbor_id"), "embedding", "bucket"
     )
-    scored = (
-        cand.join(F.broadcast(q), F.col("bucket") == F.col("q_bucket"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(dot("q_emb", "embedding"), 6).alias("cos"),
-        )
-        .distinct()  # a neighbor can collide on several probes
+    # No dedup needed: a candidate carries exactly ONE bucket value and
+    # a query's probe buckets (bucket, bucket^1, ..., bucket^2^(p-1))
+    # are pairwise distinct, so each (query, neighbor) pair matches at
+    # most one probe row — a distinct() here would add a full
+    # shuffle+dedup of the scored set for no behavioral effect.
+    scored = cand.join(
+        F.broadcast(q), F.col("bucket") == F.col("q_bucket")
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.round(dot("q_emb", "embedding"), 6).alias("cos"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), "neighbor_id")
     return (
@@ -653,7 +669,11 @@ def l3i_ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(dot("embedding", "centroid"), 6).alias("aff"),
     )
     w = Window.partitionBy("vec_id").orderBy(F.col("aff").desc(), "cell_id")
-    ranked = scored.withColumn("rn", F.row_number().over(w))
+    # ranked feeds BOTH the probes and cands branches below; Catalyst
+    # does not reuse the differently-pruned window subtrees, so without
+    # the pin the corpus x codebook cross-score + row_number window
+    # would execute twice per invocation.
+    ranked = pin("l3i.ranked", scored.withColumn("rn", F.row_number().over(w)))
     probes = ranked.filter((F.col("vec_id") < 5) & (F.col("rn") <= 2)).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
@@ -865,7 +885,7 @@ def l29_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     codebook = emb.filter(F.col("vec_id") < N_CELLS).select(
         F.col("vec_id").alias("cell_id"), F.col("embedding").alias("centroid")
     )
-    assigned = _ivf_assign(emb, codebook).persist()
+    assigned = pin("l29.ivf_assigned", _ivf_assign(emb, codebook))
     return _cell_bounded_dedup(assigned)
 
 
@@ -883,7 +903,7 @@ def l29_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def l29b_semantic_dedup_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     codebook = train_codebook(emb, k=N_CELLS, iters=3)
-    assigned = _ivf_assign(emb, codebook).persist()
+    assigned = pin("l29b.ivf_assigned", _ivf_assign(emb, codebook))
     return _cell_bounded_dedup(assigned)
 
 
@@ -1180,7 +1200,11 @@ def l35_pagerank_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     codebook = emb.filter(F.col("vec_id") < N_CELLS).select(
         F.col("vec_id").alias("cell_id"), F.col("embedding").alias("centroid")
     )
-    assigned = _ivf_assign(emb, codebook)
+    # assigned feeds knn_edges (BOTH sides of its self-join), the node
+    # universe re-evaluated inside every eager pagerank checkpoint, and
+    # the final join — unpinned, the corpus x codebook assignment would
+    # recompute ~(iters + 3) times per invocation.
+    assigned = pin("l35.ivf_assigned", _ivf_assign(emb, codebook))
     edges = knn_edges(assigned)
     ranks = pagerank(edges, assigned.select("vec_id"))
     w = Window.partitionBy("cell_id").orderBy(F.col("rank").desc(), "vec_id")

@@ -877,7 +877,7 @@ def t18_stream_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFram
     q.awaitTermination(600)
     docs = table(spark, sf_dir, "documents")
     result = (
-        jaccard(spark.read.parquet(pairs_dir).distinct(), docs)
+        jaccard(spark.read.parquet(pairs_dir).distinct(), docs, measure="shingles")
         .filter(F.col("jaccard") >= 0.7)
         .orderBy("doc_a", "doc_b")
         .localCheckpoint(eager=True)  # pin before the run dir vanishes

@@ -109,6 +109,38 @@ def test_connected_components_chain_and_singletons(spark):
     assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 21}
 
 
+def test_connected_components_deep_chain_converges(spark):
+    """A 40-node chain (diameter 39) must fully converge well inside
+    max_iters=10 — pointer-jumping makes convergence O(log d); plain
+    one-hop propagation would need 39 iterations and silently return a
+    split cluster."""
+    from lens_warehouse_spark.llm.dedup import neardup_components
+
+    n = 40
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    ids = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    out = {r.doc_id: r.canonical_id for r in neardup_components(pairs, ids).collect()}
+    assert out == {i: 0 for i in range(n)}
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    """max_iters too small for the graph must raise, never return
+    silently-wrong components."""
+    import pytest as _pytest
+
+    from lens_warehouse_spark.llm.dedup import neardup_components
+
+    n = 12
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    ids = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        neardup_components(pairs, ids, max_iters=1)
+
+
 def test_deterministic_sample_rate_is_close(spark):
     """md5-bucket sampling hits the requested rate within binomial noise."""
     from lens_warehouse_spark import registry
