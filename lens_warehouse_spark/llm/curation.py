@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from lens_warehouse_spark.catalog import table, table_rows
+from lens_warehouse_spark.operators._helpers import md5_bucket
 from lens_warehouse_spark.registry import register
 
 GRAM_N = 5  # decontamination n-gram length (words)
@@ -31,16 +32,26 @@ _BENCH_MOD = 97  # stand-in eval set: doc_id % 97 == 0
 
 
 def _grams_expr(n: int) -> str:
-    """Spark SQL: word n-grams of the pre-split token array ``__t``."""
+    """Spark SQL: word n-grams of the pre-split token array ``__t``.
+
+    The sequence upper bound clamps to 1, NOT 0: Spark's
+    sequence(1, 0) silently produces the DESCENDING array [1, 0] and
+    slice(__t, 0, n) is a runtime error, so a single short document
+    would abort the whole query. Callers must pair this with a
+    ``size(__t) >= n`` filter (repetition_stats' defensive form) so
+    short documents emit no grams, matching the oracles'
+    range(1, greatest(...)+1) which emits nothing for them."""
     return (
-        f"transform(sequence(1, greatest(size(__t) - {n - 1}, 0)),"
+        f"transform(sequence(1, greatest(size(__t) - {n - 1}, 1)),"
         f" i -> concat_ws(' ', slice(__t, i, {n})))"
     )
 
 
 def word_ngrams(df: DataFrame, n: int, text_col: str = "text") -> DataFrame:
     """(doc_id, gram) pairs; documents shorter than n words emit none."""
-    toks = df.select("doc_id", F.split(text_col, " ").alias("__t"))
+    toks = df.select("doc_id", F.split(text_col, " ").alias("__t")).filter(
+        F.size("__t") >= n
+    )
     return toks.select("doc_id", F.explode(F.expr(_grams_expr(n))).alias("gram"))
 
 
@@ -233,9 +244,14 @@ def l19_scalar_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = vals.groupBy("dim").agg(
         F.min("val").alias("mn"), F.max("val").alias("mx")
     )
+    # nullif guard: a constant dimension (mx == mn) must quantize to
+    # NULL like the oracle (DuckDB double-div-by-zero yields NULL),
+    # not throw DIVIDE_BY_ZERO under Spark's ANSI mode.
     q = (
         F.floor(
-            (F.col("val") - F.col("mn")) * F.lit(255.0) / (F.col("mx") - F.col("mn"))
+            (F.col("val") - F.col("mn"))
+            * F.lit(255.0)
+            / F.nullif(F.col("mx") - F.col("mn"), F.lit(0.0))
         ).cast("int")
         - 128
     )
@@ -312,10 +328,12 @@ def l19b_quantized_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     quant = emb.crossJoin(F.broadcast(arrs)).select(
         "vec_id",
         F.expr(
+            # nullif: constant dims quantize to NULL (see l19's guard)
             "transform(sequence(1, 64),"
             " i -> CAST(floor((CAST(element_at(embedding, i) AS DOUBLE)"
             "                  - element_at(mns, i)) * 255.0D"
-            "                 / (element_at(mxs, i) - element_at(mns, i))) AS BIGINT)"
+            "                 / nullif(element_at(mxs, i) - element_at(mns, i), 0.0D))"
+            "       AS BIGINT)"
             "      - 128)"
         ).alias("q"),
     )
@@ -453,9 +471,7 @@ def l20_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
         .distinct()
     )
-    bucket = F.conv(
-        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
-    ).cast("int")
+    bucket = md5_bucket(F.col("doc_id"))
     return (
         docs.join(keep, "doc_id", "left_semi")
         .join(repetitive, "doc_id", "left_anti")
@@ -527,16 +543,25 @@ def l21_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = table(spark, sf_dir, "documents").select(
         "doc_id", F.split("text", " ").alias("t")
     )
-    big = toks.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "transform(sequence(1, greatest(size(t) - 1, 0)),"
-                " i -> struct(element_at(t, i) AS w1,"
-                " concat(element_at(t, i), ' ', element_at(t, i + 1)) AS gram))"
-            )
-        ).alias("bg"),
-    ).select("doc_id", "bg.w1", "bg.gram")
+    # size >= 2 filter + clamp-to-1: sequence(1, 0) goes DESCENDING
+    # ([1, 0]) and element_at(t, 0) / element_at(t, 2) on a 1-element
+    # array are runtime errors under ANSI, so one no-space document
+    # would abort the whole query; the oracle's range() emits nothing
+    # for such docs.
+    big = (
+        toks.filter(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, greatest(size(t) - 1, 1)),"
+                    " i -> struct(element_at(t, i) AS w1,"
+                    " concat(element_at(t, i), ' ', element_at(t, i + 1)) AS gram))"
+                )
+            ).alias("bg"),
+        )
+        .select("doc_id", "bg.w1", "bg.gram")
+    )
     uni = (
         toks.select(F.explode("t").alias("w"))
         .groupBy("w")

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from lens_warehouse_spark.catalog import table
+from lens_warehouse_spark.operators._helpers import md5_bucket
 from lens_warehouse_spark.registry import register
 
 def _toks():
@@ -161,10 +162,14 @@ LIMIT 20
 )
 def l7b_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").select("doc_id", _toks().alias("l"))
-    bigrams = docs.select(
+    # size >= 2 filter + clamp-to-1: sequence(1, 0) goes DESCENDING
+    # ([1, 0]) and slice(l, 0, 2) is a runtime error, so one no-space
+    # document would abort the query (and the i=1 element would count a
+    # lone token as a "bigram" where the oracle's lead() emits NULL).
+    bigrams = docs.filter(F.size("l") >= 2).select(
         F.explode(
             F.expr(
-                "transform(sequence(1, greatest(size(l) - 1, 0)),"
+                "transform(sequence(1, greatest(size(l) - 1, 1)),"
                 " i -> concat_ws(' ', slice(l, i, 2)))"
             )
         ).alias("bigram")
@@ -192,6 +197,7 @@ WITH tok AS (
 ), w AS (
   SELECT d.lang AS wl, token AS wt, count(*) AS cnt
   FROM tok JOIN documents d USING (doc_id)
+  WHERE d.lang IS NOT NULL  -- NULL lang carries no training signal (matches Spark side)
   GROUP BY 1, 2
 ), scores AS (
   SELECT t.doc_id, w.wl AS cand, CAST(sum(w.cnt) AS BIGINT) AS score
@@ -245,9 +251,26 @@ def l9_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         r["lang"]
         for r in docs.select("lang").filter(F.col("lang").isNotNull()).distinct().collect()
     )
+    if not langs:
+        # No labeled training data at all: no predictions (the oracle's
+        # trained-weights CTE is empty, so its join emits nothing).
+        return docs.select(
+            "doc_id",
+            F.lit(None).cast("string").alias("pred_lang"),
+            F.col("lang").alias("true_lang"),
+        ).limit(0)
     lcol = [F.col(f"`{lang}`") for lang in langs]
     tok = docs.select("doc_id", "lang", F.explode(_toks()).alias("token"))
-    weights = tok.groupBy("token").pivot("lang", langs).agg(F.count(F.lit(1)))
+    # Train on labeled docs only: a token seen ONLY in NULL-lang docs
+    # must have no weights row, so the scoring inner join drops it and
+    # a doc with zero overlap with the labeled vocabulary drops out —
+    # exactly the oracle's inner-join-to-w semantics.
+    weights = (
+        tok.filter(F.col("lang").isNotNull())
+        .groupBy("token")
+        .pivot("lang", langs)
+        .agg(F.count(F.lit(1)))
+    )
     scores = (
         tok.select("doc_id", "token")
         .join(weights, "token")
@@ -259,7 +282,9 @@ def l9_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         )
     )
-    best = F.greatest(*lcol)
+    # greatest() needs >= 2 columns; a single-language corpus trivially
+    # predicts that language.
+    best = F.greatest(*lcol) if len(lcol) > 1 else lcol[0]
     pred = F.when(lcol[0] == best, langs[0])
     for lang, c in zip(langs[1:], lcol[1:]):  # ASC chain -> ties -> smallest
         pred = pred.when(c == best, lang)
@@ -355,9 +380,7 @@ ORDER BY lang
 """,
 )
 def l11_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    bucket = F.conv(
-        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
-    ).cast("int")
+    bucket = md5_bucket(F.col("doc_id"))
     return (
         table(spark, sf_dir, "documents")
         .withColumn("bucket", bucket)
@@ -392,9 +415,7 @@ ORDER BY split, lang
 """,
 )
 def l11b_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    bucket = F.conv(
-        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
-    ).cast("int")
+    bucket = md5_bucket(F.col("doc_id"))
     split = (
         F.when(bucket < 58982, "train")  # floor(0.9 * 65536)
         .when(bucket < 62259, "val")  # floor(0.95 * 65536)
@@ -415,38 +436,45 @@ def l11b_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
 # via the same hash bucketing.
 # ---------------------------------------------------------------------------
 MIXTURE_RATES = {"en": 0.9, "de": 0.5, "fr": 0.5, "es": 0.3, "zh": 0.1}
+# Integer bucket cutoffs, precomputed ONCE in Python: comparing the
+# bucket against an engine-side float-rate cast is a parity coin flip
+# (Spark's cast truncates 0.3*65536=19660.8 -> 19660, DuckDB's rounds
+# -> 19661), so both the Spark filter and the oracle SQL get the SAME
+# integer literals.
+_MIXTURE_CUTOFFS = {
+    lang: int(round(rate * 65536)) for lang, rate in MIXTURE_RATES.items()
+}
+_MIXTURE_CUTOFF_SQL = " ".join(
+    f"WHEN '{lang}' THEN {cut}" for lang, cut in _MIXTURE_CUTOFFS.items()
+)
 
 
 @register(
     "l11c_mixture_sample",
-    oracle="""
+    oracle=f"""
 SELECT lang, count(*) AS n_kept
 FROM (
   SELECT lang,
          CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) AS bucket,
-         CASE lang WHEN 'en' THEN 0.9 WHEN 'de' THEN 0.5 WHEN 'fr' THEN 0.5
-                   WHEN 'es' THEN 0.3 WHEN 'zh' THEN 0.1 ELSE 0.0 END AS rate
+         CASE lang {_MIXTURE_CUTOFF_SQL} ELSE 0 END AS cutoff
   FROM documents
 )
-WHERE bucket < CAST(rate * 65536 AS INT)
+WHERE bucket < cutoff
 GROUP BY lang
 ORDER BY lang
 """,
 )
 def l11c_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    bucket = F.conv(
-        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
-    ).cast("int")
-    rate = F.lit(0.0)
-    expr = F.when(F.lit(False), 0.0)
-    for lang, r in MIXTURE_RATES.items():
-        expr = expr.when(F.col("lang") == lang, r)
-    rate = expr.otherwise(0.0)
+    bucket = md5_bucket(F.col("doc_id"))
+    langs = list(_MIXTURE_CUTOFFS)
+    cutoff = F.when(F.col("lang") == langs[0], _MIXTURE_CUTOFFS[langs[0]])
+    for lang in langs[1:]:
+        cutoff = cutoff.when(F.col("lang") == lang, _MIXTURE_CUTOFFS[lang])
+    cutoff = cutoff.otherwise(0)
     return (
         table(spark, sf_dir, "documents")
         .withColumn("bucket", bucket)
-        .withColumn("rate", rate)
-        .filter(F.col("bucket") < (F.col("rate") * 65536).cast("int"))
+        .filter(F.col("bucket") < cutoff)
         .groupBy("lang")
         .agg(F.count(F.lit(1)).alias("n_kept"))
         .orderBy("lang")
@@ -550,7 +578,13 @@ def l13_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 100 TB tf is a staged table feeding both aggregates.
     from lens_warehouse_spark.operators._helpers import pin
 
-    n_docs = docs.count()  # scalar; tiny and deterministic
+    # Parquet footer statistic — NOT docs.count(): the eager count ran
+    # a full corpus scan job at plan-construction time on every
+    # invocation (bench loops, facade calls), for a number the footers
+    # already hold (and _ROWCOUNT_CACHE memoizes).
+    from lens_warehouse_spark.catalog import table_rows
+
+    n_docs = table_rows(sf_dir, "documents")
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     if n_docs > 100_000:
         tf = pin("l13.tf", tf)
@@ -632,7 +666,7 @@ def pack_documents(docs: DataFrame, capacity: int = SEQ_CAPACITY, n_shards: int 
     sized = docs.select(
         "doc_id",
         F.least(F.size(F.split("text", " ")), F.lit(capacity)).alias("n_tokens"),
-        F.pmod(F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10).cast("int"), F.lit(n_shards)).alias("shard"),
+        F.pmod(md5_bucket(F.col("doc_id")), F.lit(n_shards)).alias("shard"),
     )
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -142,3 +142,57 @@ def revenue() -> Column:
     """The l_extendedprice * (1 - l_discount) idiom, identical tree to the
     oracle's ``l_extendedprice * (1 - l_discount)`` (parity rule 5)."""
     return F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+
+
+def md5_bucket(col: Column) -> Column:
+    """Deterministic 16-bit sampling bucket in [0, 65536): first 4 hex
+    chars of md5(value as string), base-16 decoded.
+
+    The ONE shared definition for every deterministic-sampling surface
+    (l11/l11b/l11c/l15/l20): the idiom was hand-copied at five sites
+    and had already drifted once (a truncating threshold cast diverging
+    from its rounding oracle). Thresholds compared against this bucket
+    must be precomputed INTEGER literals — never a float-rate
+    expression cast engine-side, because Spark's cast truncates while
+    DuckDB's rounds.
+    """
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 4), 16, 10).cast(
+        "int"
+    )
+
+
+def staged_dir(prefix: str, source_path: str, write_fn) -> str:
+    """Stage derived data under /tmp keyed by a fingerprint of the
+    source file (size + mtime), evicting stale generations.
+
+    The single implementation of the staging idiom previously
+    hand-copied by the streaming event/document stagers: a staging dir
+    left behind by a run against an older generation of the testdata
+    must never be reused (the fingerprint changes), and older
+    generations of the SAME prefix are deleted so /tmp doesn't grow one
+    copy per refresh. The eviction glob anchors '_<size>_<mtime>' after
+    an explicit separator and requires the remainder to BE exactly a
+    fingerprint, so a prefix ending '.../sf1' can never match (and
+    delete) a live '.../sf10' sibling whose path merely extends it.
+
+    ``write_fn(out_dir)`` materializes the data (must leave a parquet
+    _SUCCESS marker, i.e. any Spark parquet write); it runs only when
+    the fingerprinted dir is absent or incomplete.
+    """
+    import glob
+    import os
+    import re
+    import shutil
+    import tempfile
+
+    st = os.stat(source_path)
+    out = os.path.join(
+        tempfile.gettempdir(), f"{prefix}_{st.st_size}_{int(st.st_mtime)}"
+    )
+    for stale in glob.glob(os.path.join(tempfile.gettempdir(), f"{prefix}_*")):
+        rest = os.path.basename(stale)[len(prefix) + 1 :]
+        if stale != out and re.fullmatch(r"\d+_\d+", rest):
+            shutil.rmtree(stale, ignore_errors=True)
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        write_fn(out)
+    return out

@@ -1,0 +1,111 @@
+"""Regression tests for the sequence(1, 0)-descending hazard: Spark's
+``sequence(start, stop)`` silently produces a DESCENDING array when the
+computed stop falls below start, so shingle/n-gram expressions built as
+``transform(sequence(1, size - k), i -> slice(...))`` crash (slice/
+element_at at index 0) on documents shorter than the gram length — one
+no-space document would abort a whole corpus query. Every gram surface
+must emit NOTHING for short docs (matching the DuckDB oracles' range(),
+which is empty when stop < start).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+SHORT_DOCS = [
+    # (doc_id, text, lang, source, n_chars) — includes 1-token and
+    # 2-token docs that crashed the unguarded gram expressions.
+    (1, "solo", "en", "web", 4),
+    (2, "two tokens", "en", "web", 10),
+    (3, "three token doc", "de", "web", 15),
+    (4, "a full five word document here", "en", "web", 30),
+    (5, "ein anderes langes dokument mit vielen tokens", "de", "web", 45),
+]
+
+
+@pytest.fixture(scope="module")
+def short_sf_dir(spark, tmp_path_factory):
+    """A miniature sf_dir whose documents table contains degenerate
+    (1- and 2-token) documents, served through the same parquet path
+    the registered queries read."""
+    d = tmp_path_factory.mktemp("short_sf")
+    docs = spark.createDataFrame(
+        SHORT_DOCS, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    docs.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(str(d), "documents.parquet")
+    )
+    return str(d)
+
+
+def test_word_ngrams_short_docs_emit_none(spark):
+    from lens_warehouse_spark.llm.curation import word_ngrams
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t, *_ in SHORT_DOCS], "doc_id long, text string"
+    )
+    out = word_ngrams(docs, 5)
+    rows = out.collect()
+    # only the two >= 5-token docs produce grams; nothing crashes
+    assert {r.doc_id for r in rows} == {4, 5}
+    assert all(len(r.gram.split(" ")) == 5 for r in rows)
+
+
+def test_l7b_bigrams_survive_single_token_doc(spark, short_sf_dir):
+    from lens_warehouse_spark import registry
+
+    registry.load_all()
+    rows = registry.QUERIES["l7b_bigrams"](spark, short_sf_dir).collect()
+    bigrams = {r.bigram for r in rows}
+    assert "two tokens" in bigrams
+    # a lone token must never be counted as a bigram
+    assert "solo" not in bigrams
+
+
+def test_l21_lm_score_survives_single_token_doc(spark, short_sf_dir):
+    from lens_warehouse_spark import registry
+
+    registry.load_all()
+    rows = registry.QUERIES["l21_bigram_lm_score"](spark, short_sf_dir).collect()
+    # doc 1 ("solo") has no bigrams -> absent; others present
+    assert {r.doc_id for r in rows} == {2, 3, 4, 5}
+
+
+def test_curation_queries_survive_short_docs(spark, short_sf_dir):
+    """The gram-based curation surfaces must run (not crash) on a corpus
+    containing sub-gram-length documents."""
+    from lens_warehouse_spark import registry
+
+    registry.load_all()
+    for name in (
+        "l16_decontamination",
+        "l17_repetition_filter",
+        "l20_curation_pipeline",
+    ):
+        registry.QUERIES[name](spark, short_sf_dir).collect()
+
+
+def test_l9_single_language_corpus(spark, tmp_path_factory):
+    """A corpus whose non-null langs collapse to ONE value must still
+    classify (greatest() needs two columns; the single-lang path must
+    not call it), and NULL-lang docs train nothing."""
+    from lens_warehouse_spark import registry
+
+    registry.load_all()
+    d = tmp_path_factory.mktemp("one_lang_sf")
+    rows = [
+        (1, "hello world common words", "en", "web", 24),
+        (2, "hello again world words", "en", "web", 23),
+        (3, "hello world more words", None, "web", 22),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(str(d), "documents.parquet")
+    )
+    out = registry.QUERIES["l9_language_id"](spark, str(d)).collect()
+    preds = {r.doc_id: r.pred_lang for r in out}
+    assert preds == {1: "en", 2: "en", 3: "en"}
