@@ -695,7 +695,11 @@ def s16_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).parquet(compacted)
     n_frag = len(_glob.glob(os.path.join(frag, "*.parquet")))
     n_comp = len(_glob.glob(os.path.join(compacted, "*.parquet")))
-    assert n_comp < n_frag, (n_frag, n_comp)
+    if n_comp >= n_frag:
+        # not an assert: the compaction invariant must hold under -O too
+        raise RuntimeError(
+            f"compaction did not reduce file count: {n_frag} -> {n_comp}"
+        )
     return (
         spark.read.parquet(compacted)
         .groupBy("event_type")
@@ -831,7 +835,10 @@ def _bloom_join_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum("l_quantity").cast("long").alias("sum_qty"),
+            # round-then-cast (parity rule 3): a bare cast truncates
+            # while the oracle's CAST rounds — integral quantities mask
+            # the divergence today, fractional ones would not
+            F.round(F.sum("l_quantity")).cast("long").alias("sum_qty"),
         )
         .orderBy("l_returnflag")
     )

@@ -19,6 +19,7 @@ becomes Kafka and the memory sink becomes a Delta/parquet sink via
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 import uuid
 
@@ -26,39 +27,35 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from lens_warehouse_spark.catalog import table
+from lens_warehouse_spark.operators._helpers import staged_dir
 from lens_warehouse_spark.operators.aggregates import _HH_K as _AGG_HH_K
 from lens_warehouse_spark.registry import register
 
 
 def _staged_events(spark: SparkSession, sf_dir: str) -> str:
     """Stage events (with us-precision ts) to a parquet dir once per
-    (session, sf_dir) — this is also the S3 batch-sink surface."""
-    src = os.path.join(sf_dir, "events.parquet")
-    st = os.stat(src)
-    # Fingerprint the source file so a staging dir left in /tmp by a run
-    # against an older generation of the testdata is never reused.
-    tag = f"{sf_dir.strip('/').replace('/', '_')}_{st.st_size}_{int(st.st_mtime)}"
-    prefix = f"lws_events_{sf_dir.strip('/').replace('/', '_')}"
-    out = os.path.join(tempfile.gettempdir(), f"lws_events_{tag}")
-    # Evict staging dirs for older generations of the SAME source (their
-    # fingerprints no longer match) so /tmp doesn't accumulate one copy
-    # per testdata refresh. The glob anchors the '_<size>_<mtime>'
-    # fingerprint after an explicit separator, and the regex requires the
-    # remainder to BE exactly a fingerprint — so '.../sf1' can never
-    # match (and delete) a live '.../sf10' staging dir whose path string
-    # merely extends this one.
-    import glob
-    import re
-    import shutil
+    (session, sf_dir) — this is also the S3 batch-sink surface.
+    Fingerprinted + stale-evicted via the shared staged_dir helper."""
+    return staged_dir(
+        f"lws_events_{sf_dir.strip('/').replace('/', '_')}",
+        os.path.join(sf_dir, "events.parquet"),
+        lambda out: table(spark, sf_dir, "events")
+        .write.mode("overwrite")
+        .parquet(out),
+    )
 
-    for stale in glob.glob(os.path.join(tempfile.gettempdir(), f"{prefix}_*")):
-        rest = os.path.basename(stale)[len(prefix) + 1 :]
-        if stale != out and re.fullmatch(r"\d+_\d+", rest):
-            shutil.rmtree(stale, ignore_errors=True)
-    marker = os.path.join(out, "_SUCCESS")
-    if not os.path.exists(marker):
-        table(spark, sf_dir, "events").write.mode("overwrite").parquet(out)
-    return out
+
+def _await(q, timeout_sec: int) -> None:
+    """awaitTermination with the return value CHECKED. A ``False``
+    return means the query is STILL RUNNING past the timeout — reading
+    the sink at that point silently returns truncated results (and the
+    orphaned query keeps consuming resources), so stop it and raise
+    instead of letting a slow machine turn into a wrong answer."""
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise TimeoutError(
+            f"streaming query {q.name!r} still running after {timeout_sec}s"
+        )
 
 
 def _run_to_table(stream_df: DataFrame, name: str) -> DataFrame:
@@ -75,8 +72,15 @@ def _run_to_table(stream_df: DataFrame, name: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
-    return spark.table(qname)
+    _await(q, 300)
+    # Materialize, then release the per-run residue: without this every
+    # invocation leaks one memory-sink temp view into the session
+    # catalog and one checkpoint dir into /tmp (a bench best-of-3 loop
+    # grows both without bound).
+    out = spark.table(qname).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(qname)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return out
 
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -87,8 +91,10 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # T4: watermarked tumbling-window aggregation (append mode: only windows
-# the watermark has closed are emitted — with availableNow over a finite
-# file source, that is every window).
+# the watermark has closed are emitted). NOTE even with availableNow
+# over a finite file source the final open window(s) — those the last
+# watermark never advanced past — are WITHHELD; the stream==batch test
+# asserts exactly that (batch minus stream == the trailing windows).
 # ---------------------------------------------------------------------------
 @register("t4_stream_tumbling_watermark")
 def t4_stream_tumbling_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -193,9 +199,12 @@ def t7_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
-    # keep the last update per user (final state)
-    out = spark.table(qname)
+    _await(q, 300)
+    # keep the last update per user (final state); materialize and
+    # release the per-run temp view + checkpoint (see _run_to_table)
+    out = spark.table(qname).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(qname)
+    shutil.rmtree(ckpt, ignore_errors=True)
     return (
         out.groupBy("user_id")
         .agg(F.max("n_events").alias("n_events"), F.max("max_value").alias("max_value"))
@@ -224,13 +233,15 @@ def t8_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await(q, 300)
     written = spark.read.parquet(os.path.join(out_dir, "data"))
-    return (
+    out = (
         written.groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n"))
-        .orderBy("event_type")
+        .localCheckpoint(eager=True)  # pin before the run dir vanishes
     )
+    shutil.rmtree(out_dir, ignore_errors=True)
+    return out.orderBy("event_type")
 
 
 # ---------------------------------------------------------------------------
@@ -312,8 +323,11 @@ def t10_rate_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
-    return spark.table(qname).agg(
+    _await(q, 300)
+    out = spark.table(qname).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(qname)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return out.agg(
         F.count(F.lit(1)).alias("n"),
         F.min("value").alias("min_value"),
         F.max("value").alias("max_value"),
@@ -387,30 +401,42 @@ def t7b_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         def close(self) -> None:
             pass
 
-    # transformWithState requires the RocksDB state-store provider
+    # transformWithState requires the RocksDB state-store provider.
+    # Save/restore like t4b: leaving it set would silently switch EVERY
+    # later streaming job in the session to RocksDB (and break the
+    # provider-equivalence test's conf assertion).
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
     spark.conf.set(
         "spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
     )
-    ev = _events_stream(spark, sf_dir).select("user_id", "value")
-    stateful = ev.groupBy("user_id").transformWithStateInPandas(
-        UserStats(),
-        outputStructType=out_schema,
-        outputMode="Update",
-        timeMode="None",
-    )
-    qname = f"t7b_{uuid.uuid4().hex[:8]}"
-    ckpt = os.path.join(tempfile.gettempdir(), "lws_ckpt", qname)
-    q = (
-        stateful.writeStream.format("memory")
-        .queryName(qname)
-        .outputMode("update")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
-    out = spark.table(qname)
+    try:
+        ev = _events_stream(spark, sf_dir).select("user_id", "value")
+        stateful = ev.groupBy("user_id").transformWithStateInPandas(
+            UserStats(),
+            outputStructType=out_schema,
+            outputMode="Update",
+            timeMode="None",
+        )
+        qname = f"t7b_{uuid.uuid4().hex[:8]}"
+        ckpt = os.path.join(tempfile.gettempdir(), "lws_ckpt", qname)
+        q = (
+            stateful.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await(q, 300)
+        out = spark.table(qname).localCheckpoint(eager=True)
+        spark.catalog.dropTempView(qname)
+        shutil.rmtree(ckpt, ignore_errors=True)
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
     return (
         out.groupBy("user_id")
         .agg(F.max("n_events").alias("n_events"), F.max("max_value").alias("max_value"))
@@ -509,11 +535,12 @@ def t13_stream_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
-    return (
-        spark.read.parquet(os.path.join(out_dir, "data"))
-        .orderBy("win_start_ms", "rk")
-    )
+    _await(q, 300)
+    out = spark.read.parquet(os.path.join(out_dir, "data")).localCheckpoint(
+        eager=True
+    )  # pin before the run dir vanishes
+    shutil.rmtree(out_dir, ignore_errors=True)
+    return out.orderBy("win_start_ms", "rk")
 
 
 # ---------------------------------------------------------------------------
@@ -571,9 +598,26 @@ def cdc_apply_stream(
         # idempotent, which is what makes the checkpoint exactly-once
         # end-to-end rather than merely at-least-once).
         spark_l = batch_df.sparkSession
-        try:
+        staging = data_dir + ".tmp"
+        retired = data_dir + ".old"
+        # Crash-recovery of a mid-swap failure (below: data_dir is
+        # briefly absent between the two renames): if the live dir is
+        # gone but the retired one is complete, the swap died between
+        # renames — put the old state back before merging.
+        if not os.path.exists(os.path.join(data_dir, "_SUCCESS")) and os.path.exists(
+            os.path.join(retired, "_SUCCESS")
+        ):
+            shutil.rmtree(data_dir, ignore_errors=True)
+            os.rename(retired, data_dir)
+        # First batch iff no committed table exists yet. This is an
+        # explicit _SUCCESS probe, NOT a bare try/except around the
+        # read: a blanket except would treat a genuine IO failure
+        # (partial dir, permissions) as "first batch" and silently
+        # rebuild the table from the replayed batch alone — data loss
+        # masquerading as a fresh start.
+        if os.path.exists(os.path.join(data_dir, "_SUCCESS")):
             current = spark_l.read.parquet(data_dir)
-        except Exception:
+        else:
             current = batch_df.limit(0)
         w = Window.partitionBy("key").orderBy(
             F.col("ts").desc(), F.col("value").desc()
@@ -584,9 +628,18 @@ def cdc_apply_stream(
             .filter(F.col("rn") == 1)
             .drop("rn")
         )
-        staging = data_dir + ".tmp"
+        # Write once to staging, then swap directories by rename —
+        # half the sink I/O of the old write-staging-then-rewrite-live
+        # pattern, and the commit window shrinks from a full table
+        # rewrite to two renames (with the recovery path above
+        # covering a crash between them).
+        shutil.rmtree(staging, ignore_errors=True)
         merged.write.mode("overwrite").parquet(staging)
-        spark_l.read.parquet(staging).write.mode("overwrite").parquet(data_dir)
+        shutil.rmtree(retired, ignore_errors=True)
+        if os.path.exists(data_dir):
+            os.rename(data_dir, retired)
+        os.rename(staging, data_dir)
+        shutil.rmtree(retired, ignore_errors=True)
         if fail_after_batch is not None and batch_id == fail_after_batch:
             raise RuntimeError(f"injected crash after batch {batch_id}")
 
@@ -615,7 +668,7 @@ def cdc_apply_stream(
         .start()
     )
     try:
-        q.awaitTermination(300)
+        _await(q, 300)
     except Exception as exc:
         # Swallow ONLY the injected crash; a genuine failure in the same
         # run (sink write error, corrupt staging, checkpoint init) must
@@ -633,7 +686,11 @@ def cdc_apply_stream(
 @register("t16_stream_cdc_apply")
 def t16_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     out_dir = os.path.join(tempfile.gettempdir(), f"lws_t16_{uuid.uuid4().hex[:8]}")
-    return cdc_apply_stream(spark, sf_dir, out_dir)
+    out = cdc_apply_stream(spark, sf_dir, out_dir).localCheckpoint(
+        eager=True
+    )  # pin before the run dir vanishes
+    shutil.rmtree(out_dir, ignore_errors=True)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -733,8 +790,12 @@ def t17_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
-    candidates = spark.table(qname).select("user_id").distinct()
+    _await(q, 300)
+    candidates = (
+        spark.table(qname).select("user_id").distinct().localCheckpoint(eager=True)
+    )
+    spark.catalog.dropTempView(qname)
+    shutil.rmtree(ckpt, ignore_errors=True)
 
     # Exact recount epilogue (batch over the same staged data the stream
     # read): superset-in, exact-out.
@@ -792,8 +853,6 @@ def cdc_apply_batch_reference(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @register("t18_stream_incremental_neardup")
 def t18_stream_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import shutil
-
     from lens_warehouse_spark.llm.dedup import (
         band_projection,
         jaccard,
@@ -801,29 +860,15 @@ def t18_stream_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
     # Stage the corpus as 4 range-split files -> 4 deterministic
-    # micro-batches. Keyed by source fingerprint like _staged_events.
-    src = os.path.join(sf_dir, "documents.parquet")
-    st = os.stat(src)
-    prefix = f"lws_docs4_{sf_dir.strip('/').replace('/', '_')}"
-    staged = os.path.join(
-        tempfile.gettempdir(), f"{prefix}_{st.st_size}_{int(st.st_mtime)}"
+    # micro-batches. Fingerprinted + stale-evicted via staged_dir.
+    staged = staged_dir(
+        f"lws_docs4_{sf_dir.strip('/').replace('/', '_')}",
+        os.path.join(sf_dir, "documents.parquet"),
+        lambda out: table(spark, sf_dir, "documents")
+        .repartitionByRange(4, "doc_id")
+        .write.mode("overwrite")
+        .parquet(out),
     )
-    # evict older generations of the same source (anchored fingerprint
-    # glob — same discipline as _staged_events)
-    import glob
-    import re
-
-    for stale in glob.glob(os.path.join(tempfile.gettempdir(), f"{prefix}_*")):
-        rest = os.path.basename(stale)[len(prefix) + 1 :]
-        if stale != staged and re.fullmatch(r"\d+_\d+", rest):
-            shutil.rmtree(stale, ignore_errors=True)
-    if not os.path.exists(os.path.join(staged, "_SUCCESS")):
-        (
-            table(spark, sf_dir, "documents")
-            .repartitionByRange(4, "doc_id")
-            .write.mode("overwrite")
-            .parquet(staged)
-        )
 
     run = os.path.join(tempfile.gettempdir(), f"lws_t18_{uuid.uuid4().hex[:8]}")
     store_dir = os.path.join(run, "store")
@@ -874,7 +919,7 @@ def t18_stream_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFram
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(600)
+    _await(q, 600)
     docs = table(spark, sf_dir, "documents")
     result = (
         jaccard(spark.read.parquet(pairs_dir).distinct(), docs, measure="shingles")
@@ -896,7 +941,9 @@ def t18_stream_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFram
 # exactly how a production alerting pipeline is shaped: the stream
 # never recomputes history, and the scorer touches only aggregates.
 # Rows-only by design (streaming); tests/test_streaming.py proves the
-# output equals batch t19 row-for-row.
+# output equals batch t19 on the watermark-closed windows (append mode
+# withholds the trailing open window(s), so the test filters the batch
+# side to closed windows before comparing — NOT full row-for-row).
 # ---------------------------------------------------------------------------
 @register("t20_stream_anomaly_zscore")
 def t20_stream_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
