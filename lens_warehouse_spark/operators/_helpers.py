@@ -30,6 +30,16 @@ def global_rank(
     """
     from pyspark.sql import Window
 
+    if rank_col in ("__p", "__r", "__off") or rank_col in df.columns:
+        # A caller-supplied name colliding with the internal working
+        # columns (or an existing input column) would be silently
+        # dropped by the final .drop(), breaking the documented
+        # contract that the result carries rank_col.
+        raise ValueError(
+            f"global_rank: rank_col {rank_col!r} collides with an internal "
+            "working column or an input column"
+        )
+
     keyed = (
         df.repartitionByRange(num_partitions, *order_cols)
         .withColumn("__p", F.spark_partition_id())

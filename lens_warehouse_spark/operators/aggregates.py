@@ -700,8 +700,11 @@ def a20_exact_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     sliced = cu.filter(
         (F.col("c_acctbal") >= lo) & (F.col("c_acctbal") <= hi)
     )
-    picked = global_rank(sliced, ["c_acctbal"], rank_col="__r").filter(
-        (F.col("__r") + F.lit(int(n_below))).isin(int(k1), int(k2))
+    # rank_col must NOT be "__r" — that collides with global_rank's
+    # internal column and the helper would drop the rank entirely
+    # (global_rank now rejects the collision outright).
+    picked = global_rank(sliced, ["c_acctbal"], rank_col="__gr").filter(
+        (F.col("__gr") + F.lit(int(n_below))).isin(int(k1), int(k2))
     )
     return picked.agg(
         F.round(F.avg("c_acctbal"), 4).alias("median_balance")
@@ -749,46 +752,12 @@ ORDER BY event_type
 """,
 )
 def a21_grouped_exact_median(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
+    # The median IS the p=0.5 percentile: h = (n-1)/2 + 1 straddles the
+    # two middle ranks for even n (frac = 0.5 averages them) and the
+    # single middle rank for odd n — one shared implementation instead
+    # of two hand-synced copies of the rank bookkeeping.
     ev = table(spark, sf_dir, "events").select("event_type", "value")
-    stats = ev.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.percentile_approx("value", 0.47, 50_000).alias("lo"),
-        F.percentile_approx("value", 0.53, 50_000).alias("hi"),
-    )
-    stats = _widen_tiny_group_brackets(stats, margin=0.03)
-    below = (
-        ev.join(F.broadcast(stats.select("event_type", "lo")), "event_type")
-        .filter(F.col("value") < F.col("lo"))
-        .groupBy("event_type")
-        .agg(F.count(F.lit(1)).alias("n_below"))
-    )
-    sliced = ev.join(F.broadcast(stats), "event_type").filter(
-        (F.col("value") >= F.col("lo")) & (F.col("value") <= F.col("hi"))
-    )
-    w = Window.partitionBy("event_type").orderBy("value")
-    ranked = (
-        sliced.withColumn("rn", F.row_number().over(w))
-        .join(F.broadcast(below), "event_type", "left")
-        .withColumn(
-            "rank", F.col("rn") + F.coalesce(F.col("n_below"), F.lit(0))
-        )
-    )
-    picked = ranked.filter(
-        (F.col("rank") == F.floor((F.col("n") + 1) / 2))
-        | (F.col("rank") == F.floor(F.col("n") / 2) + 1)
-    )
-    return (
-        picked.groupBy("event_type", "n")
-        .agg(F.round(F.avg("value"), 4).alias("median_value"))
-        .select(
-            "event_type",
-            "median_value",
-            F.col("n").cast("long").alias("n"),
-        )
-        .orderBy("event_type")
-    )
+    return _grouped_exact_percentile(ev, 0.5, "median_value")
 
 
 # ---------------------------------------------------------------------------
@@ -816,16 +785,29 @@ ORDER BY event_type
 """,
 )
 def a22_grouped_exact_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select("event_type", "value")
+    return _grouped_exact_percentile(ev, _A22_P, "p90_value")
+
+
+def _grouped_exact_percentile(
+    ev: DataFrame, p: float, out_name: str, margin: float = 0.03
+) -> DataFrame:
+    """Per-group exact quantile_cont(p) over (event_type, value) via the
+    bracket-then-select machinery: GK-sketch brackets [p±margin] per
+    group, one conditional-agg pass fixes each group's below-bracket
+    rank, then the selection window runs over ONLY the in-bracket
+    slices and interpolates the straddling order statistics at virtual
+    index h = (n-1)*p + 1. Shared by a21 (p=0.5) and a22 (p=0.9) so the
+    subtle rank bookkeeping (incl. the tiny-group bracket widening)
+    lives exactly once."""
     from pyspark.sql import Window
 
-    p = _A22_P
-    ev = table(spark, sf_dir, "events").select("event_type", "value")
     stats = ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
-        F.percentile_approx("value", max(p - 0.03, 0.0), 50_000).alias("lo"),
-        F.percentile_approx("value", min(p + 0.03, 1.0), 50_000).alias("hi"),
+        F.percentile_approx("value", max(p - margin, 0.0), 50_000).alias("lo"),
+        F.percentile_approx("value", min(p + margin, 1.0), 50_000).alias("hi"),
     )
-    stats = _widen_tiny_group_brackets(stats, margin=0.03)
+    stats = _widen_tiny_group_brackets(stats, margin=margin)
     below = (
         ev.join(F.broadcast(stats.select("event_type", "lo")), "event_type")
         .filter(F.col("value") < F.col("lo"))
@@ -860,7 +842,7 @@ def a22_grouped_exact_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             F.round(
                 F.col("v_lo") * (F.lit(1) - frac) + F.col("v_hi") * frac, 4
-            ).alias("p90_value"),
+            ).alias(out_name),
             F.col("n").cast("long").alias("n"),
         )
         .orderBy("event_type")
@@ -986,18 +968,31 @@ def exact_quantile_boundaries(
     m = margin
     od = df.select(F.col(col).alias("o_totalprice"))
     ps = tuple(ps)
-    # Pass 1: bracket all quantiles with one sketch call. The bracket
-    # must contain BOTH straddling ranks floor/ceil((n-1)p+1), which
-    # needs margin*n >= 2 — so widen by 2/n (vanishes at scale, covers
-    # tiny inputs; caught by the hypothesis test at n=2).
-    n0 = od.count()
-    mw = m + 2.0 / max(n0, 1)
-    probes = [max(p - mw, 0.0) for p in ps] + [min(p + mw, 1.0) for p in ps]
-    row = od.agg(
-        F.percentile_approx("o_totalprice", probes, accuracy).alias("b"),
-        F.count(F.lit(1)).alias("n"),
-    ).first()
-    lows, highs, n = row["b"][: len(ps)], row["b"][len(ps):], row["n"]
+
+    # Pass 1: bracket all quantiles with one sketch call; n rides along
+    # in the SAME aggregation (a dedicated od.count() pre-pass was a
+    # full extra scan per invocation that made the a24 header's "four
+    # passes" a lie). The bracket must contain BOTH straddling ranks
+    # floor/ceil((n-1)p+1), which needs margin*n >= 2: at scale the
+    # plain margin satisfies that; only a tiny input (n < 2/margin)
+    # re-brackets once with a widened margin (caught by the hypothesis
+    # test at n=2).
+    def sketch(mm: float):
+        probes = [max(p - mm, 0.0) for p in ps] + [min(p + mm, 1.0) for p in ps]
+        return od.agg(
+            F.percentile_approx("o_totalprice", probes, accuracy).alias("b"),
+            F.count(F.lit(1)).alias("n"),
+        ).first()
+
+    row = sketch(m)
+    n = row["n"]
+    if n == 0:
+        # percentile_approx over zero rows yields NULL — fail with a
+        # clear contract instead of a NoneType subscript below.
+        raise ValueError("exact_quantile_boundaries: empty input")
+    if m * n < 2:
+        row = sketch(m + 2.0 / n)
+    lows, highs = row["b"][: len(ps)], row["b"][len(ps):]
     # Pass 2: exact below-bracket rank per decile (one conditional agg).
     below_row = od.agg(
         *[

@@ -65,14 +65,14 @@ class SubjectAttr(Atom):
     max_balance: float | None = None
 
     def keys(self, spark: SparkSession, sf_dir: str) -> DataFrame:
-        df = table(spark, sf_dir, "customer")
-        if self.segments:
-            df = df.filter(F.col("c_mktsegment").isin(*self.segments))
-        if self.min_balance is not None:
-            df = df.filter(F.col("c_acctbal") >= self.min_balance)
-        if self.max_balance is not None:
-            df = df.filter(F.col("c_acctbal") <= self.max_balance)
-        return df.select(F.col("c_custkey").alias(SUBJECT_KEY))
+        # single predicate source: _atom_condition (shared with the
+        # fused and visit-level compilers — drift between compilers is
+        # exactly what the cross-strategy oracles exist to prevent)
+        return (
+            table(spark, sf_dir, "customer")
+            .filter(_atom_condition(self))
+            .select(F.col("c_custkey").alias(SUBJECT_KEY))
+        )
 
 
 @dataclass(frozen=True)
@@ -86,22 +86,11 @@ class OrderAtom(Atom):
     min_total: float | None = None
 
     def keys(self, spark: SparkSession, sf_dir: str) -> DataFrame:
-        df = table(spark, sf_dir, "orders")
-        if self.priorities:
-            df = df.filter(F.col("o_orderpriority").isin(*self.priorities))
-        if self.statuses:
-            df = df.filter(F.col("o_orderstatus").isin(*self.statuses))
-        if self.date_from:
-            df = df.filter(
-                F.col("o_orderdate") >= F.lit(self.date_from).cast("timestamp")
-            )
-        if self.date_to:
-            df = df.filter(
-                F.col("o_orderdate") < F.lit(self.date_to).cast("timestamp")
-            )
-        if self.min_total is not None:
-            df = df.filter(F.col("o_totalprice") >= self.min_total)
-        return df.select(F.col("o_custkey").alias(SUBJECT_KEY))
+        return (
+            table(spark, sf_dir, "orders")
+            .filter(_atom_condition(self))
+            .select(F.col("o_custkey").alias(SUBJECT_KEY))
+        )
 
 
 @dataclass(frozen=True)
@@ -114,13 +103,7 @@ class LineitemAtom(Atom):
     max_quantity: float | None = None
 
     def keys(self, spark: SparkSession, sf_dir: str) -> DataFrame:
-        li = table(spark, sf_dir, "lineitem")
-        if self.returnflags:
-            li = li.filter(F.col("l_returnflag").isin(*self.returnflags))
-        if self.min_quantity is not None:
-            li = li.filter(F.col("l_quantity") >= self.min_quantity)
-        if self.max_quantity is not None:
-            li = li.filter(F.col("l_quantity") <= self.max_quantity)
+        li = table(spark, sf_dir, "lineitem").filter(_atom_condition(self))
         od = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
         return (
             li.select("l_orderkey")
@@ -259,9 +242,7 @@ def estimate_plan_cost(
     n_disj = len(query.disjunctions)
     n_excl = len(query.exclusions)
     n_li = sum(isinstance(a, LineitemAtom) for a in atoms)
-    tables = {
-        _ATOM_SOURCE.get(type(a), f"static:{id(a)}") for a in atoms
-    } | ({"orders"} if n_li else set())
+    atom_tables = {_ATOM_SOURCE.get(type(a), f"static:{id(a)}") for a in atoms}
 
     def weight(tname: str) -> int:
         """Scan cost unit: 1 per scan statically, rows-per-scan when the
@@ -275,7 +256,15 @@ def estimate_plan_cost(
         + (weight("orders") if isinstance(a, LineitemAtom) else 0)
         for a in atoms
     )
-    per_table = sum(weight(t) for t in tables)
+    # compile_fused's lineitem branch opens its OWN orders scan for the
+    # o_orderkey -> o_custkey traversal, SEPARATE from any orders tag
+    # scan — so the traversal scan is added on top of the atom-table
+    # set rather than deduped into it (a set-union here undercounted
+    # the fused plan by a full orders scan whenever the query mixed
+    # order-level and lineitem-level atoms).
+    per_table = sum(weight(t) for t in atom_tables) + (
+        weight("orders") if n_li else 0
+    )
     return {
         "naive": {
             "scans": per_atom,
@@ -461,33 +450,12 @@ def _visit_keys(atom: Atom, spark: SparkSession, sf_dir: str) -> DataFrame:
     Subject-level atoms qualify ALL visits of matching subjects."""
     od = table(spark, sf_dir, "orders")
     if isinstance(atom, OrderAtom):
-        df = od
-        if atom.priorities:
-            df = df.filter(F.col("o_orderpriority").isin(*atom.priorities))
-        if atom.statuses:
-            df = df.filter(F.col("o_orderstatus").isin(*atom.statuses))
-        if atom.date_from:
-            df = df.filter(
-                F.col("o_orderdate") >= F.lit(atom.date_from).cast("timestamp")
-            )
-        if atom.date_to:
-            df = df.filter(
-                F.col("o_orderdate") < F.lit(atom.date_to).cast("timestamp")
-            )
-        if atom.min_total is not None:
-            df = df.filter(F.col("o_totalprice") >= atom.min_total)
-        return df.select(
+        return od.filter(_atom_condition(atom)).select(
             F.col("o_custkey").alias(SUBJECT_KEY),
             F.col("o_orderkey").alias(VISIT_KEY),
         )
     if isinstance(atom, LineitemAtom):
-        li = table(spark, sf_dir, "lineitem")
-        if atom.returnflags:
-            li = li.filter(F.col("l_returnflag").isin(*atom.returnflags))
-        if atom.min_quantity is not None:
-            li = li.filter(F.col("l_quantity") >= atom.min_quantity)
-        if atom.max_quantity is not None:
-            li = li.filter(F.col("l_quantity") <= atom.max_quantity)
+        li = table(spark, sf_dir, "lineitem").filter(_atom_condition(atom))
         return (
             li.select("l_orderkey")
             .join(od.select("o_orderkey", "o_custkey"),

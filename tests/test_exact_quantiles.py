@@ -129,3 +129,18 @@ def test_a22_machinery_tiny_distinct_group(spark):
         agg.table = orig
     assert out["a"] == round(0.0 * 0.1 + 1.0 * 0.9, 4)  # 0.9, interpolated
     assert out["b"] == 5.0
+
+
+def test_exact_quantile_boundaries_empty_input_raises(spark):
+    """Empty input must fail with a clear contract, not a NoneType
+    subscript (percentile_approx over zero rows yields NULL)."""
+    import pytest
+
+    from lens_warehouse_spark.operators.aggregates import (
+        exact_quantile_boundaries,
+    )
+
+    with pytest.raises(ValueError, match="empty input"):
+        exact_quantile_boundaries(
+            spark.createDataFrame([], "x double"), "x", (0.5,), 0.05
+        )

@@ -43,3 +43,15 @@ def test_global_rank_desc_order(spark):
         )
     }
     assert got == expected
+
+
+def test_global_rank_rejects_colliding_rank_col(spark):
+    """rank_col colliding with an internal working column (or an input
+    column) would be silently dropped by the final drop(); the helper
+    must reject it instead."""
+    import pytest
+
+    df = spark.createDataFrame([(1,)], "v long")
+    for bad in ("__r", "__p", "__off", "v"):
+        with pytest.raises(ValueError, match="collides"):
+            global_rank(df, ["v"], rank_col=bad)
