@@ -101,6 +101,14 @@ def maybe_broadcast(df: DataFrame, sf_dir: str, name: str) -> DataFrame:
 _READER_CONF = {
     "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Timestamp-literal parsing, year()/datediff() rendering, and every
+    # date-range predicate in the TPC-H queries are session-timezone
+    # dependent on LTZ columns. get_spark pins UTC at build time, but a
+    # DRIVER-SUPPLIED default session in a non-UTC environment would
+    # shift every midnight-aligned filter by the TZ offset and diverge
+    # from the DuckDB oracles reading the same naive parquet micros —
+    # so the catalog guarantees UTC exactly like the reader confs.
+    "spark.sql.session.timeZone": "UTC",
 }
 
 

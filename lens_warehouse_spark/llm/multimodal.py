@@ -54,9 +54,21 @@ def sniff_media(blob: bytes) -> tuple[str, int | None, int | None]:
     if b[:6] in (b"GIF87a", b"GIF89a") and len(b) >= 10:
         w, h = struct.unpack("<HH", b[6:10])
         return ("gif", w, h)
-    if b[:2] == b"BM" and len(b) >= 26:
-        w, h = struct.unpack("<ii", b[18:26])
-        return ("bmp", w, abs(h))
+    if b[:2] == b"BM" and len(b) >= 22:
+        # Validate the DIB header size at offset 14 before trusting the
+        # dimension fields: a text blob starting "BM..." (prose like
+        # "BMW") is NOT a bitmap, and the OS/2 BITMAPCOREHEADER (size
+        # 12) stores 16-bit dimensions where the INFOHEADER stores
+        # 32-bit ones — unpacking '<ii' unconditionally returned
+        # width | (height << 16) garbage for valid core-header files.
+        dib = struct.unpack("<I", b[14:18])[0]
+        if dib == 12:
+            w16, h16 = struct.unpack("<HH", b[18:22])
+            return ("bmp", w16, h16)
+        if dib in (40, 52, 56, 64, 108, 124) and len(b) >= 26:
+            w, h = struct.unpack("<ii", b[18:26])
+            return ("bmp", w, abs(h))
+        return ("unknown", None, None)
     if b[:3] == b"\xff\xd8\xff":
         # JPEG: walk segments to a start-of-frame (SOF0..SOF15 except
         # DHT/DAC/RST markers) and read height/width from it.
@@ -66,10 +78,24 @@ def sniff_media(blob: bytes) -> tuple[str, int | None, int | None]:
                 i += 1
                 continue
             marker = b[i + 1]
+            if marker == 0xFF:
+                # spec-legal 0xFF fill byte before a marker: advance ONE
+                # byte, or the real marker after it is consumed as a
+                # segment length and the walk jumps past the SOF
+                i += 1
+                continue
             if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
                 i += 2
                 continue
+            if marker in (0xD9, 0xDA):
+                # EOI / start-of-scan: entropy-coded data follows; its
+                # bytes are not segment headers, and walking them can
+                # match a fake SOF with garbage dimensions. SOF always
+                # precedes SOS, so stop here.
+                break
             seg_len = struct.unpack(">H", b[i + 2 : i + 4])[0]
+            if seg_len < 2:
+                break  # corrupt length field; would loop forever
             if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
                 h, w = struct.unpack(">HH", b[i + 5 : i + 9])
                 return ("jpeg", w, h)
@@ -135,7 +161,7 @@ def multimodal_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     "l8_multimodal_features",
     oracle="""
 SELECT doc_id,
-       CAST(length(text) AS BIGINT) AS byte_len,
+       CAST(strlen(text) AS BIGINT) AS byte_len,  -- strlen = utf-8 BYTES, matching len(blob)
        md5(text) AS blob_md5,
        'text/plain' AS mime
 FROM documents
@@ -255,7 +281,11 @@ def l8d_frame_hash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             ids, idxs, hashes = [], [], []
             for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
-                head = bytes(blob)[:32]
+                # First 32 CHARACTERS, not bytes: the oracle hashes
+                # substring(text, 1, 32), and a multi-byte char
+                # straddling byte 32 would change the hashed prefix.
+                # The blob is utf-8 text by construction (multimodal_frame).
+                head = bytes(blob).decode("utf-8")[:32].encode("utf-8")
                 for i in range(int(doc_id) % 5):
                     ids.append(int(doc_id))
                     idxs.append(i)
@@ -296,7 +326,7 @@ def l8d_frame_hash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH manifest AS (
   SELECT concat('blob://store/', CAST(doc_id AS VARCHAR)) AS blob_path,
          CAST(doc_id % 16 AS INT) AS store_node,
-         CAST(length(text) AS BIGINT) AS asset_bytes
+         CAST(strlen(text) AS BIGINT) AS asset_bytes  -- utf-8 bytes, matching the blob
   FROM documents
 )
 SELECT d.doc_id, m.store_node, m.asset_bytes,
@@ -358,7 +388,15 @@ def _synth_media_blob(doc_id: int, text: str) -> bytes:
     if kind == 1:
         return b"GIF89a" + struct.pack("<HH", w, h)
     if kind == 2:
-        return b"BM" + b"\x00" * 16 + struct.pack("<ii", w, h)
+        # valid BITMAPINFOHEADER size (40) at offset 14 — the sniffer
+        # validates the DIB header size, so an all-zero one would
+        # (correctly) classify as unknown
+        return (
+            b"BM"
+            + b"\x00" * 12
+            + struct.pack("<I", 40)
+            + struct.pack("<ii", w, h)
+        )
     if kind == 3:
         return (
             b"\xff\xd8"
@@ -432,7 +470,7 @@ def resize_image(blob: bytes, width: int, height: int) -> bytes:
 SELECT doc_id,
        64 AS target_w,
        64 AS target_h,
-       CAST(least(length(text), 64 * 64) AS BIGINT) AS resized_bytes
+       CAST(least(strlen(text), 64 * 64) AS BIGINT) AS resized_bytes  -- utf-8 bytes
 FROM documents
 """,
 )

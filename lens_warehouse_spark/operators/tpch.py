@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
 from lens_warehouse_spark.catalog import maybe_broadcast, table
-from lens_warehouse_spark.operators._helpers import money_sum, revenue
+from lens_warehouse_spark.operators._helpers import epoch_ms, money_sum, revenue
 from lens_warehouse_spark.registry import register
 
 
@@ -52,9 +52,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "l_orderkey",
             "revenue",
-            F.unix_millis(F.col("o_orderdate").cast("timestamp")).alias(
-                "orderdate_ms"
-            ),
+            epoch_ms("o_orderdate").alias("orderdate_ms"),
             "o_orderpriority",
         )
         .orderBy(F.col("revenue").desc(), "l_orderkey")
@@ -135,7 +133,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(od, li.l_orderkey == od.o_orderkey)
         .join(maybe_broadcast(cu, sf_dir, "customer"), od.o_custkey == cu.c_custkey)
         .groupBy("o_orderkey", "c_name")
-        .agg(F.round(F.sum("l_quantity")).cast("long").alias("total_qty"))
+        .agg(money_sum(F.col("l_quantity")).alias("total_qty"))
         .orderBy(F.col("total_qty").desc(), "o_orderkey")
         .limit(20)
     )
@@ -210,15 +208,16 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q11_important_stock",
     oracle="""
 SELECT s.s_nationkey AS nationkey,
-       CAST(round(sum(ps.total)) AS BIGINT) AS value
+       CAST(sum(ps.total_cents) AS BIGINT) AS value_cents
 FROM (
-  SELECT l_suppkey, sum(l_extendedprice) AS total
+  SELECT l_suppkey,
+         sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS total_cents
   FROM lineitem GROUP BY l_suppkey
 ) ps
 JOIN supplier s ON s.s_suppkey = ps.l_suppkey
 GROUP BY s.s_nationkey
-HAVING sum(ps.total) > (
-  SELECT sum(l_extendedprice) * 0.01 FROM lineitem
+HAVING sum(ps.total_cents) > (
+  SELECT sum(CAST(round(l_extendedprice * 100) AS BIGINT)) * 0.01 FROM lineitem
 )
 ORDER BY nationkey
 """,
@@ -229,15 +228,16 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT s.s_nationkey AS nationkey,
-               CAST(round(sum(ps.total)) AS BIGINT) AS value
+               CAST(sum(ps.total_cents) AS BIGINT) AS value_cents
         FROM (
-          SELECT l_suppkey, sum(l_extendedprice) AS total
+          SELECT l_suppkey,
+                 sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS total_cents
           FROM lws_q11_lineitem GROUP BY l_suppkey
         ) ps
         JOIN lws_q11_supplier s ON s.s_suppkey = ps.l_suppkey
         GROUP BY s.s_nationkey
-        HAVING sum(ps.total) > (
-          SELECT sum(l_extendedprice) * 0.01 FROM lws_q11_lineitem
+        HAVING sum(ps.total_cents) > (
+          SELECT sum(CAST(round(l_extendedprice * 100) AS BIGINT)) * 0.01 FROM lws_q11_lineitem
         )
         ORDER BY nationkey
         """
@@ -339,7 +339,13 @@ def q16_parts_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey")
     )
     return (
-        li.join(maybe_broadcast(deny, sf_dir, "supplier"), li.l_suppkey == deny.s_suppkey, "left_anti")
+        # NOT IN semantics, not NOT EXISTS: the oracle's NOT IN drops a
+        # NULL-keyed left row (NULL NOT IN (...) is NULL), while a bare
+        # left_anti would KEEP it. The denylist side (s_suppkey) is a
+        # non-null PK, so filtering the left key's nulls makes the two
+        # semantics coincide for any data.
+        li.filter(F.col("l_suppkey").isNotNull())
+        .join(maybe_broadcast(deny, sf_dir, "supplier"), li.l_suppkey == deny.s_suppkey, "left_anti")
         .join(maybe_broadcast(pa, sf_dir, "part"), li.l_partkey == pa.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
@@ -485,7 +491,7 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q22_BODY = """
 SELECT c.c_mktsegment,
        count(*) AS numcust,
-       CAST(round(sum(c.c_acctbal)) AS BIGINT) AS totacctbal
+       CAST(sum(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS BIGINT) AS totacctbal_cents
 FROM {customer} c
 WHERE c.c_acctbal > (
     SELECT avg(c2.c_acctbal) FROM {customer} c2 WHERE c2.c_acctbal > 0.0
@@ -624,9 +630,9 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")))
-            .cast("long")
-            .alias("revenue"),
+            money_sum(F.col("l_extendedprice") * F.col("l_discount")).alias(
+                "revenue"
+            ),
             F.count(F.lit(1)).alias("n_rows"),
         )
     )
@@ -757,7 +763,7 @@ WITH pavg AS (
   SELECT l_partkey, 0.2 * avg(l_quantity) AS lim
   FROM lineitem GROUP BY l_partkey
 )
-SELECT CAST(round(sum(l.l_extendedprice)) AS BIGINT) AS total_price,
+SELECT CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS total_price_cents,
        count(*) AS n_rows
 FROM lineitem l
 JOIN part p ON p.p_partkey = l.l_partkey
@@ -777,7 +783,10 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(pavg, li.l_partkey == F.col("a_partkey"))
         .filter(F.col("l_quantity") < F.col("lim"))
         .agg(
-            F.round(F.sum("l_extendedprice")).cast("long").alias("total_price"),
+            # exact integer cents (rule 3 caveat: 2-decimal sums)
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+            .cast("long")
+            .alias("total_price_cents"),
             F.count(F.lit(1)).alias("n_rows"),
         )
     )

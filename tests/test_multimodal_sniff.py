@@ -44,3 +44,77 @@ def test_decode_image_never_raises_on_garbage():
     for blob in (b"just some text", b"\x89PNG\r\n\x1a\n" + b"\x00" * 4, b""):
         fmt, _, _ = decode_image(blob)
         assert isinstance(fmt, str)
+
+
+def test_sniff_jpeg_fill_bytes_before_marker():
+    """Spec-legal 0xFF fill bytes before a marker must not desync the
+    segment walk (a fill byte consumed as a length jumped past SOF)."""
+    import struct
+
+    blob = (
+        b"\xff\xd8"
+        + b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+        + b"\xff"  # fill byte before the SOF marker
+        + b"\xff\xc0" + struct.pack(">H", 17) + b"\x08"
+        + struct.pack(">HH", 480, 640) + b"\x03" + b"\x00" * 9
+    )
+    assert sniff_media(blob) == ("jpeg", 640, 480)
+
+
+def test_sniff_jpeg_stops_at_sos():
+    """Entropy-coded data after SOS must not be parsed as segments — a
+    fake 0xFF 0xC0 byte pair inside scan data is not an SOF."""
+    import struct
+
+    blob = (
+        b"\xff\xd8"
+        + b"\xff\xda" + struct.pack(">H", 4) + b"\x01\x00"  # SOS
+        + b"\xff\xc0" + struct.pack(">H", 17) + b"\x08"      # fake SOF bytes
+        + struct.pack(">HH", 9, 9) + b"\x03" + b"\x00" * 9
+    )
+    assert sniff_media(blob) == ("jpeg", None, None)
+
+
+def test_sniff_bmp_core_header_and_prose():
+    """OS/2 BITMAPCOREHEADER stores 16-bit dims; 'BM'-prefixed prose is
+    not a bitmap (the DIB size field is validated)."""
+    import struct
+
+    core = (
+        b"BM" + b"\x00" * 12 + struct.pack("<I", 12) + struct.pack("<HH", 100, 200)
+    )
+    assert sniff_media(core) == ("bmp", 100, 200)
+    assert sniff_media(b"BMW cars are documented here at length")[0] == "unknown"
+
+
+def test_l8_byte_len_counts_utf8_bytes(spark, tmp_path_factory):
+    """byte_len must be utf-8 BYTES (len of the blob), and the frame
+    hash must cover the first 32 CHARACTERS — both diverge from char
+    counts only on non-ASCII text, which the testdata never contains."""
+    import os
+
+    from lens_warehouse_spark import registry
+
+    registry.load_all()
+    d = tmp_path_factory.mktemp("unicode_sf")
+    rows = [(1, "café au lait", "fr", "web", 12), (2, "plain ascii", "en", "web", 11)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(str(d), "documents.parquet")
+    )
+    out = {
+        r.doc_id: r.byte_len
+        for r in registry.QUERIES["l8_multimodal_features"](spark, str(d)).collect()
+    }
+    assert out == {1: 13, 2: 11}  # 'é' is 2 utf-8 bytes
+
+    import duckdb
+
+    oracle = dict(
+        duckdb.sql(
+            f"SELECT doc_id, CAST(strlen(text) AS BIGINT) FROM "
+            f"'{d}/documents.parquet/*.parquet'"
+        ).fetchall()
+    )
+    assert oracle == out
