@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import IntegerType, LongType
 
 from lens_warehouse_spark.catalog import TABLES, register_views, table
 from lens_warehouse_spark.operators.cohort import (
@@ -41,7 +42,6 @@ class LensWarehouse:
     def __init__(self, spark: SparkSession, sf_dir: str):
         self.spark = spark
         self.sf_dir = sf_dir
-        self._views_registered = False
 
     # -- catalog (ref: Datomic schema / entity browse) ---------------------
     def table(self, name: str) -> DataFrame:
@@ -51,10 +51,18 @@ class LensWarehouse:
         return list(TABLES)
 
     def sql(self, query: str) -> DataFrame:
-        """SQL over all ten tables as views (registered on first use)."""
-        if not self._views_registered:
+        """SQL over all ten tables as views.
+
+        Views are session-global, so registration is keyed on the
+        SESSION's current sf_dir, not a per-instance flag: two
+        LensWarehouse instances over different sf_dirs would otherwise
+        silently serve each other's data (the second instance's
+        createOrReplaceTempView wins, and the first's flag suppresses
+        re-registration)."""
+        tag_key = "lens_warehouse_spark.views_sf_dir"
+        if self.spark.conf.get(tag_key, None) != self.sf_dir:
             register_views(self.spark, self.sf_dir)
-            self._views_registered = True
+            self.spark.conf.set(tag_key, self.sf_dir)
         return self.spark.sql(query)
 
     # -- cohort queries (ref: the flagship capability) ---------------------
@@ -143,12 +151,14 @@ class LensWarehouse:
 
     def ann(self, k: int = 3, multiprobe: bool = True) -> DataFrame:
         """Approximate top-k via hyperplane LSH buckets (optionally
-        multi-probe at Hamming distance 1) for probe vectors vec_id<5."""
-        from lens_warehouse_spark.registry import QUERIES, load_all
+        multi-probe at Hamming distance 1) for probe vectors vec_id<5.
 
-        load_all()
-        name = "l3g_ann_lsh_multiprobe" if multiprobe else "l3c_ann_lsh"
-        return QUERIES[name](self.spark, self.sf_dir).filter(F.col("rn") <= k)
+        k is threaded into the shared plan itself — filtering the
+        REGISTERED queries (which pin rn <= 3 for their oracles) capped
+        every request at 3 silently."""
+        from lens_warehouse_spark.llm.vector import ann_lsh
+
+        return ann_lsh(self.spark, self.sf_dir, k=k, multiprobe=multiprobe)
 
     def train_ivf_codebook(self, k: int = 16, iters: int = 3) -> DataFrame:
         """Spherical-k-means IVF codebook over the embeddings table."""
@@ -176,10 +186,26 @@ class LensWarehouse:
     # -- sketches / layout / CDC ------------------------------------------
     def heavy_hitters(self, table_name: str = "events", key: str = "user_id", k: int = 140) -> DataFrame:
         """Exact keys with count > n/k via per-partition Misra-Gries
-        candidate summaries + exact recount (operators.aggregates.a16)."""
-        from lens_warehouse_spark.operators.aggregates import _mg_summaries
+        candidate summaries + exact recount (operators.aggregates.a16).
 
+        ``k`` must not exceed the summary capacity: MG with capacity C
+        only guarantees survival of keys with count > n/(C+1), so a
+        larger k would silently miss true heavy hitters. Integer keys
+        only (the summary schema is a long column)."""
+        from lens_warehouse_spark.operators.aggregates import _HH_K, _mg_summaries
+
+        if k > _HH_K:
+            raise ValueError(
+                f"k={k} exceeds the Misra-Gries summary capacity {_HH_K}; "
+                "the candidate set would not be a superset of the true "
+                "heavy hitters"
+            )
         src = self.table(table_name).select(F.col(key).alias("user_id"))
+        if not isinstance(src.schema["user_id"].dataType, (LongType, IntegerType)):
+            raise TypeError(
+                f"heavy_hitters requires an integer key column; {key!r} is "
+                f"{src.schema['user_id'].dataType.simpleString()}"
+            )
         candidates = src.mapInPandas(_mg_summaries, "user_id long").distinct()
         total = src.groupBy().agg(F.count(F.lit(1)).alias("n_total"))
         return (
@@ -205,7 +231,10 @@ class LensWarehouse:
         n = new.select(key, *compare).alias("n")
         changed = F.lit(False)
         for c in compare:
-            changed = changed | (F.col(f"o.{c}") != F.col(f"n.{c}"))
+            # null-safe: a value changing to or from NULL IS a change;
+            # plain != evaluates to NULL there and the filter would
+            # silently drop the row from the change set
+            changed = changed | ~F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}"))
         return (
             o.join(n, F.col(f"o.{key}") == F.col(f"n.{key}"), "full_outer")
             .filter(

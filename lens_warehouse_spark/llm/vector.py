@@ -204,17 +204,44 @@ def lsh_bucket(emb_col: str) -> Column:
 @register("l3c_ann_lsh")
 def l3c_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 same-bucket neighbors for query vectors vec_id < 5."""
+    return ann_lsh(spark, sf_dir, k=3, multiprobe=False)
+
+
+def ann_lsh(
+    spark: SparkSession, sf_dir: str, k: int = 3, multiprobe: bool = False
+) -> DataFrame:
+    """Parameterized hyperplane-LSH ANN (the shared plan behind l3c and
+    l3g, and the engine facade's ``ann(k)``): probe vectors vec_id < 5
+    against same-bucket candidates, optionally multi-probing the
+    N_PLANES buckets at Hamming distance 1. The registered queries pin
+    k=3 for their oracles; the facade threads any k through — the top-k
+    filter must live HERE, not above a fixed rn <= 3, or a facade
+    k > 3 silently returns 3."""
     emb = table(spark, sf_dir, "embeddings").withColumn(
         "bucket", lsh_bucket("embedding")
     )
-    q = emb.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("q_emb"),
-        F.col("bucket").alias("q_bucket"),
-    )
+    if multiprobe:
+        probe_buckets = F.array(
+            F.col("bucket"),
+            *[F.col("bucket").bitwiseXOR(F.lit(2**i)) for i in range(N_PLANES)],
+        )
+        q = emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.explode(probe_buckets).alias("q_bucket"),
+        )
+    else:
+        q = emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("bucket").alias("q_bucket"),
+        )
     cand = emb.filter(F.col("vec_id") >= 5).select(
         F.col("vec_id").alias("neighbor_id"), "embedding", "bucket"
     )
+    # No dedup needed even multiprobe: a candidate carries ONE bucket
+    # value and a query's probe buckets are pairwise distinct, so each
+    # (query, neighbor) pair matches at most one probe row.
     scored = cand.join(
         F.broadcast(q), F.col("bucket") == F.col("q_bucket")
     ).select(
@@ -223,7 +250,7 @@ def l3c_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), "neighbor_id")
     return (
         scored.withColumn("rn", F.row_number().over(w).cast("long"))
-        .filter(F.col("rn") <= 3)
+        .filter(F.col("rn") <= k)
         .orderBy("query_id", "rn")
     )
 
@@ -481,45 +508,7 @@ def l3f_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @register("l3g_ann_lsh_multiprobe")
 def l3g_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = table(spark, sf_dir, "embeddings").withColumn(
-        "bucket", lsh_bucket("embedding")
-    )
-    probe_buckets = F.array(
-        F.col("bucket"),
-        *[
-            F.col("bucket").bitwiseXOR(F.lit(2**i))
-            for i in range(N_PLANES)
-        ],
-    )
-    q = (
-        emb.filter(F.col("vec_id") < 5)
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("embedding").alias("q_emb"),
-            F.explode(probe_buckets).alias("q_bucket"),
-        )
-    )
-    cand = emb.filter(F.col("vec_id") >= 5).select(
-        F.col("vec_id").alias("neighbor_id"), "embedding", "bucket"
-    )
-    # No dedup needed: a candidate carries exactly ONE bucket value and
-    # a query's probe buckets (bucket, bucket^1, ..., bucket^2^(p-1))
-    # are pairwise distinct, so each (query, neighbor) pair matches at
-    # most one probe row — a distinct() here would add a full
-    # shuffle+dedup of the scored set for no behavioral effect.
-    scored = cand.join(
-        F.broadcast(q), F.col("bucket") == F.col("q_bucket")
-    ).select(
-        "query_id",
-        "neighbor_id",
-        F.round(dot("q_emb", "embedding"), 6).alias("cos"),
-    )
-    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), "neighbor_id")
-    return (
-        scored.withColumn("rn", F.row_number().over(w).cast("long"))
-        .filter(F.col("rn") <= 3)
-        .orderBy("query_id", "rn")
-    )
+    return ann_lsh(spark, sf_dir, k=3, multiprobe=True)
 
 
 # ---------------------------------------------------------------------------

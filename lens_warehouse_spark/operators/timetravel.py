@@ -527,6 +527,12 @@ def expire_snapshots(base: str, keep_last: int) -> list[int]:
     window IS the time-travel horizon."""
     import shutil
 
+    # Validate up front: entries[:-0] is entries[:0] (python slicing),
+    # so keep_last=0 would silently keep EVERYTHING and negative values
+    # invert the semantics — the old "if not keep" guard only ever
+    # fired on an empty manifest.
+    if keep_last < 1:
+        raise ValueError(f"keep_last must be >= 1, got {keep_last}")
     manifest = os.path.join(base, "manifest.json")
     with open(manifest) as fh:
         entries = json.load(fh)

@@ -22,6 +22,9 @@ token, the scalable alternative to OFFSET.
 
 from __future__ import annotations
 
+import datetime
+import math
+
 from typing import Any
 
 from pyspark.sql import DataFrame
@@ -79,10 +82,23 @@ def atom_from_json(obj: dict[str, Any]) -> Atom:
         elif k in _NUM_FIELDS:
             if isinstance(v, bool) or not isinstance(v, (int, float)):
                 raise ValueError(f"field {k!r} must be a number")
+            if isinstance(v, float) and not math.isfinite(v):
+                # NaN/inf pass isinstance(float) but compile to
+                # always-false comparisons — a silently empty cohort
+                raise ValueError(f"field {k!r} must be a finite number")
             kwargs[k] = v
         elif k in _DATE_FIELDS:
             if not isinstance(v, str):
                 raise ValueError(f"field {k!r} must be a 'YYYY-MM-DD' string")
+            # Validate the VALUE, not just the type: a malformed date
+            # casts to NULL in the predicate and silently empties the
+            # cohort instead of 400ing at the wire.
+            try:
+                datetime.date.fromisoformat(v)
+            except ValueError:
+                raise ValueError(
+                    f"field {k!r} must be a valid 'YYYY-MM-DD' date, got {v!r}"
+                ) from None
             kwargs[k] = v
         else:  # unreachable while allowed == union of the three sets
             kwargs[k] = v
@@ -176,13 +192,28 @@ def paginate(
 
     Keyset beats OFFSET at scale: the predicate pushes into the scan, so
     page N costs the same as page 1 instead of skipping N*page_size rows.
+
+    CONTRACT: ``key_col`` must be UNIQUE and NON-NULL (a primary key).
+    The strictly-greater continuation filter silently skips any rows
+    sharing the last-served key, and a NULL key cannot be encoded in
+    the token — both are rejected loudly rather than dropped.
     """
+    if page_size <= 0:
+        raise ValueError(f"page_size must be positive, got {page_size}")
     q = df
     if after is not None:
         q = q.filter(F.col(key_col) > F.lit(after))
     rows = q.orderBy(key_col).limit(page_size + 1).collect()
     page = rows[:page_size]
-    next_token = page[-1][key_col] if len(rows) > page_size else None
+    if len(rows) > page_size:
+        next_token = page[-1][key_col]
+        if next_token is None:
+            raise ValueError(
+                f"paginate requires non-null {key_col!r} values: a NULL in "
+                "the token slot would silently end pagination early"
+            )
+    else:
+        next_token = None
     return page, next_token
 
 
@@ -251,6 +282,12 @@ def _transit_decode_str(s: str, cache: list[str], as_map_key: bool):
     else:
         out = s
     if cacheable:
+        # Spec behavior: the writer CLEARS its cache when full (44*44
+        # entries) and restarts codes at ^0 — a decoder that keeps
+        # appending resolves post-reset refs against the stale cache
+        # and silently returns the wrong value on large payloads.
+        if len(cache) >= _CACHE_BASE * _CACHE_BASE:
+            cache.clear()
         cache.append(out)  # decoded form; later "^N" refs resolve to it
     return out
 

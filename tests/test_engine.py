@@ -244,3 +244,58 @@ def test_pin_lifecycle(spark):
     assert b.storageLevel.useMemory
     b.unpersist()
     c2.unpersist()
+
+
+def test_ann_k_threads_through(spark):
+    """ann(k) must return up to k neighbors, not silently cap at the
+    registered query's fixed top-3."""
+    from lens_warehouse_spark.engine import LensWarehouse
+
+    lw = LensWarehouse(spark, "/root/testdata/sf0.001")
+    per_query = (
+        lw.ann(k=6, multiprobe=True)
+        .groupBy("query_id")
+        .count()
+        .collect()
+    )
+    assert max(r["count"] for r in per_query) > 3
+
+
+def test_heavy_hitters_k_capacity_guard(spark):
+    from lens_warehouse_spark.engine import LensWarehouse
+
+    lw = LensWarehouse(spark, "/root/testdata/sf0.001")
+    import pytest
+
+    with pytest.raises(ValueError, match="capacity"):
+        lw.heavy_hitters(k=10_000)
+    with pytest.raises(TypeError, match="integer key"):
+        lw.heavy_hitters("events", key="event_type")
+
+
+def test_snapshot_diff_null_transitions(spark):
+    """A value changing to or from NULL is a change — null-unsafe !=
+    silently dropped those rows."""
+    from lens_warehouse_spark.engine import LensWarehouse
+
+    lw = LensWarehouse(spark, "/root/testdata/sf0.001")
+    old = spark.createDataFrame([(1, 5.0), (2, 7.0)], "k long, price double")
+    new = spark.createDataFrame([(1, None), (2, 7.0)], "k long, price double")
+    out = {
+        r["k"]: r["change_type"]
+        for r in lw.snapshot_diff(old, new, "k", ["price"]).collect()
+    }
+    assert out == {1: "U"}
+
+
+def test_sql_views_follow_instance_sf_dir(spark):
+    """Two facades over different sf_dirs must not serve each other's
+    data through the session-global views."""
+    from lens_warehouse_spark.engine import LensWarehouse
+
+    lw_small = LensWarehouse(spark, "/root/testdata/sf0.001")
+    lw_big = LensWarehouse(spark, "/root/testdata/sf0.01")
+    n_small = lw_small.sql("SELECT count(*) AS n FROM orders").collect()[0]["n"]
+    n_big = lw_big.sql("SELECT count(*) AS n FROM orders").collect()[0]["n"]
+    n_small_again = lw_small.sql("SELECT count(*) AS n FROM orders").collect()[0]["n"]
+    assert n_small == n_small_again != n_big

@@ -66,3 +66,29 @@ def test_expired_snapshot_no_longer_resolvable(spark):
     with pytest.raises(ValueError):
         asof_read(spark, base, 1_500)  # v0's window — expired
     assert asof_read(spark, base, 2_500).count() > 0  # v1 survives
+
+
+def test_expire_snapshots_rejects_nonpositive_keep(tmp_path):
+    """entries[:-0] is entries[:0], so keep_last=0 silently kept
+    everything and negative values inverted the semantics — both must
+    raise up front."""
+    import json
+    import os
+
+    import pytest
+
+    from lens_warehouse_spark.operators.timetravel import expire_snapshots
+
+    base = str(tmp_path)
+    with open(os.path.join(base, "manifest.json"), "w") as fh:
+        json.dump(
+            [{"version": v, "commit_ms": v, "path": os.path.join(base, f"v{v}")}
+             for v in range(3)],
+            fh,
+        )
+    for bad in (0, -1):
+        with pytest.raises(ValueError, match="keep_last"):
+            expire_snapshots(base, keep_last=bad)
+    # manifest untouched by the rejected calls
+    with open(os.path.join(base, "manifest.json")) as fh:
+        assert len(json.load(fh)) == 3

@@ -447,3 +447,52 @@ def test_transit_total_on_arbitrary_json(doc):
         transit_parse(json.dumps(doc))
     except ValueError:
         pass
+
+
+def test_atom_rejects_malformed_date_and_nan():
+    """A malformed date or non-finite number must 400 at the wire, not
+    compile into an always-NULL/false predicate (silently empty cohort)."""
+    import pytest
+
+    from lens_warehouse_spark.operators.wire import atom_from_json
+
+    with pytest.raises(ValueError, match="valid 'YYYY-MM-DD'"):
+        atom_from_json({"type": "order", "date_from": "not-a-date"})
+    with pytest.raises(ValueError, match="valid 'YYYY-MM-DD'"):
+        atom_from_json({"type": "order", "date_to": "2024-13-99"})
+    with pytest.raises(ValueError, match="finite"):
+        atom_from_json({"type": "order", "min_total": float("nan")})
+    with pytest.raises(ValueError, match="finite"):
+        atom_from_json({"type": "subject", "min_balance": float("inf")})
+    # valid payloads still parse
+    atom_from_json({"type": "order", "date_from": "2024-02-29", "min_total": 5.0})
+
+
+def test_paginate_rejects_bad_page_size(spark):
+    import pytest
+
+    from lens_warehouse_spark.operators.wire import paginate
+
+    df = spark.createDataFrame([(1,), (2,)], "k long")
+    with pytest.raises(ValueError, match="positive"):
+        paginate(df, "k", 0)
+    with pytest.raises(ValueError, match="positive"):
+        paginate(df, "k", -3)
+
+
+def test_transit_cache_resets_when_full():
+    """The transit writer clears its cache at 44*44 entries and restarts
+    codes at ^0; the decoder must mirror that or post-reset refs resolve
+    against the stale cache."""
+    import json
+
+    from lens_warehouse_spark.operators.wire import transit_parse
+
+    cap = 44 * 44
+    # cap cacheable keywords fill the cache, then one more triggers the
+    # reset; "^0" afterwards must resolve to the POST-reset entry.
+    filler = [f"~:kw{i:04d}" for i in range(cap)]
+    payload = json.dumps(filler + ["~:fresh", "^0"])
+    out = transit_parse(payload)
+    assert out[-1] == "fresh"
+    assert out[-2] == "fresh"
