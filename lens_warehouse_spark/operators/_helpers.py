@@ -139,8 +139,23 @@ def epoch_ms(col: Column | str) -> Column:
 
 
 def money_sum(expr: Column) -> Column:
-    """Large double sum -> integer-rounded BIGINT (parity rule 3)."""
+    """Large double sum -> integer-rounded BIGINT (parity rule 3).
+
+    NOT for raw 2-decimal money columns: their exact group sum CAN land
+    dead on x.50, where the integer round becomes an accumulation-order
+    coin flip between engines (observed at sf0.1, registry rule 3
+    caveat) — use :func:`cents_sum` for those. Safe for integral-valued
+    columns and multi-decimal products, where a .50 landing is
+    measure-zero rather than a natural lattice point.
+    """
     return F.round(F.sum(expr)).cast("long")
+
+
+def cents_sum(expr: Column) -> Column:
+    """Exact integer-cent sum of a 2-decimal money column (parity rule
+    3 caveat): per-row round(x*100) is exact, the integer sum is
+    order-free, and no double ever crosses the engine boundary."""
+    return F.sum(F.round(expr * 100).cast("long")).cast("long")
 
 
 def avg4(expr: Column | str) -> Column:

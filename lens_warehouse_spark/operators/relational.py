@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from lens_warehouse_spark.catalog import table
-from lens_warehouse_spark.operators._helpers import avg4, epoch_ms, money_sum, revenue
+from lens_warehouse_spark.operators._helpers import avg4, cents_sum, epoch_ms, money_sum, revenue
 from lens_warehouse_spark.registry import register
 
 
@@ -32,7 +32,7 @@ SELECT
   l_returnflag,
   l_linestatus,
   CAST(round(sum(l_quantity)) AS BIGINT)  AS sum_qty,
-  CAST(round(sum(l_extendedprice)) AS BIGINT) AS sum_base_price,
+  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_price_cents,
   CAST(round(sum(l_extendedprice * (1 - l_discount))) AS BIGINT) AS sum_disc_price,
   CAST(round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))) AS BIGINT) AS sum_charge,
   round(avg(l_quantity), 4) AS avg_qty,
@@ -52,7 +52,8 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             money_sum(F.col("l_quantity")).alias("sum_qty"),
-            money_sum(F.col("l_extendedprice")).alias("sum_base_price"),
+            # exact cents: raw 2-decimal column (rule 3 caveat)
+            cents_sum(F.col("l_extendedprice")).alias("sum_base_price_cents"),
             money_sum(revenue()).alias("sum_disc_price"),
             money_sum(revenue() * (F.lit(1) + F.col("l_tax"))).alias("sum_charge"),
             avg4("l_quantity").alias("avg_qty"),

@@ -37,7 +37,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from lens_warehouse_spark.catalog import table
-from lens_warehouse_spark.operators._helpers import money_sum
+from lens_warehouse_spark.operators._helpers import cents_sum, money_sum
 from lens_warehouse_spark.registry import register
 
 # Deterministic commit timeline for the test snapshots (epoch ms).
@@ -271,7 +271,7 @@ WITH code_list(code, label) AS (
          ('4-NOT SPECIFIED', 'Not specified'), ('5-LOW', 'Low')
 )
 SELECT cl.label, count(*) AS n_orders,
-       CAST(round(sum(o.o_totalprice)) AS BIGINT) AS total_price
+       CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_price_cents
 FROM orders o
 JOIN code_list cl ON o.o_orderpriority = cl.code
 GROUP BY cl.label
@@ -286,7 +286,7 @@ def s11_codelist_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            money_sum(F.col("o_totalprice")).alias("total_price"),
+            cents_sum(F.col("o_totalprice")).alias("total_price_cents"),
         )
         .orderBy("label")
     )
@@ -407,7 +407,7 @@ def s13_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT o.o_orderstatus,
        count(*) AS n_items,
-       CAST(round(sum(l.l_extendedprice)) AS BIGINT) AS total_price
+       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS total_price_cents
 FROM lineitem l
 JOIN orders o ON l.l_orderkey = o.o_orderkey
 GROUP BY o.o_orderstatus
@@ -465,7 +465,7 @@ def s14_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderstatus")
         .agg(
             F.count(F.lit(1)).alias("n_items"),
-            F.round(F.sum("l_extendedprice")).cast("long").alias("total_price"),
+            cents_sum(F.col("l_extendedprice")).alias("total_price_cents"),
         )
         .orderBy("o_orderstatus")
     )

@@ -146,7 +146,10 @@ WINDOW w AS (ORDER BY c_acctbal, c_custkey)
 def w5_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     cu = table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
     ranked = global_rank(cu, ["c_acctbal", "c_custkey"], rank_col="__gr")
-    total = ranked.agg(F.count(F.lit(1)).alias("__total"))
+    # Count the RAW input: global_rank preserves cardinality, and
+    # counting its output would re-execute the whole rank plan
+    # (range shuffle + window + offsets join) for one scalar.
+    total = cu.agg(F.count(F.lit(1)).alias("__total"))
     r = F.col("__gr")
     n = F.col("__total")
     k = F.lit(4)
@@ -257,8 +260,6 @@ ORDER BY o_orderkey
 """,
 )
 def w7_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     od = table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 50)
     w = Window.orderBy("o_totalprice", "o_orderkey")
     return (

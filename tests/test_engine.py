@@ -159,7 +159,7 @@ def test_engine_round4_surface(spark):
     assert p90.columns == ["event_type", "p90_value", "n"]
     assert p90.count() == 5
     sj = lw.skewed_join()
-    assert sj.columns == ["c_mktsegment", "n_orders", "total_price"]
+    assert sj.columns == ["c_mktsegment", "n_orders", "total_price_cents"]
     q = lw.cohort_from_transit(
         '["^ ","~:include",[[["^ ","~:type","~:order",'
         '"~:priorities",["1-URGENT"]]]]]'
