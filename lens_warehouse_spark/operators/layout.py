@@ -76,10 +76,39 @@ def zorder_df(df: DataFrame, cols: list[str], bits: int = 8, n_files: int = 8) -
     in the plan, plenty for file-level skipping; row-group boundaries
     only need rank granularity finer than n_files * row_groups/file).
     """
+    if len(cols) * bits > 63:
+        # Bit 63 is the BIGINT sign bit: an interleaved rank bit landing
+        # there flips z negative (and Java shifts wrap mod 64 beyond),
+        # so high-rank rows would range-partition BEFORE low-rank ones
+        # and the clustering silently inverts.
+        raise ValueError(
+            f"zorder_df: {len(cols)} cols x {bits} bits = "
+            f"{len(cols) * bits} interleaved bits exceeds the 63 usable "
+            "bits of the BIGINT z-value; lower bits or cols"
+        )
+    for helper in ("__ranks", "__z"):
+        if helper in df.columns:
+            raise ValueError(
+                f"zorder_df reserves the {helper!r} column name; rename "
+                "the input column (it would be silently dropped)"
+            )
     nq = 1 << bits
     probs = [i / nq for i in range(1, nq)]
-    casted = df.select(*[F.col(c).cast("double").alias(c) for c in cols])
+    # try_cast: under ANSI a malformed string ABORTS the quantile job
+    # mid-stage; tolerating it to NULL lets the empty-boundaries check
+    # below produce the clear contract error instead
+    casted = df.select(*[F.col(c).try_cast("double").alias(c) for c in cols])
     quantiles = casted.stat.approxQuantile(cols, probs, 0.001)
+    for c, qs in zip(cols, quantiles):
+        if not qs:
+            # approxQuantile returns [] for an all-null (e.g. a string
+            # column nulled by the double cast) dimension — every rank
+            # would be 0 and the dimension silently drops out of the
+            # curve while the caller believes it is clustered.
+            raise ValueError(
+                f"zorder_df: column {c!r} has no numeric values "
+                "(non-castable or all-null); cast it explicitly first"
+            )
     ranks = [_equidepth_rank(c, qs) for c, qs in zip(cols, quantiles)]
     z = df.withColumn("__ranks", F.array(*ranks)).withColumn(
         "__z", F.expr(zorder_expr("__ranks", len(cols), bits))

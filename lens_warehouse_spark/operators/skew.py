@@ -26,11 +26,31 @@ def salted_join(
 ) -> DataFrame:
     """Equi-join ``big ⋈ small`` on ``key`` with salt fan-out.
 
-    ``big`` gets a random-ish salt per row (derived from xxhash64 of all
-    columns — deterministic for deterministic input); ``small`` is
-    replicated once per salt value.
+    ``big`` gets a per-row salt; ``small`` is replicated once per salt
+    value. Only join types where the replicated small side cannot leak
+    extra rows are accepted: for right/full outer joins every
+    non-matching salt replica of a small-side row would survive as a
+    spurious null-padded output row, so those raise instead of
+    returning silently duplicated data.
     """
-    salt = F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(n_salts))
+    if how not in ("inner", "left", "left_outer", "left_semi", "left_anti"):
+        raise ValueError(
+            f"salted_join does not support how={how!r}: the exploded "
+            "small side would emit one null-padded row per non-matching "
+            "salt replica"
+        )
+    if "__salt" in big.columns or "__salt" in small.columns:
+        raise ValueError(
+            "salted_join reserves the '__salt' column name; rename the "
+            "input column (it would be silently overwritten and dropped)"
+        )
+    # Row-position salt, NOT a hash of the row's values: a hot key whose
+    # rows are duplicates (or where big carries only the key) would
+    # hash to ONE salt and re-create the single-task hotspot while
+    # still paying the small-side explosion. Salt choice never affects
+    # join results (small is replicated across ALL salts), so the
+    # non-reproducible id is safe here.
+    salt = F.pmod(F.monotonically_increasing_id(), F.lit(n_salts))
     big_salted = big.withColumn("__salt", salt)
     small_exploded = small.withColumn(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))

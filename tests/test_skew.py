@@ -35,3 +35,43 @@ def test_salted_left_join_keeps_unmatched(spark):
     small = spark.createDataFrame([(1, "a")], "k long, name string")
     out = {(r.k, r.payload, r.name) for r in salted_join(big, small, "k", 4, "left").collect()}
     assert out == {(1, 10, "a"), (99, 20, None)}
+
+
+def test_salted_join_rejects_outer_and_reserved(spark):
+    """Right/full outer would emit a null-padded row per non-matching
+    salt replica; a pre-existing __salt payload column would be silently
+    clobbered — both must raise."""
+    import pytest
+
+    from lens_warehouse_spark.operators.skew import salted_join
+
+    big = spark.createDataFrame([(1, 10)], "k long, v long")
+    small = spark.createDataFrame([(1, "a")], "k long, name string")
+    for how in ("right", "full", "outer"):
+        with pytest.raises(ValueError, match="does not support"):
+            salted_join(big, small, "k", 4, how)
+    clash = spark.createDataFrame([(1, 0)], "k long, __salt long")
+    with pytest.raises(ValueError, match="reserves"):
+        salted_join(clash, small, "k", 4)
+
+
+def test_salted_join_spreads_duplicate_rows(spark):
+    """A hot key whose rows are duplicates (big carries only the key)
+    must still spread across salts — a value-derived salt collapsed them
+    onto one (key, salt) partition."""
+    from pyspark.sql import functions as F
+
+    from lens_warehouse_spark.operators.skew import salted_join
+
+    big = spark.createDataFrame([(1,)] * 400, "k long")
+    small = spark.createDataFrame([(1, "hot")], "k long, name string")
+    out = salted_join(big, small, "k", n_salts=8)
+    assert out.count() == 400
+    # inspect the salt spread via the same expression the join uses
+    salts = (
+        big.withColumn("s", F.pmod(F.monotonically_increasing_id(), F.lit(8)))
+        .select("s")
+        .distinct()
+        .count()
+    )
+    assert salts > 1

@@ -83,3 +83,18 @@ def test_query_results_identical(spark, layouts):
         .count()
     )
     assert got == want
+
+
+def test_zorder_rejects_overflow_reserved_and_degenerate(spark):
+    import pytest
+    from lens_warehouse_spark.operators.layout import zorder_df
+
+    df = spark.createDataFrame([(float(i), i % 7, "x") for i in range(50)],
+                               "a double, b long, s string")
+    with pytest.raises(ValueError, match="63 usable"):
+        zorder_df(df, ["a"] * 8, bits=8)  # 64 bits hits the sign bit
+    clash = df.withColumnRenamed("s", "__z")
+    with pytest.raises(ValueError, match="reserves"):
+        zorder_df(clash, ["a"])
+    with pytest.raises(ValueError, match="no numeric"):
+        zorder_df(df, ["a", "s"])  # string dim nulls out under the cast
