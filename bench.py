@@ -75,40 +75,51 @@ def main() -> None:
     # JVM JIT + whole-stage-codegen compilation happen outside the timed
     # region. Timed runs below execute at the target SF only.
     warm_dir = "/root/testdata/sf0.001"
-    if os.path.isdir(warm_dir) and warm_dir != sf_dir:
-        # Two passes: one compile pass is not enough for the JIT to
-        # reach steady state on the widest plans (l2's banded self-join
-        # measured ~1.8 s cold vs 1.26 s steady with a single pass).
-        for _pass in range(2):
-            for name in HEADLINE:
-                try:
-                    registry.QUERIES[name](spark, warm_dir).count()
-                except Exception:  # noqa: BLE001 - warmup is best-effort
-                    pass
+    if warm_dir != sf_dir:
+        # Two passes (shared helper with tools/volume_bench.py): one
+        # compile pass is not enough for the JIT to reach steady state
+        # on the widest plans (l2's banded self-join measured ~1.8 s
+        # cold vs 1.26 s steady with a single pass).
+        from tools.volume_bench import warm_plans
+
+        warm_plans(spark, HEADLINE, warm_dir)
 
     # POWER run: isolated per-query timings.
     timings: dict[str, float] = {}
+    failed: list[str] = []
     for name in HEADLINE:
         fn = registry.QUERIES[name]
         best = float("inf")
-        for _rep in range(3):  # best-of-3: report steady-state, not jitter
-            spark.catalog.clearCache()  # no cross-rep cache assists
-            t0 = time.perf_counter()
-            df = fn(spark, sf_dir)
-            df.count()
-            best = min(best, time.perf_counter() - t0)
+        try:
+            for _rep in range(3):  # best-of-3: report steady-state
+                spark.catalog.clearCache()  # no cross-rep cache assists
+                t0 = time.perf_counter()
+                df = fn(spark, sf_dir)
+                df.count()
+                best = min(best, time.perf_counter() - t0)
+        except Exception as exc:  # noqa: BLE001 - headline must survive
+            # One failing query must not abort the whole bench: the
+            # driver parses the LAST stdout line, so dying here records
+            # NO metric at all even when 24/25 queries succeeded.
+            print(f"bench query {name} failed: {exc!r}", file=sys.stderr)
+            failed.append(name)
+            continue
         timings[name] = round(best, 3)
 
     # THROUGHPUT run: the full batch as concurrent streams.
     def run_one(name: str) -> None:
-        registry.QUERIES[name](spark, sf_dir).count()
+        try:
+            registry.QUERIES[name](spark, sf_dir).count()
+        except Exception as exc:  # noqa: BLE001 - headline must survive
+            print(f"bench stream {name} failed: {exc!r}", file=sys.stderr)
 
+    live = [n for n in HEADLINE if n not in failed]
     batch_best = float("inf")
     for _rep in range(3):
         spark.catalog.clearCache()
         t0 = time.perf_counter()
         with ThreadPoolExecutor(max_workers=STREAMS) as pool:
-            list(pool.map(run_one, HEADLINE))
+            list(pool.map(run_one, live))
         batch_best = min(batch_best, time.perf_counter() - t0)
 
     # Second SF point: the volume-bearing subset at a deterministic 10x
@@ -120,18 +131,24 @@ def main() -> None:
     # embedded volume_scaling pushed the one JSON line past that capture
     # (BENCH_r04.json recorded parsed:null). The headline line must stay
     # compact and LAST.
+    vol_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "VOLUME.json"
+    )
+    # Remove any previous run's artifact FIRST and UNCONDITIONALLY: a
+    # stale VOLUME.json surviving a disabled or failed attempt is
+    # indistinguishable from fresh output.
+    if os.path.exists(vol_path):
+        os.remove(vol_path)
     if os.environ.get("SPARK_GRAFT_VOLSCALE", "1") != "0":
-        vol_path = os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), "VOLUME.json"
-        )
         try:
-            # Remove any previous run's artifact FIRST: a stale
-            # VOLUME.json surviving a failed attempt is indistinguishable
-            # from fresh output.
-            if os.path.exists(vol_path):
-                os.remove(vol_path)
-            from tools.volume_bench import volume_scaling_report
+            from tools.volume_bench import (
+                VOLUME_SUBSET,
+                volume_scaling_report,
+                warm_plans,
+            )
 
+            # warm the volume queries NOT in HEADLINE (l31) too
+            warm_plans(spark, [n for n in VOLUME_SUBSET if n not in HEADLINE])
             volume_scaling = volume_scaling_report(spark, sf_dir, mult=10)
             with open(vol_path, "w") as fh:
                 json.dump(volume_scaling, fh, indent=1)

@@ -29,9 +29,14 @@ from lens_warehouse_spark.session import get_spark
 def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
     for t in TABLES:
+        path = f"{sf_dir}/{t}.parquet"
+        # Spark-written staging dirs (volume_bench's scaled twins) are
+        # DIRECTORIES of part files — glob them so parity can verify
+        # the exact bytes the volume harness measures.
+        src = f"{path}/*.parquet" if os.path.isdir(path) else path
         con.execute(
             f"CREATE OR REPLACE VIEW {t} AS "
-            f"SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            f"SELECT * FROM read_parquet('{src}')"
         )
     return con
 
@@ -88,6 +93,13 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     registry.load_all()
     only = set(sys.argv[2:])
+    unknown = only - set(registry.QUERIES)
+    if unknown:
+        # A misspelled name silently filtering to '0/0 pass' (exit 0)
+        # would let a CI step conclude parity holds for a query that
+        # never ran.
+        print(f"unknown query name(s): {sorted(unknown)}", file=sys.stderr)
+        return 2
     names = [n for n in registry.QUERIES if not only or n in only]
 
     if os.environ.get("PARITY_DEFAULT_SESSION"):

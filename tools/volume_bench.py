@@ -66,12 +66,15 @@ def ensure_scaled_dir(base_sf_dir: str, mult: int, spark=None) -> str:
     is fair to both."""
     from pyspark.sql import functions as F
 
-    st = os.stat(os.path.join(base_sf_dir, "documents.parquet"))
-    # v2: multi-file layout — the tag version invalidates v1 (single
-    # giant file) stagings, which are also evicted below
+    # Tag covers BOTH scaled sources: stating only documents let an
+    # events-only testdata refresh silently reuse stale staged events.
+    st_d = os.stat(os.path.join(base_sf_dir, "documents.parquet"))
+    st_e = os.stat(os.path.join(base_sf_dir, "events.parquet"))
+    # v3: events in the fingerprint (invalidates v2); v1 = single file
     tag = (
         f"{base_sf_dir.strip('/').replace('/', '_')}"
-        f"_x{mult}_v2_{st.st_size}_{int(st.st_mtime)}"
+        f"_x{mult}_v3_{st_d.st_size}_{int(st_d.st_mtime)}"
+        f"_{st_e.st_size}_{int(st_e.st_mtime)}"
     )
     out = os.path.join(tempfile.gettempdir(), f"lws_volscale_{tag}")
     marker = os.path.join(out, "_COMPLETE")
@@ -83,7 +86,7 @@ def ensure_scaled_dir(base_sf_dir: str, mult: int, spark=None) -> str:
     for stale in glob.glob(os.path.join(tempfile.gettempdir(), "lws_volscale_*")):
         name = os.path.basename(stale)
         same_target = name.startswith(f"lws_volscale_{base_part}_x{mult}_")
-        old_layout = "_v2_" not in name
+        old_layout = "_v3_" not in name
         if stale != out and (same_target or old_layout):
             shutil.rmtree(stale, ignore_errors=True)
     if spark is None:
@@ -152,9 +155,11 @@ def content_fingerprint(sf_dir: str) -> str:
     return "fingerprint " + " ".join(parts)
 
 
-def _best_of(fn, reps: int = 3) -> float:
+def _best_of(fn, reps: int = 3, setup=None) -> float:
     best = float("inf")
     for _ in range(reps):
+        if setup is not None:
+            setup()  # OUTSIDE the timed region, but per rep
         t0 = time.perf_counter()
         fn()
         best = min(best, time.perf_counter() - t0)
@@ -162,11 +167,27 @@ def _best_of(fn, reps: int = 3) -> float:
 
 
 def run_spark_subset(spark, sf_dir: str, names=VOLUME_SUBSET) -> dict[str, float]:
+    from pyspark.sql import functions as F
+
     out = {}
     for name in names:
         fn = registry.QUERIES[name]
-        spark.catalog.clearCache()
-        out[name] = round(_best_of(lambda: fn(spark, sf_dir).count()), 3)
+
+        # Checksum harness (see run_duckdb_subset for the symmetry
+        # argument): hash every output column into one aggregate so the
+        # full expression tree executes, engine-side, with no client
+        # conversion.
+        def run(fn=fn):
+            df = fn(spark, sf_dir)
+            # decimal sum: an ANSI BIGINT sum of 64-bit hashes overflows
+            # (DuckDB's UBIGINT sum widens to HUGEINT automatically)
+            h = F.xxhash64(*[F.col(c) for c in df.columns]).cast("decimal(38,0)")
+            df.agg(F.count(F.lit(1)), F.sum(h)).collect()
+
+        # clearCache PER REP (bench.py's 'no cross-rep cache assists'
+        # rule): l13/l31 pin shared subtrees, so clearing only once let
+        # reps 2-3 read cached blocks while DuckDB recomputed each rep.
+        out[name] = round(_best_of(run, setup=spark.catalog.clearCache), 3)
     return out
 
 
@@ -181,7 +202,17 @@ def run_duckdb_subset(sf_dir: str, names=VOLUME_SUBSET) -> dict[str, float]:
             con.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')"
             )
-        out[name] = round(_best_of(lambda: con.execute(sql).fetchall()), 3)
+        # Checksum harness — the SYMMETRIC timing protocol. The naive
+        # forms are both wrong: Spark-.count() vs DuckDB-fetchall()
+        # charges DuckDB for full materialization + Python conversion
+        # Spark never pays, while count(*)-on-both lets BOTH optimizers
+        # prune the very expressions the query exists to compute (l12's
+        # chunk strings drop out entirely). Hashing every output column
+        # into one aggregate forces full expression execution on both
+        # engines, keeps the result engine-side (one row), and the hash
+        # itself is a vectorized native kernel on both.
+        wrapped = f"SELECT count(*), sum(hash(t)) FROM ({sql}) t"
+        out[name] = round(_best_of(lambda: con.execute(wrapped).fetchall()), 3)
         con.close()
     return out
 
@@ -210,8 +241,11 @@ def volume_scaling_report(spark, base_sf_dir: str, mult: int = 10) -> dict:
     data drift from machine state. Matching fingerprints pin the bytes;
     loadavg >~ 1 at start flags a contended run whose ratios should not
     be compared against an idle-machine baseline (see BASELINE.md)."""
-    scaled_dir = ensure_scaled_dir(base_sf_dir, mult, spark=spark)
+    # Sample load BEFORE staging: the 32-core staging job itself pushes
+    # the 1-minute average near the core count, which falsely flagged
+    # every fresh-staging run as contended.
     load1, load5, _ = os.getloadavg()
+    scaled_dir = ensure_scaled_dir(base_sf_dir, mult, spark=spark)
     base = _point(spark, base_sf_dir)
     scaled = _point(spark, scaled_dir)
     return {
@@ -225,13 +259,35 @@ def volume_scaling_report(spark, base_sf_dir: str, mult: int = 10) -> dict:
         "subset": VOLUME_SUBSET,
         "sf_base": base,
         "sf_scaled": scaled,
-        "total_ratio_base": round(
-            base["spark_total_sec"] / base["duckdb_total_sec"], 2
+        "total_ratio_base": (
+            round(base["spark_total_sec"] / base["duckdb_total_sec"], 2)
+            if base["duckdb_total_sec"] > 0
+            else None
         ),
-        "total_ratio_scaled": round(
-            scaled["spark_total_sec"] / scaled["duckdb_total_sec"], 2
+        "total_ratio_scaled": (
+            round(scaled["spark_total_sec"] / scaled["duckdb_total_sec"], 2)
+            if scaled["duckdb_total_sec"] > 0
+            else None
         ),
     }
+
+
+def warm_plans(spark, names, warm_dir: str = "/root/testdata/sf0.001") -> None:
+    """JMH-style warmup shared by bench.py and this harness: run every
+    plan TWICE at the smallest SF so JVM JIT + whole-stage-codegen
+    compilation happen outside the timed region. One compile pass is
+    not enough for the JIT to reach steady state on the widest plans —
+    single-pass warmup measured the same code up to 1.8x slower
+    run-to-run, exactly the cross-session spread the volume artifact
+    exists to kill."""
+    if not os.path.isdir(warm_dir):
+        return
+    for _pass in range(2):
+        for name in names:
+            try:
+                registry.QUERIES[name](spark, warm_dir).count()
+            except Exception:  # noqa: BLE001 - warmup is best-effort
+                pass
 
 
 def main() -> None:
@@ -241,17 +297,7 @@ def main() -> None:
     from lens_warehouse_spark.session import get_spark
 
     spark = get_spark("volume_bench")
-    # warm plans at the smallest SF (JIT + codegen outside timed region).
-    # Two passes, matching bench.py: one compile pass is not enough for
-    # the JIT to reach steady state on the widest plans — single-pass
-    # warmup measured the same code up to 1.8x slower run-to-run, which
-    # is exactly the cross-session spread this artifact exists to kill.
-    for _pass in range(2):
-        for name in VOLUME_SUBSET:
-            try:
-                registry.QUERIES[name](spark, "/root/testdata/sf0.001").count()
-            except Exception:  # noqa: BLE001 - warmup is best-effort
-                pass
+    warm_plans(spark, VOLUME_SUBSET)
     report = volume_scaling_report(spark, base_sf_dir, mult)
     out_path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
