@@ -21,6 +21,17 @@ scan/join/agg/window/set/time/text/vector paths. The quadratic Jaccard
 baseline (l2b) is deliberately excluded — LSH (l2) is the scale path.
 Trivial singletons (sub-0.2 s plans that only measure job overhead) are
 kept out; volume-bearing text ops (l16/l17/l20/l28) are in.
+
+PROTOCOL NOTE: headline timings materialize via .count(), which lets
+Catalyst prune output expressions a query never aggregates — the
+number measures plan execution to cardinality, NOT full result
+construction. It is kept this way deliberately: BENCH_r{N}.json is a
+LONGITUDINAL series and a mid-series protocol change would corrupt
+the only cross-round trend signal the driver records. The
+design-grade engine-vs-engine evidence lives in VOLUME*.json, whose
+harness (tools/volume_bench.py) times BOTH engines under the full
+checksum protocol (count + hash of every output column) precisely
+because the count convention is not engine-comparable.
 """
 
 from __future__ import annotations

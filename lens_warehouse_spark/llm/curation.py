@@ -121,15 +121,23 @@ def repetition_stats(docs: DataFrame, n: int = 3) -> DataFrame:
     (doc_id, gram) shuffle; measured at the 100x volume point this
     version is 20x faster (0.43 s vs 8.8 s). Docs with <n tokens
     produce no grams and are absent, exactly as the oracles'
-    greatest(len-(n-1), 0) ranges do."""
+    greatest(len-(n-1), 0) ranges do.
+
+    The distinct runs over HASHED grams (array<bigint>), not the
+    3-token strings: identical counts up to a 64-bit collision within
+    one document (P ~ grams^2/2^64 per doc — vanishing), and the
+    integer array_distinct measures ~30% faster end-to-end at both
+    sf0.1 and the 10x point (checksum harness: 0.49/0.66 s vs
+    0.72/0.93 s)."""
     g = (
         f"transform(sequence(1, greatest(size(__t) - {n - 1}, 1)),"
         f" i -> concat_ws(' ', slice(__t, i, {n})))"
     )
+    gh = f"transform({g}, s -> xxhash64(s))"
     return (
         docs.select("doc_id", F.split("text", " ").alias("__t"))
         .filter(F.size("__t") >= n)
-        .select("doc_id", F.expr(g).alias("__g"))
+        .select("doc_id", F.expr(gh).alias("__g"))
         .select(
             "doc_id",
             F.size("__g").cast("long").alias("n_grams"),

@@ -225,23 +225,23 @@ def l9_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the 10x volume point (1.51 -> 1.17 s). The vocab-scaled weight
     # table is NOT hint-broadcast — AQE picks the strategy from runtime
     # size (at 100 TB vocab outgrows broadcast; the equi-join shuffles).
-    # NEGATIVE RESULT (round 5, don't re-try): rewriting both branches
-    # over the per-(doc, token) tf PAIR table — weight = sum(tf) per
-    # (token, lang), score = sum(tf * weight) over distinct tokens,
-    # algebraically identical — LOST at every measured point (sf0.1
-    # 0.41 -> 0.86 s, 10x 0.81 -> 1.05 s): this corpus's per-doc token
-    # frequency is ~1, so pairs ≈ occurrences and the extra pre-agg
-    # shuffle buys nothing. The pair form only pays when mean tf >> 1
-    # (Zipf-heavy web text at 100 TB); at that scale the same rewrite
-    # is one added map-combined groupBy away — revisit only with data
-    # whose measured mean tf is materially above 1. Also rejected
-    # (A/B at the 100x point, same process): pinning tok so one
-    # tokenize pass feeds both branches — 4.00 s pinned vs 3.66 s
-    # recomputed; materializing occurrence rows costs more than the
-    # second split+explode. l9's 100x floor is ~1.2x DuckDB (3.66 vs
-    # 3.02 s): the residual gap is the two shuffles (vocab pivot, doc
-    # agg) vs a single-process hash table — the price of the plan that
-    # actually distributes.
+    # MEASUREMENT CORRECTION (round-5 continuation): every A/B below
+    # this line was re-run under the CHECKSUM harness after discovering
+    # the old .count() timing let Catalyst prune the scoring CASE chain
+    # and the pivot aggregate values — i.e. the old numbers never
+    # executed the argmax at all. Superseded-but-kept results:
+    # - per-(doc, token) tf PAIR rewrite: still loses (mean tf ~ 1 in
+    #   this corpus; pairs ≈ occurrences, the pre-agg shuffle buys
+    #   nothing). Revisit only when measured mean tf >> 1.
+    # - (lang, token)-rows + per-doc window argmax: loses BADLY under
+    #   honest timing (10x: 8.2 s vs 2.3 s pivot) — the join emits one
+    #   row per occurrence x matching lang and the window shuffles all
+    #   of it, exactly what the pivot-wide form exists to avoid.
+    # - pinning tok (one tokenize pass feeds weights AND scores): the
+    #   old "4.00 pinned vs 3.66 recomputed" verdict INVERTS under
+    #   honest timing — 10x: 1.29 s pinned vs 3.00 s recomputed; but
+    #   at sf0.1 the pin costs more than the recompute (1.55 vs 0.80),
+    #   so it is corpus-size-gated below exactly like l13's tf pin.
     docs = table(spark, sf_dir, "documents")
     # NULL langs carry no training signal and would break both sorted()
     # (NoneType comparison) and the pivot column list; drop them before
@@ -261,6 +261,19 @@ def l9_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).limit(0)
     lcol = [F.col(f"`{lang}`") for lang in langs]
     tok = docs.select("doc_id", "lang", F.explode(_toks()).alias("token"))
+    # WINDOW-gated pin: tok feeds BOTH the weights pivot and the
+    # scoring join. Measured at three corpus sizes (checksum harness,
+    # best-of-3): 5k docs pin LOSES (1.55 vs 0.80 s — materialization
+    # dominates), 50k docs pin WINS (1.29 vs 3.00 s — one tokenize
+    # pass amortizes), 500k docs pin LOSES AGAIN (4.68 vs 3.38 s —
+    # the persisted occurrence rows outgrow executor storage and the
+    # spill churn costs more than recomputing the split+explode). So
+    # the pin applies only inside the measured winning window.
+    from lens_warehouse_spark.catalog import table_rows
+    from lens_warehouse_spark.operators._helpers import pin
+
+    if 10_000 < table_rows(sf_dir, "documents") <= 200_000:
+        tok = pin("l9.tok", tok)
     # Train on labeled docs only: a token seen ONLY in NULL-lang docs
     # must have no weights row, so the scoring inner join drops it and
     # a doc with zero overlap with the labeled vocabulary drops out —
