@@ -555,6 +555,21 @@ def t13_stream_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # At scale each micro-batch shuffles only its own changes on the key;
 # the sink rewrite is partition-pruned by the key buckets touched.
 # ---------------------------------------------------------------------------
+def _recover_mid_swap(data_dir: str) -> None:
+    """Crash-recovery of a mid-swap failure in the CDC sink's
+    rename-based commit: data_dir is briefly absent between
+    rename(data_dir -> .old) and rename(.tmp -> data_dir). If the live
+    dir is gone (or incomplete) but the retired one is complete, the
+    swap died between renames — put the old state back before merging,
+    or the replayed batch would rebuild the table from itself alone."""
+    retired = data_dir + ".old"
+    if not os.path.exists(os.path.join(data_dir, "_SUCCESS")) and os.path.exists(
+        os.path.join(retired, "_SUCCESS")
+    ):
+        shutil.rmtree(data_dir, ignore_errors=True)
+        os.rename(retired, data_dir)
+
+
 def cdc_apply_stream(
     spark: SparkSession,
     sf_dir: str,
@@ -600,15 +615,7 @@ def cdc_apply_stream(
         spark_l = batch_df.sparkSession
         staging = data_dir + ".tmp"
         retired = data_dir + ".old"
-        # Crash-recovery of a mid-swap failure (below: data_dir is
-        # briefly absent between the two renames): if the live dir is
-        # gone but the retired one is complete, the swap died between
-        # renames — put the old state back before merging.
-        if not os.path.exists(os.path.join(data_dir, "_SUCCESS")) and os.path.exists(
-            os.path.join(retired, "_SUCCESS")
-        ):
-            shutil.rmtree(data_dir, ignore_errors=True)
-            os.rename(retired, data_dir)
+        _recover_mid_swap(data_dir)
         # First batch iff no committed table exists yet. This is an
         # explicit _SUCCESS probe, NOT a bare try/except around the
         # read: a blanket except would treat a genuine IO failure

@@ -314,3 +314,36 @@ def test_cdc_crash_recovery_exactly_once(spark):
     }
     oracle = {tuple(r) for r in cdc_apply_batch_reference(spark, sf).collect()}
     assert recovered == clean == oracle and len(oracle) > 0
+
+
+def test_cdc_mid_swap_recovery(tmp_path):
+    """A crash landing between the CDC sink's two renames leaves
+    data_dir absent and data_dir.old complete; the next batch must
+    restore the retired state instead of treating the replay as a
+    first batch (which would silently rebuild the table from one
+    batch's rows)."""
+    import os
+
+    from lens_warehouse_spark.streaming.jobs import _recover_mid_swap
+
+    data = str(tmp_path / "data")
+    retired = data + ".old"
+    os.makedirs(retired)
+    open(os.path.join(retired, "_SUCCESS"), "w").close()
+    with open(os.path.join(retired, "part-0.parquet"), "w") as fh:
+        fh.write("x")
+    _recover_mid_swap(data)
+    assert os.path.exists(os.path.join(data, "_SUCCESS"))
+    assert not os.path.exists(retired)
+    # idempotent / no-op when the live dir is healthy
+    _recover_mid_swap(data)
+    assert os.path.exists(os.path.join(data, "_SUCCESS"))
+    # an INCOMPLETE live dir next to a complete retired one is also
+    # recovered (crash after rmtree of a partial data_dir)
+    os.makedirs(retired)
+    open(os.path.join(retired, "_SUCCESS"), "w").close()
+    import shutil
+
+    os.remove(os.path.join(data, "_SUCCESS"))  # data now incomplete
+    _recover_mid_swap(data)
+    assert os.path.exists(os.path.join(data, "_SUCCESS"))
