@@ -867,6 +867,15 @@ def l28_boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("nd") >= _L28_MIN_DOCS)
         .select("chunk", F.lit(1).alias("__b"))
     )
+    # NEGATIVE RESULT (checksum harness, round-5 continuation, don't
+    # re-try): pinning the shared chunks subtree and/or joining on
+    # xxhash64(chunk) instead of the chunk string were both A/B'd at
+    # sf0.1 and 10x — each wins ~15% at one scale and LOSES ~15% at
+    # the other (pin: 0.93/1.61 vs base 1.13/1.38), i.e. noise-level
+    # with no consistent direction. The double chunk-build is cheaper
+    # than materializing the exploded rows here because chunks are
+    # ~size/8 rows of short strings, unlike l9's per-token explosion.
+    #
     # boiler is the cross-corpus repeated-chunk set -> scales with data;
     # gate the hint on corpus size (l13 vocab precedent).
     boiler_side = (
