@@ -402,6 +402,80 @@ def l2c_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# L40: SimHash near-dup JOIN — banded candidate generation over the
+# 64-bit simhash (Manku/Jain/Sarma, WWW'07: Google's web-crawl dedup
+# design). Split the fingerprint into 4 x 16-bit bands; by pigeonhole
+# any pair within hamming distance 3 agrees EXACTLY on at least one
+# band, so the band self-join has GUARANTEED recall for k <= 3 (unlike
+# MinHash-LSH's probabilistic S-curve), and the verify is a single
+# bit_count(xor). Scale shape identical to l2's banding: the shuffle
+# key is (band_id, 16-bit value), candidates O(n * 4) never O(n^2).
+# Rows-only (seeded hashes); the pigeonhole recall guarantee and the
+# planted-mutation behavior are property-tested.
+# ---------------------------------------------------------------------------
+_L40_HAM_K = 3
+_L40_BANDS = 4
+
+
+def simhash_band_candidates(sh: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc_a, doc_b) pairs agreeing exactly on >= 1 of the 4 16-bit
+    simhash bands — a GUARANTEED superset of all pairs with hamming
+    distance <= 3 (pigeonhole: 3 differing bits cannot touch all 4
+    bands)."""
+    banded = sh.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.expr(
+                            f"shiftrightunsigned(simhash, {16 * b}) & 65535"
+                        ).alias("band_val"),
+                    )
+                    for b in range(_L40_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select(id_col, "band.band_id", "band.band_val")
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+@register("l40_simhash_neardup")
+def l40_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    sh = pin("l40.simhash", simhash(docs))  # feeds banding AND both verify sides
+    pairs = simhash_band_candidates(sh)
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"))
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+            .cast("long")
+            .alias("hamming"),
+        )
+        .filter(F.col("hamming") <= _L40_HAM_K)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
 # L2e: near-dup group resolution — connected components over the
 # candidate-pair graph via iterative min-label propagation, so every
 # document maps to one canonical survivor (the pretraining-dedup

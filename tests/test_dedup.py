@@ -189,3 +189,66 @@ def test_threshold_pipeline_superset_of_default(spark):
         for r in l2_minhash_neardup(spark, "/root/testdata/sf0.001").collect()
     }
     assert default <= low
+
+
+def test_simhash_band_pigeonhole_recall(spark):
+    """Manku banding guarantee: ANY pair within hamming distance 3 of a
+    64-bit fingerprint agrees exactly on >= 1 of the 4 16-bit bands and
+    MUST appear as a candidate — this is deterministic pigeonhole, not
+    an S-curve."""
+    import random
+
+    from lens_warehouse_spark.llm.dedup import simhash_band_candidates
+
+    rng = random.Random(11)
+    base = rng.getrandbits(64) - (1 << 63)
+    rows = [(0, base)]
+    # 20 mutants at hamming 1..3 from base (must ALL be found vs doc 0)
+    for i in range(1, 21):
+        m = base
+        for bit in rng.sample(range(64), rng.randint(1, 3)):
+            m ^= 1 << bit
+        if m >= 1 << 63:
+            m -= 1 << 64
+        rows.append((i, m))
+    # 30 random fingerprints (overwhelmingly far from base)
+    for i in range(21, 51):
+        rows.append((i, rng.getrandbits(64) - (1 << 63)))
+    sh = spark.createDataFrame(rows, "doc_id long, simhash long")
+    cands = {
+        (r.doc_a, r.doc_b)
+        for r in simhash_band_candidates(sh).collect()
+    }
+    for i in range(1, 21):
+        assert (0, i) in cands, f"hamming<=3 mutant {i} missed"
+
+
+def test_l40_simhash_neardup_on_planted(spark, tmp_path_factory):
+    """End-to-end: near-identical docs land within the hamming
+    threshold; unrelated docs do not pair with them."""
+    import os
+
+    from lens_warehouse_spark import registry
+
+    registry.load_all()
+    d = tmp_path_factory.mktemp("l40_sf")
+    base = " ".join(f"tok{i}" for i in range(60))
+    near = " ".join(f"tok{i}" for i in range(59)) + " tokX"
+    far = " ".join(f"zzz{i}" for i in range(60))
+    rows = [
+        (1, base, "en", "web", len(base)),
+        (2, base, "en", "web", len(base)),
+        (3, near, "en", "web", len(near)),
+        (4, far, "en", "web", len(far)),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(str(d), "documents.parquet")
+    )
+    out = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in registry.QUERIES["l40_simhash_neardup"](spark, str(d)).collect()
+    }
+    assert out.get((1, 2)) == 0  # identical docs: hamming 0
+    assert all(4 not in pair for pair in out)  # far doc never pairs
