@@ -180,6 +180,10 @@ def main() -> None:
         "mode": "throughput_batch",
         "streams": STREAMS,
         "power_total_sec": round(sum(timings.values()), 3),
+        # Trend consumers must be able to tell a faster round from a
+        # smaller one: a crashing query shrinks power_total_sec, which
+        # would otherwise read as a speedup in the longitudinal series.
+        "failed": failed,
     }
     # Compact headline JSON as the FINAL stdout line (driver contract).
     sys.stdout.flush()

@@ -1117,11 +1117,17 @@ _L39_K = 200
 
 
 def weighted_sample_keys(docs: DataFrame, weight_col: str = "n_chars") -> DataFrame:
-    """(doc_id, weight, es_key) for every doc — A-ES key material."""
+    """(doc_id, weight, es_key) for every doc — A-ES key material.
+
+    Non-positive weights are filtered out first: a weight-0 doc is
+    unsampleable by definition (and would DIVIDE_BY_ZERO under ANSI
+    mode), and a negative weight would silently invert the A-ES key
+    order. General-purpose guard — current testdata never hits it.
+    """
     # 60-bit uniform from the md5 of the doc id: (m+1)/2^60 in (0,1].
     m = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
     u = (m.cast("double") + F.lit(1.0)) / F.lit(float(1 << 60))
-    return docs.select(
+    return docs.filter(F.col(weight_col) > 0).select(
         "doc_id",
         F.col(weight_col).cast("double").alias("weight"),
         (F.log(u) / F.col(weight_col)).alias("es_key"),

@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from lens_warehouse_spark.catalog import table
+from lens_warehouse_spark.catalog import table, table_rows
 from lens_warehouse_spark.operators._helpers import pin
 from lens_warehouse_spark.registry import register
 
@@ -404,39 +404,78 @@ def l2c_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # L40: SimHash near-dup JOIN — banded candidate generation over the
 # 64-bit simhash (Manku/Jain/Sarma, WWW'07: Google's web-crawl dedup
-# design). Split the fingerprint into 4 x 16-bit bands; by pigeonhole
-# any pair within hamming distance 3 agrees EXACTLY on at least one
-# band, so the band self-join has GUARANTEED recall for k <= 3 (unlike
-# MinHash-LSH's probabilistic S-curve), and the verify is a single
-# bit_count(xor). Scale shape identical to l2's banding: the shuffle
-# key is (band_id, 16-bit value), candidates O(n * 4) never O(n^2).
-# Rows-only (seeded hashes); the pigeonhole recall guarantee and the
-# planted-mutation behavior are property-tested.
+# design). Two corpus-size-gated band structures, both with GUARANTEED
+# recall for hamming distance <= 3 (unlike MinHash-LSH's probabilistic
+# S-curve); the verify is a single bit_count(xor):
+#
+# - NARROW (default, corpora <= ~2M docs): 4 x 16-bit bands; by
+#   pigeonhole 3 differing bits cannot touch all 4 bands, so every
+#   <=3-hamming pair agrees exactly on >= 1 band. Cheap (4 shuffle
+#   rows/doc) but the key space is only 2^16 buckets per band, so the
+#   within-bucket self-join is O(n^2 / 2^16) per band — quadratic-
+#   dominated by ~10^8 docs (round-5 verdict finding #2).
+# - WIDE (Manku's block-combination table design): 6 blocks
+#   (11,11,11,11,10,10 bits); 3 differing bits corrupt at most 3
+#   blocks, so at least 3 blocks survive intact and the combo keyed on
+#   exactly those 3 blocks matches — probe all C(6,3) = 20 combos of 3
+#   blocks, each key ~32 bits => ~2^32 buckets per table. 20 shuffle
+#   rows/doc buys per-bucket cardinality n/2^32: at n = 10^8 the
+#   expected bucket load is ~0.02 docs and candidates stay O(n * 20).
+#   This is exactly WWW'07 section 3's t-table construction.
+#
+# Gate: table_rows metadata count (no scan). Both modes are supersets
+# of the true <=3 pair set, so the final hamming filter makes their
+# OUTPUT identical — property-tested (recall, mode equivalence, and a
+# planted skewed bucket showing wide-mode candidate containment).
+# Rows-only (seeded hashes).
 # ---------------------------------------------------------------------------
 _L40_HAM_K = 3
 _L40_BANDS = 4
+# (bit offset, width) of the 6 wide-mode blocks; widths sum to 64.
+_L40_WIDE_BLOCKS = [(0, 11), (11, 11), (22, 11), (33, 11), (44, 10), (54, 10)]
+# Above this many docs the 2^16 narrow buckets are too coarse.
+_L40_WIDE_THRESHOLD = 2_000_000
 
 
-def simhash_band_candidates(sh: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """(doc_a, doc_b) pairs agreeing exactly on >= 1 of the 4 16-bit
-    simhash bands — a GUARANTEED superset of all pairs with hamming
-    distance <= 3 (pigeonhole: 3 differing bits cannot touch all 4
-    bands)."""
-    banded = sh.select(
-        F.col(id_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_id"),
-                        F.expr(
-                            f"shiftrightunsigned(simhash, {16 * b}) & 65535"
-                        ).alias("band_val"),
-                    )
-                    for b in range(_L40_BANDS)
-                ]
+def simhash_band_candidates(
+    sh: DataFrame, id_col: str = "doc_id", wide: bool = False
+) -> DataFrame:
+    """(doc_a, doc_b) pairs agreeing exactly on at least one band key —
+    a GUARANTEED superset of all pairs with hamming distance <= 3 in
+    BOTH modes (see module comment). ``wide`` selects Manku's 20-table
+    block-combination structure for large corpora."""
+    if wide:
+        from itertools import combinations
+
+        blocks = [
+            F.expr(f"shiftrightunsigned(simhash, {off}) & {(1 << w) - 1}")
+            for off, w in _L40_WIDE_BLOCKS
+        ]
+        # Key = the 3 chosen block values packed into disjoint 16-bit
+        # slots of one BIGINT (each block value < 2^11 < 2^16).
+        bands = [
+            F.struct(
+                F.lit(ci).alias("band_id"),
+                (
+                    blocks[i] * F.lit(1 << 32)
+                    + blocks[j] * F.lit(1 << 16)
+                    + blocks[k]
+                ).alias("band_val"),
             )
-        ).alias("band"),
+            for ci, (i, j, k) in enumerate(combinations(range(6), 3))
+        ]
+    else:
+        bands = [
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.expr(f"shiftrightunsigned(simhash, {16 * b}) & 65535").alias(
+                    "band_val"
+                ),
+            )
+            for b in range(_L40_BANDS)
+        ]
+    banded = sh.select(
+        F.col(id_col), F.explode(F.array(*bands)).alias("band")
     ).select(id_col, "band.band_id", "band.band_val")
     a, b = banded.alias("a"), banded.alias("b")
     return (
@@ -457,7 +496,8 @@ def simhash_band_candidates(sh: DataFrame, id_col: str = "doc_id") -> DataFrame:
 def l40_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     sh = pin("l40.simhash", simhash(docs))  # feeds banding AND both verify sides
-    pairs = simhash_band_candidates(sh)
+    wide = table_rows(sf_dir, "documents") > _L40_WIDE_THRESHOLD
+    pairs = simhash_band_candidates(sh, wide=wide)
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"))
     return (

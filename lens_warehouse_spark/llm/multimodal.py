@@ -347,7 +347,7 @@ def l8e_blob_manifest_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "m_path"
         ),
         (F.col("doc_id") % 16).cast("int").alias("store_node"),
-        F.length("text").cast("long").alias("asset_bytes"),
+        F.octet_length("text").cast("long").alias("asset_bytes"),
     )
     side = table(spark, sf_dir, "documents").select(
         "doc_id",

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import datetime
 import math
+import re
 
 from typing import Any
 
@@ -92,7 +93,14 @@ def atom_from_json(obj: dict[str, Any]) -> Atom:
                 raise ValueError(f"field {k!r} must be a 'YYYY-MM-DD' string")
             # Validate the VALUE, not just the type: a malformed date
             # casts to NULL in the predicate and silently empties the
-            # cohort instead of 400ing at the wire.
+            # cohort instead of 400ing at the wire. fromisoformat alone
+            # is too lax on Python 3.11+ ('20260814', ISO week dates
+            # all parse but cast('timestamp') to NULL) — pin the exact
+            # 'YYYY-MM-DD' shape first.
+            if not re.fullmatch(r"\d{4}-\d{2}-\d{2}", v):
+                raise ValueError(
+                    f"field {k!r} must be a valid 'YYYY-MM-DD' date, got {v!r}"
+                )
             try:
                 datetime.date.fromisoformat(v)
             except ValueError:

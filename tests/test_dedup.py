@@ -252,3 +252,82 @@ def test_l40_simhash_neardup_on_planted(spark, tmp_path_factory):
     }
     assert out.get((1, 2)) == 0  # identical docs: hamming 0
     assert all(4 not in pair for pair in out)  # far doc never pairs
+
+
+def test_simhash_wide_band_pigeonhole_recall(spark):
+    """WIDE mode (Manku's 6-block / C(6,3)=20 combination tables for
+    large corpora): 3 differing bits corrupt at most 3 of the 6 blocks,
+    so the combo keyed on the 3 intact blocks matches — every pair
+    within hamming 3 MUST still be a candidate."""
+    import random
+
+    from lens_warehouse_spark.llm.dedup import simhash_band_candidates
+
+    rng = random.Random(13)
+    base = rng.getrandbits(64) - (1 << 63)
+    rows = [(0, base)]
+    for i in range(1, 21):
+        m = base
+        for bit in rng.sample(range(64), rng.randint(1, 3)):
+            m ^= 1 << bit
+        if m >= 1 << 63:
+            m -= 1 << 64
+        rows.append((i, m))
+    for i in range(21, 51):
+        rows.append((i, rng.getrandbits(64) - (1 << 63)))
+    sh = spark.createDataFrame(rows, "doc_id long, simhash long")
+    cands = {
+        (r.doc_a, r.doc_b)
+        for r in simhash_band_candidates(sh, wide=True).collect()
+    }
+    for i in range(1, 21):
+        assert (0, i) in cands, f"hamming<=3 mutant {i} missed in wide mode"
+
+
+def test_simhash_wide_splits_skewed_bucket(spark):
+    """The round-5 verdict's scale finding: narrow mode's 2^16 buckets
+    make a planted skewed bucket quadratic. Plant N docs sharing one
+    16-bit band value but far apart elsewhere: narrow mode emits all
+    N*(N-1)/2 candidate pairs from that bucket; wide mode's ~32-bit
+    combo keys keep the far-apart docs in separate buckets and must
+    emit strictly fewer candidates. Final outputs stay equal (both are
+    supersets of the true <=3 set and the hamming filter decides)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from lens_warehouse_spark.llm.dedup import simhash_band_candidates
+
+    rng = random.Random(17)
+    n = 60
+    shared_low16 = rng.getrandbits(16)
+    rows = []
+    for i in range(n):
+        # same band 0 (bits 0..15), random everywhere else -> one
+        # narrow bucket, expected hamming ~24 between members
+        high = rng.getrandbits(48)
+        v = (high << 16) | shared_low16
+        if v >= 1 << 63:
+            v -= 1 << 64
+        rows.append((i, v))
+    sh = spark.createDataFrame(rows, "doc_id long, simhash long")
+    narrow = simhash_band_candidates(sh, wide=False).count()
+    wide = simhash_band_candidates(sh, wide=True).count()
+    assert narrow == n * (n - 1) // 2  # the whole bucket pairs up
+    assert wide < narrow / 10  # wide keys split the skewed bucket
+
+    # Mode equivalence on the FINAL output: apply the hamming verify to
+    # both candidate sets — identical survivors.
+    def survivors(wide_mode):
+        c = simhash_band_candidates(sh, wide=wide_mode)
+        a = sh.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"))
+        b = sh.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"))
+        return {
+            (r.doc_a, r.doc_b)
+            for r in c.join(a, "doc_a")
+            .join(b, "doc_b")
+            .filter(F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))) <= 3)
+            .collect()
+        }
+
+    assert survivors(False) == survivors(True)

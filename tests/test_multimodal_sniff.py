@@ -118,3 +118,45 @@ def test_l8_byte_len_counts_utf8_bytes(spark, tmp_path_factory):
         ).fetchall()
     )
     assert oracle == out
+
+
+def test_l8e_asset_bytes_utf8_boundary(spark, tmp_path_factory):
+    """l8e's asset_bytes must be utf-8 BYTES matching the oracle's
+    strlen: a 512-char doc with one 2-byte char is 513 bytes and must
+    survive the >512 filter, while the all-ASCII 512-char twin must
+    not — char-count semantics would drop both."""
+    import os
+
+    import duckdb
+
+    from lens_warehouse_spark import registry
+
+    registry.load_all()
+    d = tmp_path_factory.mktemp("l8e_unicode_sf")
+    rows = [
+        (1, "a" * 512, "en", "web", 512),        # 512 bytes -> filtered
+        (2, "é" + "a" * 511, "fr", "web", 512),  # 513 bytes -> kept
+        (3, "b" * 600, "en", "web", 600),        # 600 bytes -> kept
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(str(d), "documents.parquet")
+    )
+    out = {
+        r.doc_id: r.asset_bytes
+        for r in registry.QUERIES["l8e_blob_manifest_join"](spark, str(d)).collect()
+    }
+    assert out == {2: 513, 3: 600}
+
+    oracle_sql = registry.ORACLES["l8e_blob_manifest_join"]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"'{d}/documents.parquet/*.parquet'"
+    )
+    oracle = {
+        doc_id: bytes_
+        for doc_id, _node, bytes_, _n in con.execute(oracle_sql).fetchall()
+    }
+    assert oracle == out

@@ -105,3 +105,15 @@ def test_weight_bias_is_real(spark):
         table(spark, SF, "documents").agg(F.avg("n_chars")).first()[0]
     )
     assert mean_sel > mean_all
+
+
+def test_nonpositive_weights_are_unsampleable(spark):
+    """Weight 0 must not DIVIDE_BY_ZERO under ANSI mode, and negative
+    weights must not invert the key order — both are filtered out
+    before the es_key division (they are unsampleable by definition)."""
+    docs = spark.createDataFrame(
+        [(1, 100), (2, 0), (3, -5), (4, 50)], "doc_id long, n_chars long"
+    )
+    rows = weighted_sample_keys(docs).collect()
+    assert {r.doc_id for r in rows} == {1, 4}
+    assert all(math.isfinite(r.es_key) for r in rows)

@@ -460,6 +460,12 @@ def test_atom_rejects_malformed_date_and_nan():
         atom_from_json({"type": "order", "date_from": "not-a-date"})
     with pytest.raises(ValueError, match="valid 'YYYY-MM-DD'"):
         atom_from_json({"type": "order", "date_to": "2024-13-99"})
+    # fromisoformat on 3.11+ accepts compact and ISO-week forms that
+    # cast('timestamp') turns into NULL — the regex must reject them.
+    with pytest.raises(ValueError, match="valid 'YYYY-MM-DD'"):
+        atom_from_json({"type": "order", "date_from": "20260814"})
+    with pytest.raises(ValueError, match="valid 'YYYY-MM-DD'"):
+        atom_from_json({"type": "order", "date_to": "2026-W33-5"})
     with pytest.raises(ValueError, match="finite"):
         atom_from_json({"type": "order", "min_total": float("nan")})
     with pytest.raises(ValueError, match="finite"):

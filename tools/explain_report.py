@@ -358,6 +358,25 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         ("custom source plans as a V2 batch scan", "BatchScan lws_synth"),
         ("partitioned read, no driver materialization", "!Scan ExistingRDD"),
     ],
+    # l39 A-ES weighted sample: map-only key projection straight into a
+    # per-partition top-k merge — no shuffle of the corpus before the take.
+    "l39_weighted_sample": [
+        ("per-partition top-k merge, not a global sort", "TakeOrderedAndProject"),
+        ("no corpus shuffle before the take", "!Exchange hashpartitioning"),
+        ("no row-at-a-time python", "!BatchEvalPython"),
+        ("column pruning to doc_id+n_chars", "ReadSchema: struct<doc_id:bigint,n_chars:bigint>"),
+    ],
+    # l40 simhash banding: the candidate join must be a hash EQUI join
+    # on the band key (AQE broadcasts the banded side at audit SF; at
+    # scale the same equi join shuffles on (band_id, band_val)), never
+    # an all-pairs product.
+    "l40_simhash_neardup": [
+        ("banded self-join is a hash equi-join", "BroadcastHashJoin"),
+        ("no cartesian product", "!CartesianProduct"),
+        ("no nested loop", "!BroadcastNestedLoopJoin"),
+        ("no row-at-a-time python", "!BatchEvalPython"),
+        ("simhash computed once, pinned for banding + both verify sides", "InMemoryTableScan"),
+    ],
     "u8_incidence_curve": [
         ("entry anchors partially aggregated", "HashAggregate"),
         ("total joined via broadcast single row", "BroadcastNestedLoopJoin"),
