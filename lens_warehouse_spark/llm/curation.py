@@ -55,6 +55,37 @@ def word_ngrams(df: DataFrame, n: int, text_col: str = "text") -> DataFrame:
     return toks.select("doc_id", F.explode(F.expr(_grams_expr(n))).alias("gram"))
 
 
+def _gram_hash_expr(n: int) -> str:
+    """Spark SQL: 64-bit hashes of word n-grams, from the pre-hashed
+    token array ``__th`` — xxhash64 over the n consecutive token
+    hashes, NO gram string is ever built. The concat_ws(slice(...))
+    string form allocates a sliced array + a string per gram and
+    measured 7.7x slower at the 100x volume point (l17: 7.18 s string
+    grams vs 0.93 s this form — now FASTER than DuckDB's 1.41 s).
+    A pandas-UDF (Arrow) gram counter measured 0.77 s — marginally
+    faster still, but this form stays JVM-native with no Python worker
+    memory to manage at 100 TB, so it wins on robustness.
+    Callers must pair with size(__t) >= n (element_at is then always
+    in bounds; max index = (size-n+1) + n-1 = size)."""
+    args = ", ".join(f"element_at(__th, i + {j})" for j in range(n))
+    return f"transform(sequence(1, size(__th) - {n - 1}), i -> xxhash64({args}))"
+
+
+def word_ngram_hashes(df: DataFrame, n: int, text_col: str = "text") -> DataFrame:
+    """(doc_id, gram_h) pairs — hashed twin of word_ngrams for
+    consumers that never need the gram text (counts, set membership):
+    the explode emits longs, downstream shuffles carry 8 bytes/gram
+    instead of the gram string. Two distinct grams collide with
+    P ~ 2^-64 (same acceptance as l17's hashed distinct; identical
+    results on every oracle check)."""
+    toks = df.select("doc_id", F.split(text_col, " ").alias("__t")).filter(
+        F.size("__t") >= n
+    )
+    return toks.select(
+        "doc_id", F.expr("transform(__t, t -> xxhash64(t))").alias("__th")
+    ).select("doc_id", F.explode(F.expr(_gram_hash_expr(n))).alias("gram_h"))
+
+
 # ---------------------------------------------------------------------------
 # L16: benchmark decontamination — flag corpus documents sharing any
 # 5-gram with the (stand-in) benchmark set. Benchmark grams broadcast;
@@ -85,10 +116,14 @@ ORDER BY g.doc_id
 )
 def l16_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
-    grams = word_ngrams(docs, GRAM_N)
+    # Hashed grams (word_ngram_hashes): the output is a per-doc count
+    # of distinct contaminated grams — gram text never surfaces, so
+    # the join keys and the distinct both run over 8-byte longs
+    # (round-6 gram-hash rewrite; 2^-64 collision acceptance as l17).
+    grams = word_ngram_hashes(docs, GRAM_N)
     bench = (
         grams.filter(F.col("doc_id") % _BENCH_MOD == 0)
-        .select("gram")
+        .select("gram_h")
         .distinct()
     )
     corpus = grams.filter(F.col("doc_id") % _BENCH_MOD != 0)
@@ -98,9 +133,9 @@ def l16_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_docs = table_rows(sf_dir, "documents")  # footer stats, no job
     bench_side = F.broadcast(bench) if n_docs <= 100_000 else bench
     return (
-        corpus.join(bench_side, "gram")
+        corpus.join(bench_side, "gram_h")
         .groupBy("doc_id")
-        .agg(F.countDistinct("gram").alias("n_contaminated_grams"))
+        .agg(F.countDistinct("gram_h").alias("n_contaminated_grams"))
         .orderBy("doc_id")
     )
 
@@ -125,19 +160,22 @@ def repetition_stats(docs: DataFrame, n: int = 3) -> DataFrame:
 
     The distinct runs over HASHED grams (array<bigint>), not the
     3-token strings: identical counts up to a 64-bit collision within
-    one document (P ~ grams^2/2^64 per doc — vanishing), and the
-    integer array_distinct measures ~30% faster end-to-end at both
-    sf0.1 and the 10x point (checksum harness: 0.49/0.66 s vs
-    0.72/0.93 s)."""
-    g = (
-        f"transform(sequence(1, greatest(size(__t) - {n - 1}, 1)),"
-        f" i -> concat_ws(' ', slice(__t, i, {n})))"
-    )
-    gh = f"transform({g}, s -> xxhash64(s))"
+    one document (P ~ grams^2/2^64 per doc — vanishing). Round-6
+    rewrite: the gram hash is xxhash64 over the n consecutive TOKEN
+    hashes (_gram_hash_expr) — the earlier concat_ws(slice(...)) +
+    xxhash64(string) form allocated a sliced array and a gram string
+    per position inside an interpreted lambda, and was the single
+    worst honest-protocol ratio in VOLUME_100x.json (5.99x DuckDB).
+    Measured at 100x, checksum harness, best-of-3: string grams
+    7.18 s -> this form 0.93 s (DuckDB: 1.41 s); a pandas-UDF (Arrow)
+    counter measured 0.77 s but needs Python workers in the hot path.
+    Exact same counts on the sf0.01 oracle check (full row hash
+    equality verified for all three variants)."""
     return (
         docs.select("doc_id", F.split("text", " ").alias("__t"))
         .filter(F.size("__t") >= n)
-        .select("doc_id", F.expr(gh).alias("__g"))
+        .select("doc_id", F.expr("transform(__t, t -> xxhash64(t))").alias("__th"))
+        .select("doc_id", F.expr(_gram_hash_expr(n)).alias("__g"))
         .select(
             "doc_id",
             F.size("__g").cast("long").alias("n_grams"),
@@ -442,12 +480,17 @@ def l20_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # second look): explode 1.83 s / 13.2 s vs map-side 2.31 s /
     # 15.5 s at 10x / 100x — the anti-join context keeps favoring
     # explode+agg at every scale. Closed; don't re-try.
+    # Round 6: the exploded grams are HASHES (word_ngram_hashes), not
+    # strings — no gram string is ever built and the (doc_id, gram)
+    # shuffle carries 8-byte longs. Counts identical modulo 2^-64
+    # collisions (l17 precedent); measured with the rest of the
+    # round-6 gram-hash rewrite (pipeline 10.35 s -> see VOLUME_100x).
     repetitive = (
-        word_ngrams(docs, 3)
+        word_ngram_hashes(docs, 3)
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_grams"),
-            F.countDistinct("gram").alias("n_distinct"),
+            F.countDistinct("gram_h").alias("n_distinct"),
         )
         .filter(
             F.lit(5) * (F.col("n_grams") - F.col("n_distinct")) > F.col("n_grams")
@@ -460,9 +503,14 @@ def l20_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the parquet re-scan + split is cheaper than materializing token
     # arrays, and the dominant explode+agg work happens per consumer
     # either way. Don't re-try token caching here.
-    grams5 = word_ngrams(docs, GRAM_N)
+    # Contamination only needs gram SET MEMBERSHIP, never the gram
+    # text: join on 64-bit gram hashes (8-byte shuffle/build keys; a
+    # corpus-vs-bench collision falsely flags one doc with
+    # P ~ |corpus grams|*|bench grams|/2^64 — the same acceptance as
+    # every hashed-gram op here, and sf0.01 oracle checks stay exact).
+    grams5 = word_ngram_hashes(docs, GRAM_N)
     bench = (
-        grams5.filter(F.col("doc_id") % _BENCH_MOD == 0).select("gram").distinct()
+        grams5.filter(F.col("doc_id") % _BENCH_MOD == 0).select("gram_h").distinct()
     )
     # The benchmark gram set derives from ~1% of the CORPUS, so it
     # scales with data — same never-demoted-hint hazard as l13's vocab:
@@ -475,7 +523,7 @@ def l20_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     contaminated = (
         grams5.filter(F.col("doc_id") % _BENCH_MOD != 0)
-        .join(bench_side, "gram")
+        .join(bench_side, "gram_h")
         .select("doc_id")
         .distinct()
     )
@@ -849,33 +897,56 @@ ORDER BY c.doc_id
 )
 def l28_boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = _L28_N
-    docs = table(spark, sf_dir, "documents").select(
-        "doc_id", F.split("text", " ").alias("t")
+    # Round-6 rewrite (measured at base/10x/100x, checksum harness):
+    # the doc-frequency branch never needs chunk TEXT, so it counts
+    # 64-bit chunk hashes built straight from token hashes (xxhash64
+    # over the <=8 try_element_at slots; nulls past the short last
+    # chunk are skipped by xxhash64, so equal token sequences hash
+    # equal) — no concat_ws(slice(...)) string build, no string
+    # shuffle. The probe side builds chunk strings ONCE (the rebuild
+    # needs them) with the hash ridden alongside via arrays_zip, and
+    # the mark join keys on the 8-byte hash. 1.12/1.45/4.95 s current
+    # -> 0.99/1.15/3.72 s at base/10x/100x (DuckDB 1.14 s at 100x).
+    # REJECTED (same session): fully map-side rebuild — collect
+    # removed chunk_idx per doc, join back to the un-exploded docs,
+    # reconstruct clean text from kept token slices. 4.03/2.69/17.0 s:
+    # the join back shuffles whole token arrays (the corpus text) the
+    # moment the removed set outgrows broadcast, and the interpreted
+    # filter/flatten rebuild lambda is slower than the explode+agg it
+    # replaces. Don't re-try.
+    # MEASURED FLOOR (idle 100x, checksum protocol): 3.8-4.0 s vs
+    # DuckDB 1.27 s (~3.2x) — the worst remaining headline ratio.
+    # Decomposition at 100x: probe chunk-string build+explode 1.55 s
+    # (the output md5 needs real chunk text, so ONE interpreted
+    # concat_ws(slice(...)) pass is irreducible), boiler hash branch
+    # ~0.7 s, mark join + collect/sort/md5 rebuild ~1.5 s. DuckDB does
+    # the whole thing in one operator pipeline over a single hash
+    # table with string_agg — no exchange, no per-chunk lambda interp.
+    # Every structural alternative measured here lost; the residual is
+    # expression-interpreter and exchange cost, not plan shape.
+    hargs = ", ".join(f"try_element_at(__th, i * {n} + {j + 1})" for j in range(n))
+    ch_h = (
+        f"transform(sequence(0, CAST(ceil(size(__t) / {n}.0) AS INT) - 1),"
+        f" i -> xxhash64({hargs}))"
     )
-    chunks = docs.select(
-        "doc_id",
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(0, CAST(ceil(size(t) / {n}.0) AS INT) - 1),"
-                f" i -> concat_ws(' ', slice(t, i * {n} + 1, {n})))"
-            )
-        ).alias("chunk_idx", "chunk"),
+    ch_s = (
+        f"transform(sequence(0, CAST(ceil(size(__t) / {n}.0) AS INT) - 1),"
+        f" i -> concat_ws(' ', slice(__t, i * {n} + 1, {n})))"
     )
+    base = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", F.split("text", " ").alias("__t"))
+        .select(
+            "doc_id", "__t", F.expr("transform(__t, t -> xxhash64(t))").alias("__th")
+        )
+    )
+    chunk_hashes = base.select("doc_id", F.explode(F.expr(ch_h)).alias("chunk_h"))
     boiler = (
-        chunks.groupBy("chunk")
+        chunk_hashes.groupBy("chunk_h")
         .agg(F.countDistinct("doc_id").alias("nd"))
         .filter(F.col("nd") >= _L28_MIN_DOCS)
-        .select("chunk", F.lit(1).alias("__b"))
+        .select("chunk_h", F.lit(1).alias("__b"))
     )
-    # NEGATIVE RESULT (checksum harness, round-5 continuation, don't
-    # re-try): pinning the shared chunks subtree and/or joining on
-    # xxhash64(chunk) instead of the chunk string were both A/B'd at
-    # sf0.1 and 10x — each wins ~15% at one scale and LOSES ~15% at
-    # the other (pin: 0.93/1.61 vs base 1.13/1.38), i.e. noise-level
-    # with no consistent direction. The double chunk-build is cheaper
-    # than materializing the exploded rows here because chunks are
-    # ~size/8 rows of short strings, unlike l9's per-token explosion.
-    #
     # boiler is the cross-corpus repeated-chunk set -> scales with data;
     # gate the hint on corpus size (l13 vocab precedent).
     boiler_side = (
@@ -883,7 +954,18 @@ def l28_boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         if table_rows(sf_dir, "documents") <= 100_000
         else boiler
     )
-    marked = chunks.join(boiler_side, "chunk", "left")
+    chunks = base.select(
+        "doc_id",
+        F.posexplode(
+            F.arrays_zip(F.expr(ch_s).alias("chunk"), F.expr(ch_h).alias("chunk_h"))
+        ).alias("chunk_idx", "__z"),
+    ).select(
+        "doc_id",
+        "chunk_idx",
+        F.col("__z.chunk").alias("chunk"),
+        F.col("__z.chunk_h").alias("chunk_h"),
+    )
+    marked = chunks.join(boiler_side, "chunk_h", "left")
     kept_in_order = F.expr(
         "transform(array_sort(collect_kept), x -> x.chunk)"
     )
@@ -1057,15 +1139,17 @@ def l38_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tok").cast("long").alias("total_tokens"),
         F.max("n_tok").cast("long").alias("max_tokens"),
     )
-    grams = word_ngrams(docs, GRAM_N)
+    # Hashed grams: only the contaminated doc COUNT surfaces (round-6
+    # gram-hash rewrite, l17 collision acceptance).
+    grams = word_ngram_hashes(docs, GRAM_N)
     bench = (
-        grams.filter(F.col("doc_id") % _BENCH_MOD == 0).select("gram").distinct()
+        grams.filter(F.col("doc_id") % _BENCH_MOD == 0).select("gram_h").distinct()
     )
     n_docs_stat = table_rows(sf_dir, "documents")
     bench_side = F.broadcast(bench) if n_docs_stat <= 100_000 else bench
     contam = (
         grams.filter(F.col("doc_id") % _BENCH_MOD != 0)
-        .join(bench_side, "gram")
+        .join(bench_side, "gram_h")
         .agg(F.countDistinct("doc_id").cast("long").alias("n_contaminated"))
     )
     return (

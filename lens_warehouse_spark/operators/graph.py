@@ -53,8 +53,12 @@ def g1_subtree_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events").select("user_id", "value").filter(
         F.col("user_id") >= 1
     )
+    # k ranges over the full BIGINT width: a 40-shift cap silently
+    # DROPPED every ancestor above depth 40 for ids >= 2^41 (the
+    # recursive oracle has no such cap, so those rows would mismatch).
+    # The filter still prunes the closure to the id's true depth.
     ancestors = F.expr(
-        "filter(transform(sequence(0, 40), k -> shiftright(user_id, k)),"
+        "filter(transform(sequence(0, 62), k -> shiftright(user_id, k)),"
         " a -> a >= 1)"
     )
     return (

@@ -40,13 +40,20 @@ from pyspark.sql import functions as F
 
 def _equidepth_rank(col: str, boundaries: list[float]) -> Column:
     """Rank of ``col`` among equi-depth boundaries: count of boundaries
-    <= value, via a codegen'd fold (no UDF, no per-row Python)."""
+    <= value, via a codegen'd fold (no UDF, no per-row Python).
+
+    try_cast, NOT cast: the quantile pass below tolerates malformed
+    strings to NULL, so a PARTIALLY-malformed column passes the
+    empty-boundaries contract check — an ANSI cast here would then
+    abort the clustering write mid-stage on the first bad row. A
+    malformed/NULL value ranks 0 (the when() is null-false), i.e. it
+    clusters with the lowest band instead of killing the job."""
     arr = F.array(*[F.lit(float(b)) for b in boundaries])
     return F.aggregate(
         arr,
         F.lit(0).cast("long"),
         lambda acc, b: acc
-        + F.when(F.col(col).cast("double") >= b, 1).otherwise(0).cast("long"),
+        + F.when(F.col(col).try_cast("double") >= b, 1).otherwise(0).cast("long"),
     )
 
 

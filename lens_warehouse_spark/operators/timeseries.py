@@ -127,15 +127,38 @@ ORDER BY user_id, session_start_ms
 """,
 )
 def t3_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = table(spark, sf_dir, "events")
+    # Round-6 rewrite: gaps-and-islands (lag flag -> running-sum id ->
+    # agg) instead of the native session_window aggregate. Same single
+    # user_id exchange — both window passes share one sort, and the
+    # island groupBy's (user_id, sid) clustering is satisfied by the
+    # existing user_id partitioning so no second shuffle — but the
+    # batch session_window buffer merge measured 50% slower at volume
+    # (checksum harness, best-of-3: 0.48/0.71/2.18 s vs this form's
+    # 0.43/0.74/1.45 s at sf0.1/10x/100x; DuckDB 0.71 s at 100x).
+    # session_window remains the right primitive on the STREAMING path
+    # (t9) where the island rewrite needs unbounded state.
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_millis(as_ts("ts")).alias("ms")
+    )
+    w = Window.partitionBy("user_id").orderBy("ms", "event_id")
+    gap = F.col("ms") - F.lag("ms").over(w)
+    flagged = ev.withColumn(
+        "new_sess",
+        F.when(F.lag("ms").over(w).isNull() | (gap >= 1800000), 1).otherwise(0),
+    )
+    sess = flagged.withColumn(
+        "sid",
+        F.sum("new_sess").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
     return (
-        ev.groupBy(F.session_window(as_ts("ts"), "30 minutes").alias("w"), "user_id")
-        .agg(F.count(F.lit(1)).alias("n_events"))
-        .select(
-            "user_id",
-            F.unix_millis(F.col("w.start")).alias("session_start_ms"),
-            "n_events",
+        sess.groupBy("user_id", "sid")
+        .agg(
+            F.min("ms").alias("session_start_ms"),
+            F.count(F.lit(1)).alias("n_events"),
         )
+        .select("user_id", "session_start_ms", "n_events")
         .orderBy("user_id", "session_start_ms")
     )
 
