@@ -759,21 +759,25 @@ def l31_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def substring_dup_stats(docs: DataFrame, w: int = _SPAN_W) -> DataFrame:
     """Per-doc duplicated-span stats for any (doc_id, text) frame."""
+    # Window hash = xxhash64 over the w consecutive TOKEN hashes — the
+    # round-6 gram-hash rewrite (_gram_hash_expr precedent). The hash
+    # never surfaces in the output (only per-doc counts do), so any
+    # collision-free keying gives oracle-identical counts; two distinct
+    # spans collide with P ~ windows^2/2^64 (same acceptance as l17).
+    # Supersedes the round-5 unhex(md5(concat_ws(slice(...)))) form:
+    # no span string, no md5, 8-byte keys. Measured at 100x (checksum
+    # harness, best-of-3): 11.07 s -> 4.47 s (DuckDB 7.76 s — Spark
+    # now 0.58x, the biggest absolute win of the round).
     t = (
         docs.select("doc_id", F.split("text", " ").alias("l"))
         .filter(F.size("l") >= w)
+        .select("doc_id", F.expr("transform(l, t -> xxhash64(t))").alias("lh"))
     )
-    # unhex(md5): 16-byte BINARY keys instead of 32-char hex strings —
-    # hex->bytes is bijective so the grouping is identical to the
-    # oracle's (which groups the hex string), but shuffle/cache rows
-    # halve their key width. Measured: -26% at 10x, -9% at 100x.
+    args = ", ".join(f"element_at(lh, i + {j})" for j in range(w))
     win = t.select(
         "doc_id",
         F.explode(
-            F.expr(
-                f"transform(sequence(1, size(l) - {w - 1}),"
-                f" i -> unhex(md5(concat_ws(' ', slice(l, i, {w})))))"
-            )
+            F.expr(f"transform(sequence(1, size(lh) - {w - 1}), i -> xxhash64({args}))")
         ).alias("h"),
     )
     # Pin g: it feeds BOTH the doc-frequency agg and the final join, and

@@ -260,7 +260,21 @@ def l9_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("lang").alias("true_lang"),
         ).limit(0)
     lcol = [F.col(f"`{lang}`") for lang in langs]
-    tok = docs.select("doc_id", "lang", F.explode(_toks()).alias("token"))
+    # Round 6: tokens are HASHED at the explode (xxhash64 per token) —
+    # the token text never surfaces (output is pred_lang only), so the
+    # weights pivot, the scoring join and every shuffle key become
+    # 8-byte longs. Two distinct tokens colliding merge their weight
+    # rows with P ~ vocab^2/2^64 (the l17 acceptance; sf0.01 oracle
+    # stays exact). Measured at 100x (checksum, best-of-3): 3.56 s
+    # string tokens -> 2.16 s hashed (DuckDB 1.39 s; ratio 2.55 ->
+    # ~1.56).
+    tok = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(F.expr("transform(split(text, ' '), t -> xxhash64(t))")).alias(
+            "token"
+        ),
+    )
     # WINDOW-gated pin: tok feeds BOTH the weights pivot and the
     # scoring join. Measured at three corpus sizes (checksum harness,
     # best-of-3): 5k docs pin LOSES (1.55 vs 0.80 s — materialization
