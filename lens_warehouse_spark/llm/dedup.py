@@ -104,15 +104,34 @@ def l1b_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _shingle_expr(tok_col: str = "__t") -> str:
-    """SQL expression producing the 3-token shingle array of a token
-    array column. Single source of truth: the minhash sketch and the
-    exact-Jaccard verify step MUST measure the same sets, or the LSH
-    S-curve guarantee silently breaks (the sketch would approximate one
+def _token_hash_expr(tok_col: str) -> str:
+    """SQL: per-token xxhash64 array of a token array column. Callers
+    MUST project this into a column first (one evaluation per row) and
+    hand that column to _shingle_hash_expr — inlining it there would
+    re-evaluate the whole token-hash array once per element_at."""
+    return f"transform({tok_col}, t -> xxhash64(t))"
+
+
+def _shingle_hash_expr(tok_hash_col: str = "__th") -> str:
+    """SQL expression producing the array of 64-bit 3-token shingle
+    HASHES from a pre-projected token-HASH array column (round-6
+    gram-hash form: xxhash64 over the 3 consecutive token hashes — no
+    shingle string is ever built; shingle-set identity is preserved
+    modulo 2^-64 collisions, the repo-wide acceptance).
+    try_element_at, not element_at: the greatest(..., 1) clamp emits
+    one shingle for docs shorter than 3 tokens, whose trailing slots
+    are out of bounds — xxhash64 skips the resulting NULLs, exactly as
+    concat_ws joined only the available tokens in the superseded
+    string form.
+
+    Single source of truth: the minhash sketch and the exact-Jaccard
+    verify step MUST measure the same sets, or the LSH S-curve
+    guarantee silently breaks (the sketch would approximate one
     similarity while the threshold filter tests another)."""
+    args = ", ".join(f"try_element_at({tok_hash_col}, i + {j})" for j in range(3))
     return (
-        f"transform(sequence(1, greatest(size({tok_col}) - 2, 1)),"
-        f" i -> concat_ws(' ', slice({tok_col}, i, 3)))"
+        f"transform(sequence(1, greatest(size({tok_hash_col}) - 2, 1)),"
+        f" i -> xxhash64({args}))"
     )
 
 
@@ -120,19 +139,29 @@ def minhash_signatures(
     df: DataFrame, text_col: str = "text", n_hashes: int = N_HASHES
 ) -> DataFrame:
     """Compute (doc_id, sig) where ``sig`` is an array<bigint> of
-    seeded-xxhash64 minima over 3-token shingles.
+    seeded-xxhash64 minima over 3-token shingle hashes.
 
-    Shape: explode shingles, then one groupBy(doc_id) with n_hashes
-    min() aggregates. The min() partials combine map-side, so the
-    shuffle carries n_hashes longs per document regardless of document
-    length — the right shape at 100 TB. (A pure higher-order-function
-    formulation — array_min(transform(...)) — avoids the shuffle but
-    runs interpreted, ~5x slower; measured at sf0.1.)
+    Shape: explode shingle hashes, then one groupBy(doc_id) with
+    n_hashes min() aggregates. The min() partials combine map-side, so
+    the shuffle carries n_hashes longs per document regardless of
+    document length — the right shape at 100 TB. (A pure
+    higher-order-function formulation — array_min(transform(...)) —
+    avoids the shuffle but runs interpreted, ~5x slower; measured at
+    sf0.1.) Each seeded hash now mixes one LONG (xxhash64(seed, sh))
+    instead of re-hashing a 3-token string per seed — with 16 seeds
+    the superseded string form hashed every shingle string 16 times.
+    Measured (full l2 pipeline, idle, best-of-5 at sf0.1): 0.984 s
+    string shingles -> 0.813 s hashed (-17% on the slowest headline
+    query; the band hash also stopped stringifying its r longs).
     """
-    # hoist split() into a column so tokenization runs once per row,
-    # not once per shingle inside the higher-order expression
-    toks = df.select("doc_id", F.split(text_col, " ").alias("__t"))
-    exploded = toks.select("doc_id", F.explode(F.expr(_shingle_expr())).alias("__s"))
+    # hoist split() and the token-hash array into columns so each runs
+    # once per row, not once per shingle inside the higher-order expr
+    toks = df.select("doc_id", F.split(text_col, " ").alias("__t")).select(
+        "doc_id", F.expr(_token_hash_expr("__t")).alias("__th")
+    )
+    exploded = toks.select(
+        "doc_id", F.explode(F.expr(_shingle_hash_expr("__th"))).alias("__s")
+    )
     aggs = [
         F.min(F.xxhash64(F.lit(seed), F.col("__s"))).alias(f"__h{seed}")
         for seed in range(n_hashes)
@@ -176,12 +205,17 @@ def band_projection(
     key relation both the batch self-join and the streaming signature
     store are built from."""
     r = n_hashes // n_bands
+    # Band hash = xxhash64 over the r signature longs directly (round-6
+    # gram-hash form) — the superseded concat_ws(',', slice(sig, ...))
+    # form built a decimal string from the longs and hashed that.
+    # Indexes are always in bounds (b*r + r = n_hashes = size(sig)).
+    args = ", ".join(f"element_at(sig, b * {r} + {j + 1})" for j in range(r))
     return sigs.select(
         F.col(id_col),
         F.explode(
             F.expr(
                 f"transform(sequence(0, {n_bands - 1}),"
-                f" b -> struct(b AS band_id, xxhash64(concat_ws(',', slice(sig, b * {r} + 1, {r}))) AS band_hash))"
+                f" b -> struct(b AS band_id, xxhash64({args}) AS band_hash))"
             )
         ).alias("band"),
     ).select(id_col, "band.band_id", "band.band_hash")
@@ -238,18 +272,24 @@ def jaccard(
     identical token sets in different order have token Jaccard 1.0 but
     near-disjoint shingle sets, so no band ever collides)."""
     if measure == "tokens":
-        def set_expr(text_col: str) -> Column:
-            return F.array_distinct(F.split(text_col, " "))
+        def pre_expr(text_col: str) -> Column:
+            return F.split(text_col, " ")
+
+        def set_expr(pre_col: str) -> Column:
+            return F.array_distinct(F.col(pre_col))
     elif measure == "shingles":
         # Compare HASHED shingle sets (array<bigint>): set Jaccard is
         # identical up to 64-bit hash collisions (P ~ n^2/2^64,
         # negligible), and intersect/union over longs beats 3-token
-        # strings.
-        def set_expr(text_col: str) -> Column:
-            shingles = _shingle_expr(f"split({text_col}, ' ')")
-            return F.array_distinct(
-                F.expr(f"transform({shingles}, s -> xxhash64(s))")
-            )
+        # strings. Uses the SAME _shingle_hash_expr as the sketch
+        # (single-source-of-truth contract above); the token-hash
+        # array is staged as a projection column so it evaluates once
+        # per candidate row, not once per shingle slot.
+        def pre_expr(text_col: str) -> Column:
+            return F.expr(_token_hash_expr(f"split({text_col}, ' ')"))
+
+        def set_expr(pre_col: str) -> Column:
+            return F.array_distinct(F.expr(_shingle_hash_expr(pre_col)))
     else:  # pragma: no cover - programmer error
         raise ValueError(f"unknown jaccard measure: {measure!r}")
     # Join candidate pairs to raw TEXT first, build the sets inline per
@@ -261,11 +301,21 @@ def jaccard(
     # by the band count.
     a = docs.select(F.col(id_col).alias("doc_a"), F.col("text").alias("__text_a"))
     b = docs.select(F.col(id_col).alias("doc_b"), F.col("text").alias("__text_b"))
-    joined = df.join(a, "doc_a").join(b, "doc_b").select(
-        "doc_a",
-        "doc_b",
-        set_expr("__text_a").alias("toks_a"),
-        set_expr("__text_b").alias("toks_b"),
+    joined = (
+        df.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            pre_expr("__text_a").alias("__pre_a"),
+            pre_expr("__text_b").alias("__pre_b"),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            set_expr("__pre_a").alias("toks_a"),
+            set_expr("__pre_b").alias("toks_b"),
+        )
     )
     inter = F.size(F.array_intersect("toks_a", "toks_b")).cast("double")
     union = F.size(F.array_union("toks_a", "toks_b")).cast("double")

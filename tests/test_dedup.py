@@ -37,7 +37,18 @@ def make_docs(spark, rng, n=20, doc_len=40, n_near=5, mutate=3):
 
 @pytest.fixture(scope="module")
 def planted(spark):
-    docs = make_docs(spark, random.Random(7))
+    # mutate=1, NOT 3: the sketch measures SHINGLE jaccard, and 3
+    # token mutations in a 40-token doc push shingle jaccard down to
+    # ~0.62-0.73 — squarely ON the 4x4 banding's ~0.71 S-curve
+    # threshold, where expected recall is only ~2.6 of 5 pairs. The
+    # pre-round-6 version of this fixture passed only because the old
+    # shingle-string hash family happened to draw lucky minima for
+    # this seed (deterministically); the round-6 hash rewrite redrew
+    # the minima and exposed the test as threshold-straddling. One
+    # mutation keeps every planted pair's shingle jaccard >= ~0.85
+    # (per-pair collide probability ~0.95) — the regime the recall
+    # assertion is actually entitled to.
+    docs = make_docs(spark, random.Random(7), mutate=1)
     sigs = minhash_signatures(docs).select("doc_id", "sig")
     pairs = lsh_candidate_pairs(sigs)
     verified = jaccard(pairs, docs)
@@ -46,7 +57,8 @@ def planted(spark):
 
 def test_minhash_finds_planted_neardups(planted):
     found = {(a, b) for (a, b) in planted if b == 1000 + a}
-    # 3/40 token mutations -> Jaccard ~0.85+; 4x4 banding threshold ~0.71.
+    # 1/40 token mutation -> SHINGLE jaccard ~0.85+; 4x4 banding
+    # threshold ~0.71 -> per-pair collide probability ~0.95.
     assert len(found) >= 4, f"expected >=4 of 5 planted pairs, got {found}"
 
 
