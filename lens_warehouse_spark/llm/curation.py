@@ -65,10 +65,26 @@ def _gram_hash_expr(n: int) -> str:
     A pandas-UDF (Arrow) gram counter measured 0.77 s — marginally
     faster still, but this form stays JVM-native with no Python worker
     memory to manage at 100 TB, so it wins on robustness.
-    Callers must pair with size(__t) >= n (element_at is then always
-    in bounds; max index = (size-n+1) + n-1 = size)."""
+
+    TOTAL by construction (round 6): the CASE guard returns an empty
+    array for docs shorter than n tokens instead of relying on the
+    caller's size(__t) >= n filter. The filter alone is NOT enough:
+    exploding this expression makes InferFiltersFromGenerate push an
+    inferred ``size(grams) > 0`` predicate below the caller's projects
+    into the source filter, where interpreted common-subexpression
+    elimination evaluates the gram expression EAGERLY — before the
+    short-circuiting size conjunct — and sequence(1, size-n+1) turns
+    DESCENDING on short docs, driving element_at out of bounds
+    (ArrayIndexOutOfBoundsException under ANSI; caught by
+    tests/test_novelty_containment_ks.py on a 2-token doc). Inside the
+    taken CASE branch every index is in bounds (max = (size-n+1)+n-1
+    = size), so the fast non-try element_at stays."""
     args = ", ".join(f"element_at(__th, i + {j})" for j in range(n))
-    return f"transform(sequence(1, size(__th) - {n - 1}), i -> xxhash64({args}))"
+    return (
+        f"CASE WHEN size(__th) >= {n} THEN "
+        f"transform(sequence(1, size(__th) - {n - 1}), i -> xxhash64({args})) "
+        f"ELSE CAST(array() AS ARRAY<BIGINT>) END"
+    )
 
 
 def word_ngram_hashes(df: DataFrame, n: int, text_col: str = "text") -> DataFrame:
@@ -609,10 +625,16 @@ def l21_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             F.explode(
+                # CASE guard: total on 1-token docs (the l41
+                # inferred-filter + CSE mechanism would otherwise
+                # evaluate element_at(t, 2) on them despite the
+                # size(t) >= 2 filter above)
                 F.expr(
-                    "transform(sequence(1, greatest(size(t) - 1, 1)),"
+                    "CASE WHEN size(t) >= 2 THEN"
+                    " transform(sequence(1, size(t) - 1),"
                     " i -> struct(element_at(t, i) AS w1,"
                     " concat(element_at(t, i), ' ', element_at(t, i + 1)) AS gram))"
+                    " ELSE CAST(array() AS ARRAY<STRUCT<w1: STRING, gram: STRING>>) END"
                 )
             ).alias("bg"),
         )
@@ -1225,4 +1247,105 @@ def l39_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         keys.orderBy(F.col("es_key").desc(), "doc_id")
         .limit(_L39_K)
         .select("doc_id", F.col("weight").cast("long").alias("weight"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# L41: n-gram novelty scoring — per document, the fraction of its
+# DISTINCT 3-gram set whose corpus-wide first occurrence (min doc_id)
+# is this document. The data-pruning dual of dedup: documents with low
+# novelty add little content the corpus doesn't already have, so
+# curation pipelines downweight or drop them (l16 measures overlap
+# against a held-out benchmark; this measures redundancy against the
+# corpus ITSELF under a deterministic arrival order). NS
+# training-pipeline extension.
+#
+# Scale shape: per-doc distinct-gram totals are computed MAP-SIDE
+# (array_distinct on the per-row gram-hash array — l17's zero-shuffle
+# trick), so the only data-sized shuffle is the groupBy(gram_h) min —
+# 8-byte keys (gram-hash rule; gram text never exists), map-side
+# combined. The novel-count relation is doc-cardinality, joined back
+# doc-to-doc. The dual-consumer gram subtree is corpus-size-gated into
+# a pin exactly like l13's tf.
+# ---------------------------------------------------------------------------
+@register(
+    "l41_ngram_novelty",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), grams AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+                              i -> array_to_string(t[i:i+2], ' ')))) AS gram
+  FROM toks
+), firsts AS (
+  SELECT gram, min(doc_id) AS first_doc FROM grams GROUP BY gram
+), totals AS (
+  SELECT doc_id, count(*) AS n_distinct_grams FROM grams GROUP BY doc_id
+), novel AS (
+  SELECT first_doc AS doc_id, count(*) AS n_novel FROM firsts GROUP BY first_doc
+)
+SELECT t.doc_id,
+       t.n_distinct_grams,
+       CAST(coalesce(n.n_novel, 0) AS BIGINT) AS n_novel,
+       round(CAST(coalesce(n.n_novel, 0) AS DOUBLE) / t.n_distinct_grams, 6) AS novelty
+FROM totals t LEFT JOIN novel n USING (doc_id)
+ORDER BY t.doc_id
+""",
+)
+def l41_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_novelty(
+        table(spark, sf_dir, "documents"),
+        pin_corpus=table_rows(sf_dir, "documents") > 100_000,
+    )
+
+
+def ngram_novelty(
+    docs: DataFrame, n: int = 3, pin_corpus: bool = False
+) -> DataFrame:
+    """Per-doc (n_distinct_grams, n_novel, novelty) over word n-grams;
+    docs shorter than ``n`` tokens emit nothing (word_ngram_hashes
+    contract). ``pin_corpus``: materialize the dual-consumer gram
+    subtree (corpus-size-gated by the caller, l13's measured trade)."""
+    from lens_warehouse_spark.operators._helpers import pin
+
+    per_doc = (
+        docs.select("doc_id", F.split("text", " ").alias("__t"))
+        .filter(F.size("__t") >= n)
+        .select(
+            "doc_id", F.expr("transform(__t, t -> xxhash64(t))").alias("__th")
+        )
+        .select(
+            "doc_id", F.array_distinct(F.expr(_gram_hash_expr(n))).alias("__g")
+        )
+    )
+    # per_doc feeds BOTH the map-side totals and the exploded firsts
+    # branch; at bench SF the recompute is cheaper than materializing
+    # (l13's measured trade), so the pin is corpus-size-gated.
+    if pin_corpus:
+        per_doc = pin("l41.per_doc", per_doc)
+    firsts = (
+        per_doc.select("doc_id", F.explode("__g").alias("gram_h"))
+        .groupBy("gram_h")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    novel = firsts.groupBy("first_doc").agg(
+        F.count(F.lit(1)).alias("__nn")
+    )
+    totals = per_doc.select(
+        "doc_id", F.size("__g").cast("long").alias("n_distinct_grams")
+    )
+    return (
+        totals.join(novel, totals.doc_id == novel.first_doc, "left")
+        .select(
+            "doc_id",
+            "n_distinct_grams",
+            F.coalesce(F.col("__nn"), F.lit(0)).cast("long").alias("n_novel"),
+            F.round(
+                F.coalesce(F.col("__nn"), F.lit(0)).cast("double")
+                / F.col("n_distinct_grams"),
+                6,
+            ).alias("novelty"),
+        )
+        .orderBy("doc_id")
     )

@@ -823,11 +823,21 @@ def substring_dup_stats(docs: DataFrame, w: int = _SPAN_W) -> DataFrame:
         .filter(F.size("l") >= w)
         .select("doc_id", F.expr("transform(l, t -> xxhash64(t))").alias("lh"))
     )
+    # CASE guard makes the window expression TOTAL: exploding it lets
+    # InferFiltersFromGenerate push an inferred size(windows) > 0
+    # predicate below the size(l) >= w filter, where interpreted CSE
+    # evaluates the expression eagerly on short docs and the descending
+    # sequence(1, size-w+1) drives element_at out of bounds (the l41
+    # mechanism, tests/test_novelty_containment_ks.py).
     args = ", ".join(f"element_at(lh, i + {j})" for j in range(w))
     win = t.select(
         "doc_id",
         F.explode(
-            F.expr(f"transform(sequence(1, size(lh) - {w - 1}), i -> xxhash64({args}))")
+            F.expr(
+                f"CASE WHEN size(lh) >= {w} THEN"
+                f" transform(sequence(1, size(lh) - {w - 1}), i -> xxhash64({args}))"
+                f" ELSE CAST(array() AS ARRAY<BIGINT>) END"
+            )
         ).alias("h"),
     )
     # Pin g: it feeds BOTH the doc-frequency agg and the final join, and
@@ -915,4 +925,90 @@ def l33_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
             "tok_ratio",
         )
         .orderBy("cluster_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# L43: containment near-dup scoring — Broder's ASYMMETRIC containment
+# |A∩B| / |A| on token sets, the measure that catches "doc B embeds
+# doc A" pairs symmetric Jaccard misses (a near-subset of a much
+# longer doc has high containment but low Jaccard, so neither l2's
+# SKETCH nor l2b's >= 0.5 filter surfaces it). Emits both directions
+# plus Jaccard for every pair whose max-direction containment clears
+# 0.8. Same bounded-corpus quadratic-baseline contract as l2b (the
+# scale path is LSH candidate generation feeding this scorer; the
+# all-pairs form exists to be oracle-exact).
+# ---------------------------------------------------------------------------
+@register(
+    "l43_containment_neardup",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok,
+         len(list_distinct(string_split(text, ' '))) AS n
+  FROM documents
+  WHERE doc_id < 2000  -- bounded corpus: quadratic baseline (l2b contract)
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         count(*) AS shared, any_value(a.n) AS na, any_value(b.n) AS nb
+  FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       round(CAST(shared AS DOUBLE) / na, 6) AS cont_a_in_b,
+       round(CAST(shared AS DOUBLE) / nb, 6) AS cont_b_in_a,
+       round(CAST(shared AS DOUBLE) / (na + nb - shared), 6) AS jaccard
+FROM pairs
+WHERE greatest(CAST(shared AS DOUBLE) / na, CAST(shared AS DOUBLE) / nb) >= 0.8
+ORDER BY doc_a, doc_b
+""",
+)
+def l43_containment_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return containment_pairs(
+        table(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
+    )
+
+
+def containment_pairs(docs: DataFrame, threshold: float = 0.8) -> DataFrame:
+    """All shared-token pairs of ``docs`` whose max-direction token-set
+    containment clears ``threshold``; columns (doc_a, doc_b,
+    cont_a_in_b, cont_b_in_a, jaccard). Quadratic in shared-token
+    pairs — callers bound the corpus or feed LSH candidates."""
+    toks = (
+        docs
+        .select(
+            "doc_id",
+            F.explode(F.array_distinct(F.split("text", " "))).alias("tok"),
+            F.size(F.array_distinct(F.split("text", " "))).alias("n"),
+        )
+    )
+    a = toks.select(
+        F.col("doc_id").alias("doc_a"), F.col("tok"), F.col("n").alias("na")
+    )
+    b = toks.select(
+        F.col("doc_id").alias("doc_b"), F.col("tok"), F.col("n").alias("nb")
+    )
+    pairs = (
+        a.join(b, ["tok"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.count(F.lit(1)).alias("shared"),
+            F.first("na").alias("na"),
+            F.first("nb").alias("nb"),
+        )
+    )
+    sh = F.col("shared").cast("double")
+    cont_a = sh / F.col("na")
+    cont_b = sh / F.col("nb")
+    jac = sh / (F.col("na") + F.col("nb") - F.col("shared"))
+    return (
+        pairs.filter(F.greatest(cont_a, cont_b) >= threshold)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(cont_a, 6).alias("cont_a_in_b"),
+            F.round(cont_b, 6).alias("cont_b_in_a"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+        .orderBy("doc_a", "doc_b")
     )

@@ -1081,3 +1081,117 @@ def a25_windowed_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day_ms")
     )
+
+
+# ---------------------------------------------------------------------------
+# A26: two-sample Kolmogorov-Smirnov statistic — the experiment-analysis
+# primitive (are 'click' and 'view' event values drawn from the same
+# distribution?). D = max over x of |CDF_click(x) - CDF_view(x)|,
+# computed EXACTLY from integer cumulative counts over the grouped
+# value domain. The reference has no hypothesis testing (its analytics
+# are counts [P src/lens/api.clj]); this is part of the stats extension
+# with a25/a15.
+#
+# Scale shape — the distributed-CDF pattern: a plain Window.orderBy
+# cumsum would move the whole value domain to ONE partition. Instead
+# the grouped (value, count_a, count_b) relation is RANGE-repartitioned
+# on value, cumsummed locally per partition, and per-partition totals
+# are broadcast back as offsets (the w5/global_rank machinery, applied
+# to weighted sums instead of row counts). Every stage is parallel; the
+# only data-sized shuffles are the groupBy(value) and the range
+# exchange, both on the (much smaller) distinct-value domain. All
+# cumulative counts are integers, so the D statistic is
+# rational-deterministic on both engines (round 6 for the libm /
+# division ulp only).
+# ---------------------------------------------------------------------------
+@register(
+    "a26_ks_test",
+    oracle="""
+WITH g AS (
+  SELECT value,
+         count(*) FILTER (event_type = 'click') AS a,
+         count(*) FILTER (event_type = 'view') AS b
+  FROM events WHERE event_type IN ('click', 'view')
+  GROUP BY value
+), t AS (
+  SELECT sum(a) AS na, sum(b) AS nb FROM g
+), c AS (
+  SELECT sum(a) OVER (ORDER BY value) AS ca,
+         sum(b) OVER (ORDER BY value) AS cb
+  FROM g
+)
+SELECT round(max(abs(CAST(c.ca AS DOUBLE) / t.na - CAST(c.cb AS DOUBLE) / t.nb)), 6) AS ks_d,
+       CAST(t.na AS BIGINT) AS n_click,
+       CAST(t.nb AS BIGINT) AS n_view
+FROM c CROSS JOIN t
+GROUP BY t.na, t.nb
+""",
+)
+def a26_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "view"))
+        .select("value", (F.col("event_type") == "click").alias("__ia"))
+    )
+    g = ev.groupBy("value").agg(
+        F.count(F.when(F.col("__ia"), 1)).alias("a"),
+        F.count(F.when(~F.col("__ia"), 1)).alias("b"),
+    )
+    # Distributed cumulative sum (no single-partition window): range
+    # shuffle on value, local cumsum, broadcast per-partition offsets.
+    # localCheckpoint pins the ranged relation so the offsets pass
+    # reads cached blocks instead of repeating the range exchange
+    # (range boundaries are sampled, so Catalyst cannot reuse them).
+    keyed = (
+        g.repartitionByRange(32, "value")
+        .withColumn("__p", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    w = Window.partitionBy("__p").orderBy("value")
+    local = keyed.select(
+        "__p",
+        F.sum("a").over(w).alias("__la"),
+        F.sum("b").over(w).alias("__lb"),
+    )
+    psums = keyed.groupBy("__p").agg(
+        F.sum("a").alias("__pa"), F.sum("b").alias("__pb")
+    )
+    prior = psums.select(
+        F.col("__p").alias("__p2"),
+        F.col("__pa").alias("__pa2"),
+        F.col("__pb").alias("__pb2"),
+    )
+    # Triangular join over <= 32 per-partition rows — bounded by
+    # construction, never data-sized (global_rank precedent).
+    offsets = (
+        psums.join(F.broadcast(prior), F.col("__p2") < F.col("__p"), "left")
+        .groupBy("__p")
+        .agg(
+            F.coalesce(F.sum("__pa2"), F.lit(0)).alias("__offa"),
+            F.coalesce(F.sum("__pb2"), F.lit(0)).alias("__offb"),
+        )
+    )
+    totals = psums.agg(
+        F.sum("__pa").alias("__ta"), F.sum("__pb").alias("__tb")
+    )
+    diff = (
+        local.join(F.broadcast(offsets), "__p")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            (
+                (F.col("__la") + F.col("__offa")).cast("double") / F.col("__ta")
+                - (F.col("__lb") + F.col("__offb")).cast("double") / F.col("__tb")
+            ).alias("__d"),
+            "__ta",
+            "__tb",
+        )
+    )
+    return diff.groupBy("__ta", "__tb").agg(
+        F.round(F.max(F.abs(F.col("__d"))), 6).alias("ks_d")
+    ).select(
+        "ks_d",
+        F.col("__ta").cast("long").alias("n_click"),
+        F.col("__tb").cast("long").alias("n_view"),
+    )

@@ -382,6 +382,40 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         ("total joined via broadcast single row", "BroadcastNestedLoopJoin"),
         ("cumulative window over the bounded month series", "windowspecdefinition(month"),
     ],
+    # a26 distributed CDF: the cumsum window must be partitioned on the
+    # range-partition id (never the single-partition global window),
+    # with offsets/totals riding broadcasts.
+    # (the range exchange itself runs EAGERLY inside localCheckpoint,
+    # so it cannot appear in the formatted plan — the audit pins its
+    # effect instead: the window repartitions on the partition id, not
+    # the whole value domain into one task)
+    "a26_ks_test": [
+        ("cumsum window partitioned per range partition", "windowspecdefinition(__p"),
+        ("window input exchanged on the partition id", "hashpartitioning(__p"),
+        ("offsets and totals broadcast back", "BroadcastExchange"),
+        ("no row-at-a-time python", "!BatchEvalPython"),
+    ],
+    # l41 novelty: totals are map-side (array_distinct on the per-row
+    # gram-hash array); the only data-sized shuffle keys are 8-byte
+    # gram hashes.
+    "l41_ngram_novelty": [
+        ("gram explode stays JVM-side", "Generate"),
+        ("first-occurrence agg partial+final", "HashAggregate"),
+        ("no cartesian product", "!CartesianProduct"),
+        ("no row-at-a-time python", "!BatchEvalPython"),
+        ("column pruning to doc_id+text", "ReadSchema: struct<doc_id:bigint,text:string>"),
+    ],
+    # l43 containment: bounded-corpus quadratic baseline — but still a
+    # hash EQUI join on the token, with the doc_id bound pushed into
+    # the scan.
+    # (AQE broadcasts the bounded side at audit SF; at scale the same
+    # equi join shuffles on tok — the l40 hint discipline)
+    "l43_containment_neardup": [
+        ("pair generation is a token hash equi-join", "HashJoin"),
+        ("no cartesian product", "!CartesianProduct"),
+        ("corpus bound pushed to the scan", "PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,2000)]"),
+        ("no row-at-a-time python", "!BatchEvalPython"),
+    ],
 }
 
 
