@@ -50,6 +50,20 @@ BROADCAST_ROW_LIMIT = 5_000_000
 
 _ROWCOUNT_CACHE: dict[str, int] = {}
 
+# Resolved StructType per "{sf_dir}/{name}". Path-based parquet reads
+# re-run schema resolution on EVERY ``spark.read.parquet`` call — a
+# driver-side footer job costing ~75-190 ms per call on local[32]
+# depending on load (measured round 6, idle: 92 ms/call inferred vs
+# 17 ms/call with an explicit schema; loaded: 230 vs 38). Across a
+# 25-query bench power run that job, not per-row work, was a dominant
+# fixed cost. The schema of a given
+# sf_dir table is immutable for the life of the process (same contract
+# as _ROWCOUNT_CACHE), so the first resolution is cached and replayed
+# via ``spark.read.schema(...)``. StructType is plain Python — safe to
+# reuse across sessions (every session gets _ensure_reader_conf first,
+# so resolution conditions are identical).
+_SCHEMA_CACHE: dict = {}
+
 
 def table_rows(sf_dir: str, tname: str) -> int:
     """Row count from parquet footers — metadata only, no Spark job.
@@ -149,12 +163,18 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; have {TABLES}")
     _ensure_reader_conf(spark)
+    path = f"{sf_dir}/{name}.parquet"
+    key = f"{sf_dir}/{name}"
+    schema = _SCHEMA_CACHE.get(key)
+    if schema is None:
+        df = spark.read.parquet(path)
+        _SCHEMA_CACHE[key] = df.schema
+    else:
+        df = spark.read.schema(schema).parquet(path)
     if name == "events":
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return df
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -53,3 +53,25 @@ def test_table_rows_matches_spark_count(spark):
         assert catalog.table_rows(SF_SMOKE, t) == catalog.table(
             spark, SF_SMOKE, t
         ).count()
+
+
+def test_schema_cache_replay_identical(spark):
+    """The cached-schema fast path (round 6: spark.read.schema(...)
+    replay skips the ~190 ms/call footer-resolution job) must produce
+    the SAME schema and rows as a fresh resolution — including the
+    events ts rebuild, whose bigint-vs-timestamp dispatch reads the
+    dtypes of whichever path ran."""
+    for t in ("events", "lineitem"):
+        key = f"{SF_SMOKE}/{t}"
+        catalog._SCHEMA_CACHE.pop(key, None)
+        fresh = catalog.table(spark, SF_SMOKE, t)  # populates the cache
+        assert key in catalog._SCHEMA_CACHE
+        cached = catalog.table(spark, SF_SMOKE, t)  # replays it
+        assert cached.schema == fresh.schema
+        assert cached.count() == fresh.count()
+        # value-identical on a sample row ordering
+        order = fresh.columns[0]
+        assert (
+            cached.orderBy(order).limit(5).collect()
+            == fresh.orderBy(order).limit(5).collect()
+        )
