@@ -113,19 +113,16 @@ class LensWarehouse:
 
     # -- curation pipeline ---------------------------------------------------
     def decontaminate(self, bench_mod: int = 97) -> DataFrame:
-        """Corpus documents sharing a 5-gram with the benchmark set."""
-        from lens_warehouse_spark.llm.curation import GRAM_N, word_ngrams
+        """Corpus documents sharing a 5-gram with the benchmark set
+        (doc_id % bench_mod == 0). Same plan as the registered l16:
+        hashed grams, corpus-size-gated benchmark broadcast."""
+        from lens_warehouse_spark.catalog import table_rows
+        from lens_warehouse_spark.llm.curation import decontamination
 
-        docs = self.table("documents")
-        grams = word_ngrams(docs, GRAM_N)
-        bench = (
-            grams.filter(F.col("doc_id") % bench_mod == 0).select("gram").distinct()
-        )
-        return (
-            grams.filter(F.col("doc_id") % bench_mod != 0)
-            .join(F.broadcast(bench), "gram")
-            .groupBy("doc_id")
-            .agg(F.countDistinct("gram").alias("n_contaminated_grams"))
+        return decontamination(
+            self.table("documents"),
+            bench_mod,
+            table_rows(self.sf_dir, "documents"),
         )
 
     def curate(self) -> DataFrame:

@@ -132,21 +132,30 @@ ORDER BY g.doc_id
 )
 def l16_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
-    # Hashed grams (word_ngram_hashes): the output is a per-doc count
-    # of distinct contaminated grams — gram text never surfaces, so
-    # the join keys and the distinct both run over 8-byte longs
-    # (round-6 gram-hash rewrite; 2^-64 collision acceptance as l17).
+    n_docs = table_rows(sf_dir, "documents")  # footer stats, no job
+    return decontamination(docs, _BENCH_MOD, n_docs)
+
+
+def decontamination(docs: DataFrame, bench_mod: int, n_docs: int) -> DataFrame:
+    """Parameterized core of l16 — shared with the engine facade so
+    ``LensWarehouse.decontaminate(bench_mod=...)`` runs the SAME plan
+    as the registered query (round-6 review: the facade had kept the
+    pre-hash string-gram path with an UNGATED broadcast).
+
+    Hashed grams (word_ngram_hashes): the output is a per-doc count
+    of distinct contaminated grams — gram text never surfaces, so
+    the join keys and the distinct both run over 8-byte longs
+    (round-6 gram-hash rewrite; 2^-64 collision acceptance as l17)."""
     grams = word_ngram_hashes(docs, GRAM_N)
     bench = (
-        grams.filter(F.col("doc_id") % _BENCH_MOD == 0)
+        grams.filter(F.col("doc_id") % bench_mod == 0)
         .select("gram_h")
         .distinct()
     )
-    corpus = grams.filter(F.col("doc_id") % _BENCH_MOD != 0)
+    corpus = grams.filter(F.col("doc_id") % bench_mod != 0)
     # bench derives from ~1% of the corpus -> scales with data; gate the
     # never-demoted hint on corpus size (l13 vocab precedent), let AQE
     # upgrade from runtime size on big corpora.
-    n_docs = table_rows(sf_dir, "documents")  # footer stats, no job
     bench_side = F.broadcast(bench) if n_docs <= 100_000 else bench
     return (
         corpus.join(bench_side, "gram_h")

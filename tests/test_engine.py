@@ -39,6 +39,12 @@ def test_engine_curation_surface(spark):
     assert groups.count() == lw.table("documents").count()
     cont = lw.decontaminate()
     assert set(cont.columns) == {"doc_id", "n_contaminated_grams"}
+    # bench_mod is REAL (round-5 facade lesson): a coarser benchmark
+    # set (every 7th doc) must flag different/more documents than the
+    # default 97, and the benchmark docs themselves are never flagged
+    cont7 = lw.decontaminate(bench_mod=7)
+    assert cont7.filter(F.col("doc_id") % 7 == 0).count() == 0
+    assert cont7.count() != cont.count()
     cur = lw.curate()
     assert cur.columns == ["lang", "source", "n_docs", "total_chars"]
     assert cur.count() > 0
