@@ -603,6 +603,16 @@ def l13_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hot stopword term then lands in ONE task at web scale, while this
     # df agg map-side combines to vocabulary-sized shuffle rows. At
     # 100 TB tf is a staged table feeding both aggregates.
+    #
+    # NEGATIVE A/B (round 6, tools/ab_l13.py, idle best-of-3): the
+    # gram-hash rule does NOT transfer here. A hash-first variant
+    # (tf/df over xxhash64(term), rank()<=3 overfetch keeps boundary
+    # ties, term text joined back only for the ~3/doc superset)
+    # measured 1.11x SLOWER at sf0.1 and 1.09x at 100x — unlike grams,
+    # terms are short and MUST surface in the output, so the
+    # vocab-distinct + join-back costs more than the narrower shuffles
+    # save. Pin gate re-swept post-schema-cache at 100x: pinned 3.96 s
+    # vs unpinned 4.36 s — the >100k gate stands.
     from lens_warehouse_spark.operators._helpers import pin
 
     # Parquet footer statistic — NOT docs.count(): the eager count ran
