@@ -416,6 +416,114 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         ("corpus bound pushed to the scan", "PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,2000)]"),
         ("no row-at-a-time python", "!BatchEvalPython"),
     ],
+    # --- round-6 additions: the graded volume subset + cohort flagship
+    # + the ANN/dedup scale paths + the widest TPC-H join trees -------
+    # t3 gaps-and-islands: ONE user_id exchange feeds both window
+    # passes and the island groupBy (clustering already satisfied);
+    # the only other exchange is the final ORDER BY range partition.
+    "t3_session_window": [
+        ("sessionize shuffles on user_id once", "hashpartitioning(user_id"),
+        ("both window passes JVM-side", "Window"),
+        ("island agg partial+final", "HashAggregate"),
+        ("no python, no cartesian", "!BatchEvalPython"),
+    ],
+    "l9_language_id": [
+        ("trained weights joined via broadcast", "BroadcastHashJoin"),
+        ("no sort-merge join of corpus vs weights", "!SortMergeJoin"),
+        ("token explode stays JVM-side", "Generate"),
+        ("no row-at-a-time python", "!BatchEvalPython"),
+    ],
+    "l28_boilerplate_scrub": [
+        ("frequent-chunk set joined via broadcast", "BroadcastHashJoin LeftOuter"),
+        ("chunk counts partial+final", "HashAggregate"),
+        ("no cartesian product", "!CartesianProduct"),
+        ("no row-at-a-time python", "!BatchEvalPython"),
+    ],
+    # u5d fused cohort: tagged UNION of predicate branches -> ONE
+    # bitmask aggregate — the one-shuffle CNF plan (cohort.py).
+    "u5d_cohort_visit_counts_fused": [
+        ("tagged union of CNF branches", "Union"),
+        ("dims broadcast inside branches", "BroadcastHashJoin"),
+        ("bitmask agg partial+final", "HashAggregate"),
+        ("no sort-merge join", "!SortMergeJoin"),
+    ],
+    "u5e_cohort_count_auto": [
+        ("auto strategy picked the fused union plan", "Union"),
+        ("no cartesian product", "!CartesianProduct"),
+    ],
+    # ANN family: candidate generation is a bucket equi-join (hash
+    # band / IVF cell), never all-pairs; Spark 4 pushes the per-probe
+    # rank limit down as WindowGroupLimit (partial top-k before the
+    # final window sort — the TakeOrderedAndProject of windows).
+    "l3c_ann_lsh": [
+        ("band-bucket equi-join", "BroadcastHashJoin"),
+        ("top-k rank pushed down", "WindowGroupLimit"),
+        ("no all-pairs cartesian", "!CartesianProduct"),
+        ("no row-at-a-time python", "!BatchEvalPython"),
+    ],
+    "l3e_ann_ivf": [
+        ("cell assignment computed once and cached", "InMemoryTableScan"),
+        ("centroid scoring is a broadcast cross of k centroids", "BroadcastNestedLoopJoin Cross"),
+        ("cell equi-join for candidates", "BroadcastHashJoin"),
+        ("top-k rank pushed down", "WindowGroupLimit"),
+        ("no all-pairs cartesian", "!CartesianProduct"),
+    ],
+    "l3f_ann_ivf_trained": [
+        ("trained centroids broadcast", "BroadcastExchange"),
+        ("cell assignment cached", "InMemoryTableScan"),
+        ("top-k rank pushed down", "WindowGroupLimit"),
+        ("no all-pairs cartesian", "!CartesianProduct"),
+    ],
+    "l3g_ann_lsh_multiprobe": [
+        ("probe expansion is a generate, not a self-join", "Generate"),
+        ("bucket equi-join", "BroadcastHashJoin"),
+        ("top-k rank pushed down", "WindowGroupLimit"),
+        ("no all-pairs cartesian", "!CartesianProduct"),
+    ],
+    "l2f_minhash_threshold": [
+        ("signatures computed once and reused", "InMemoryTableScan"),
+        ("banded candidate equi-join", "BroadcastHashJoin"),
+        ("no all-pairs cartesian", "!CartesianProduct"),
+    ],
+    "l2g_jaccard_prefix": [
+        ("prefix tokens selected via rank window", "Window"),
+        ("candidate generation is a prefix-token equi-join", "BroadcastHashJoin"),
+        ("no all-pairs cartesian", "!CartesianProduct"),
+    ],
+    # TPC-H wide join trees: every dim side broadcast, EXISTS/IN
+    # rewritten to semi joins, aggregates partial+final.
+    "q3_shipping_priority": [
+        ("top-k, not full sort", "TakeOrderedAndProject"),
+        ("dims broadcast", "BroadcastHashJoin"),
+        ("segment filter pushed to scan", "EqualTo(c_mktsegment,BUILDING)"),
+    ],
+    "q5_local_supplier_volume": [
+        ("five-way join all broadcast", "BroadcastHashJoin"),
+        ("region restriction as semi join", "LeftSemi"),
+        ("no sort-merge join at this SF", "!SortMergeJoin"),
+    ],
+    "q8_market_share": [
+        ("six-way join all broadcast", "BroadcastHashJoin"),
+        ("part/region restrictions as semi joins", "LeftSemi"),
+        ("no cartesian product", "!CartesianProduct"),
+    ],
+    "q9_product_profit": [
+        ("profit join tree fully broadcast", "BroadcastHashJoin"),
+        ("agg partial+final", "HashAggregate"),
+        ("no cartesian product", "!CartesianProduct"),
+    ],
+    "l34_inverted_index": [
+        ("postings built by two-stage agg (term,doc -> term)", "ObjectHashAggregate"),
+        ("tf counts map-side combined first", "HashAggregate"),
+        ("no cartesian product", "!CartesianProduct"),
+        ("no row-at-a-time python", "!BatchEvalPython"),
+    ],
+    "l37_bm25": [
+        ("corpus stats broadcast as single-row cross", "BroadcastNestedLoopJoin Cross"),
+        ("top-k, not full sort", "TakeOrderedAndProject"),
+        ("df/tf joins broadcast", "BroadcastHashJoin"),
+        ("no row-at-a-time python", "!BatchEvalPython"),
+    ],
 }
 
 
