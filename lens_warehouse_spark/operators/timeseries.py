@@ -127,24 +127,33 @@ ORDER BY user_id, session_start_ms
 """,
 )
 def t3_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Round-6 rewrite: gaps-and-islands (lag flag -> running-sum id ->
-    # agg) instead of the native session_window aggregate. Same single
-    # user_id exchange — both window passes share one sort, and the
-    # island groupBy's (user_id, sid) clustering is satisfied by the
-    # existing user_id partitioning so no second shuffle — but the
-    # batch session_window buffer merge measured 50% slower at volume
-    # (checksum harness, best-of-3: 0.48/0.71/2.18 s vs this form's
-    # 0.43/0.74/1.45 s at sf0.1/10x/100x; DuckDB 0.71 s at 100x).
-    # session_window remains the right primitive on the STREAMING path
-    # (t9) where the island rewrite needs unbounded state.
-    ev = table(spark, sf_dir, "events").select(
+    return sessionize_islands(table(spark, sf_dir, "events"), 1800000)
+
+
+def sessionize_islands(events: DataFrame, gap_ms: int) -> DataFrame:
+    """Per-user session assembly with an inactivity gap — the
+    parameterized core of t3, shared with the engine facade.
+
+    Round-6 rewrite: gaps-and-islands (lag flag -> running-sum id ->
+    agg) instead of the native session_window aggregate. Same single
+    user_id exchange — both window passes share one sort, and the
+    island groupBy's (user_id, sid) clustering is satisfied by the
+    existing user_id partitioning so no second shuffle — but the
+    batch session_window buffer merge measured 50% slower at volume
+    (checksum harness, best-of-3: 0.48/0.71/2.18 s vs this form's
+    0.43/0.74/1.45 s at sf0.1/10x/100x; DuckDB 0.71 s at 100x).
+    session_window remains the right primitive on the STREAMING path
+    (t9) where the island rewrite needs unbounded state. Semantics
+    match session_window exactly: merge when the gap is < gap_ms,
+    split at >= gap_ms."""
+    ev = events.select(
         "user_id", "event_id", F.unix_millis(as_ts("ts")).alias("ms")
     )
     w = Window.partitionBy("user_id").orderBy("ms", "event_id")
     gap = F.col("ms") - F.lag("ms").over(w)
     flagged = ev.withColumn(
         "new_sess",
-        F.when(F.lag("ms").over(w).isNull() | (gap >= 1800000), 1).otherwise(0),
+        F.when(F.lag("ms").over(w).isNull() | (gap >= gap_ms), 1).otherwise(0),
     )
     sess = flagged.withColumn(
         "sid",

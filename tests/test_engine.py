@@ -25,7 +25,18 @@ def test_engine_surface(spark):
     knn = lw.knn(0, k=5).collect()
     assert len(knn) == 5
     assert knn[0].cos >= knn[-1].cos
-    assert lw.sessionize().count() > 0
+    # gap threads through (same facade lesson as decontaminate): a
+    # 1-second gap can only split more; a 1 ms gap makes ~every event
+    # its own session, and session sizes always sum to the event count
+    sess30 = lw.sessionize()
+    sess1s = lw.sessionize("1 second")
+    assert sess1s.count() >= sess30.count() > 0
+    n_events = lw.table("events").count()
+    assert sess30.agg({"n_events": "sum"}).first()[0] == n_events
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        lw.sessionize("30 fortnights")
     assert lw.simhashes().count() == 500
 
 
