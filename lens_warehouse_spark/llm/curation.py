@@ -20,6 +20,7 @@ registry.py (rule 4: never round a ratio near a boundary).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -901,6 +902,32 @@ _L28_N = 8  # chunk size (tokens)
 _L28_MIN_DOCS = 3  # chunks in >= this many docs are boilerplate
 
 
+def _chunk_strings_arrow():
+    """Arrow pandas_udf chunker: text -> array of N-token chunk strings
+    (split on single space, groups of _L28_N re-joined — split+join on
+    the same delimiter is an identity, so chunks are exact substrings
+    of the original between every Nth space). Measured 28% faster than
+    the interpreted concat_ws(slice(...)) lambda at 100x and exact on
+    adversarial spacing (tools/ab_l28.py). Built lazily per call:
+    pandas_udf registration needs an active SparkSession."""
+    n = _L28_N
+
+    @F.pandas_udf("array<string>")
+    def chunker(s: pd.Series) -> pd.Series:
+        def f(text):
+            if text is None:  # match split(NULL) -> NULL semantics
+                return None
+            t = text.split(" ")
+            return [
+                " ".join(t[i * n : (i + 1) * n])
+                for i in range(-(-len(t) // n))
+            ]
+
+        return s.map(f)
+
+    return chunker
+
+
 @register(
     "l28_boilerplate_scrub",
     oracle=f"""
@@ -945,30 +972,32 @@ def l28_boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     # moment the removed set outgrows broadcast, and the interpreted
     # filter/flatten rebuild lambda is slower than the explode+agg it
     # replaces. Don't re-try.
-    # MEASURED FLOOR (idle 100x, checksum protocol): 3.8-4.0 s vs
-    # DuckDB 1.27 s (~3.2x) — the worst remaining headline ratio.
-    # Decomposition at 100x: probe chunk-string build+explode 1.55 s
-    # (the output md5 needs real chunk text, so ONE interpreted
-    # concat_ws(slice(...)) pass is irreducible), boiler hash branch
-    # ~0.7 s, mark join + collect/sort/md5 rebuild ~1.5 s. DuckDB does
-    # the whole thing in one operator pipeline over a single hash
-    # table with string_agg — no exchange, no per-chunk lambda interp.
-    # Every structural alternative measured here lost; the residual is
-    # expression-interpreter and exchange cost, not plan shape.
+    # MEASURED FLOOR, revised (idle 100x, checksum protocol,
+    # tools/ab_l28.py): the interpreted concat_ws(slice(...)) chunk-
+    # string pass was NOT irreducible after all — an Arrow pandas_udf
+    # chunker (C-speed str.split/join, text in / chunk array out)
+    # measured 2.81 s vs the lambda's 3.91 s at 100x (-28%), exact on
+    # real data AND adversarial spacing (split+join on ' ' is an
+    # identity, so a chunk is the original text cut at every Nth
+    # space). A \G-anchored regexp_extract_all chunker timed the same
+    # 2.81 s but MISMATCHED an adversarial spacing case — rejected.
+    # Remaining decomposition at 100x: boiler hash branch ~0.7 s, mark
+    # join + collect/sort/md5 rebuild ~1.5 s, Arrow chunk pass ~0.6 s;
+    # DuckDB 1.27 s does it in one string_agg pipeline over a single
+    # hash table — the residual is exchange cost, not plan shape.
     hargs = ", ".join(f"try_element_at(__th, i * {n} + {j + 1})" for j in range(n))
     ch_h = (
         f"transform(sequence(0, CAST(ceil(size(__t) / {n}.0) AS INT) - 1),"
         f" i -> xxhash64({hargs}))"
     )
-    ch_s = (
-        f"transform(sequence(0, CAST(ceil(size(__t) / {n}.0) AS INT) - 1),"
-        f" i -> concat_ws(' ', slice(__t, i * {n} + 1, {n})))"
-    )
     base = (
         table(spark, sf_dir, "documents")
-        .select("doc_id", F.split("text", " ").alias("__t"))
+        .select("doc_id", "text", F.split("text", " ").alias("__t"))
         .select(
-            "doc_id", "__t", F.expr("transform(__t, t -> xxhash64(t))").alias("__th")
+            "doc_id",
+            "text",
+            "__t",
+            F.expr("transform(__t, t -> xxhash64(t))").alias("__th"),
         )
     )
     chunk_hashes = base.select("doc_id", F.explode(F.expr(ch_h)).alias("chunk_h"))
@@ -988,7 +1017,10 @@ def l28_boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunks = base.select(
         "doc_id",
         F.posexplode(
-            F.arrays_zip(F.expr(ch_s).alias("chunk"), F.expr(ch_h).alias("chunk_h"))
+            F.arrays_zip(
+                _chunk_strings_arrow()("text").alias("chunk"),
+                F.expr(ch_h).alias("chunk_h"),
+            )
         ).alias("chunk_idx", "__z"),
     ).select(
         "doc_id",

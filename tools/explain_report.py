@@ -437,6 +437,7 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         ("frequent-chunk set joined via broadcast", "BroadcastHashJoin LeftOuter"),
         ("chunk counts partial+final", "HashAggregate"),
         ("no cartesian product", "!CartesianProduct"),
+        ("chunk strings built Arrow-batched, not row-at-a-time", "ArrowEvalPython"),
         ("no row-at-a-time python", "!BatchEvalPython"),
     ],
     # u5d fused cohort: tagged UNION of predicate branches -> ONE
