@@ -147,6 +147,10 @@ def decontamination(docs: DataFrame, bench_mod: int, n_docs: int) -> DataFrame:
     of distinct contaminated grams — gram text never surfaces, so
     the join keys and the distinct both run over 8-byte longs
     (round-6 gram-hash rewrite; 2^-64 collision acceptance as l17)."""
+    if bench_mod <= 0:
+        # general-purpose guard (the weighted_sample lesson): mod-0
+        # would throw ANSI DIVIDE_BY_ZERO mid-query; fail loudly here
+        raise ValueError(f"bench_mod must be positive, got {bench_mod}")
     grams = word_ngram_hashes(docs, GRAM_N)
     bench = (
         grams.filter(F.col("doc_id") % bench_mod == 0)

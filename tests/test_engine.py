@@ -56,6 +56,10 @@ def test_engine_curation_surface(spark):
     cont7 = lw.decontaminate(bench_mod=7)
     assert cont7.filter(F.col("doc_id") % 7 == 0).count() == 0
     assert cont7.count() != cont.count()
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        lw.decontaminate(bench_mod=0)  # would be ANSI DIVIDE_BY_ZERO
     cur = lw.curate()
     assert cur.columns == ["lang", "source", "n_docs", "total_chars"]
     assert cur.count() > 0
