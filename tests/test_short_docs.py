@@ -109,3 +109,42 @@ def test_l9_single_language_corpus(spark, tmp_path_factory):
     out = registry.QUERIES["l9_language_id"](spark, str(d)).collect()
     preds = {r.doc_id: r.pred_lang for r in out}
     assert preds == {1: "en", 2: "en", 3: "en"}
+
+
+def test_l28_arrow_chunker_matches_lambda_on_adversarial_spacing(spark):
+    """The l28 chunk strings are built by an Arrow pandas_udf (measured
+    -28% at 100x, tools/ab_l28.py); its contract is EXACT equality with
+    the interpreted concat_ws(slice(tokens, ...)) form — split+join on
+    ' ' is an identity, so chunks are the original text cut at every
+    Nth space. Guard the edge cases a chunker gets wrong: empty text,
+    lone/double/trailing/leading spaces, exact chunk boundaries, and a
+    NULL text (split(NULL) semantics)."""
+    from lens_warehouse_spark.llm.curation import _L28_N, _chunk_strings_arrow
+
+    n = _L28_N
+    texts = [
+        (0, ""),
+        (1, " "),
+        (2, "a  b"),
+        (3, "a b "),
+        (4, " leading space"),
+        (5, " ".join(f"t{i}" for i in range(n))),
+        (6, " ".join(f"t{i}" for i in range(n + 1))),
+        (7, " ".join(f"t{i}" for i in range(3 * n))),
+        (8, "x  " * 5),
+        (9, None),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string").withColumn(
+        "__t", F.split("text", " ")
+    )
+    lam = F.expr(
+        f"transform(sequence(0, CAST(ceil(size(__t) / {n}.0) AS INT) - 1),"
+        f" i -> concat_ws(' ', slice(__t, i * {n} + 1, {n})))"
+    )
+    rows = df.select(
+        "doc_id",
+        lam.alias("want"),
+        _chunk_strings_arrow()("text").alias("got"),
+    ).collect()
+    for r in rows:
+        assert r.got == r.want, f"doc {r.doc_id}: {r.got!r} != {r.want!r}"
