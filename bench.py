@@ -79,6 +79,7 @@ STREAMS = int(os.environ.get("SPARK_GRAFT_BENCH_STREAMS", "16"))
 
 
 def main() -> None:
+    load1_at_start, load5_at_start, _ = os.getloadavg()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     registry.load_all()
     spark = get_spark("bench")
@@ -184,6 +185,12 @@ def main() -> None:
         # smaller one: a crashing query shrinks power_total_sec, which
         # would otherwise read as a speedup in the longitudinal series.
         "failed": failed,
+        # Machine-state stamp (volume_bench.py:247 precedent): the r6
+        # +10.6% throughput regression could not be attributed to
+        # contention vs code because BENCH artifacts carried no load
+        # field. loadavg >~1 at start means ratios are suspect.
+        "loadavg_1m_at_start": round(load1_at_start, 2),
+        "loadavg_5m_at_start": round(load5_at_start, 2),
     }
     # Compact headline JSON as the FINAL stdout line (driver contract).
     sys.stdout.flush()

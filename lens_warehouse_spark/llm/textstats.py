@@ -858,12 +858,18 @@ WITH tok AS (
 SELECT term,
        doc_id % {_IDX_SHARDS} AS shard,
        CAST(count(*) AS BIGINT) AS df_shard,
-       list(doc_id ORDER BY doc_id) AS postings
+       array_to_string(list(doc_id ORDER BY doc_id), ',') AS postings
 FROM tok
 GROUP BY term, doc_id % {_IDX_SHARDS}
 """,
 )
 def l34_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Postings serialize as a comma-joined STRING, not array<bigint>:
+    # registry parity rule — oracle-backed output must be flat/hashable
+    # (the driver's pandas canonicalizer cannot factorize lists; a10 at
+    # operators/aggregates.py:273 set the precedent). Consumers that
+    # want the array split(',') it back — the sorted-CSV form is a
+    # lossless, order-stable encoding of the posting list.
     tok = (
         table(spark, sf_dir, "documents")
         .select("doc_id", F.explode(_toks()).alias("term"))
@@ -873,7 +879,9 @@ def l34_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         tok.groupBy("term", (F.col("doc_id") % _IDX_SHARDS).alias("shard"))
         .agg(
             F.count(F.lit(1)).cast("long").alias("df_shard"),
-            F.sort_array(F.collect_list("doc_id")).alias("postings"),
+            F.concat_ws(
+                ",", F.sort_array(F.collect_list("doc_id")).cast("array<string>")
+            ).alias("postings"),
         )
     )
 

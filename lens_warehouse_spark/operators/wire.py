@@ -264,6 +264,10 @@ def _transit_decode_str(s: str, cache: list[str], as_map_key: bool):
         as_map_key or s[:2] in ("~:", "~$", "~#")
     )
     if s.startswith("~"):
+        # A bare "~" has no tag byte: s[1] would IndexError, and the
+        # contract (totality fuzz) is ValueError on any malformed input.
+        if len(s) < 2:
+            raise ValueError(f"malformed transit string {s!r}")
         tag, rest = s[1], s[2:]
         if tag == "~":
             out: object = "~" + rest

@@ -33,6 +33,13 @@ hash-compares Spark output against DuckDB at value level):
 6.  DuckDB sums of INTEGER produce HUGEINT -> always CAST AS BIGINT.
 7.  Never rely on output order (compare is order-insensitive), but any
     LIMIT/top-k query must have a *unique* ordering key (add tiebreakers).
+8.  NO NESTED TYPES (array/map/struct) in oracle-backed output: the
+    driver's pandas canonicalizer factorizes values and crashes on
+    unhashable lists (l34, round 6 — the only red driver row in six
+    rounds). Serialize collections to a flat string:
+    ``concat_ws(',', sort_array(collect_list(x)).cast('array<string>'))``
+    vs DuckDB ``array_to_string(list(x ORDER BY x), ',')``.
+    tests/test_registry_schema.py enforces this registry-wide.
 """
 
 from __future__ import annotations

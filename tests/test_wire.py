@@ -214,7 +214,7 @@ def test_transit_roundtrip_property():
 # condition, same base-44 codes); (2) malformed escapes / cache refs
 # raise ValueError — never IndexError, never a silent wrong decode.
 # ---------------------------------------------------------------------------
-from hypothesis import given, settings
+from hypothesis import example, given, settings
 from hypothesis import strategies as hst
 
 _B = 44
@@ -435,6 +435,7 @@ def test_cohort_explicit_null_fields_are_unset():
 
 @settings(max_examples=300, deadline=None)
 @given(_json_tree)
+@example(doc="~")
 def test_transit_total_on_arbitrary_json(doc):
     """transit_parse over ARBITRARY JSON (not just writer output) either
     decodes or raises ValueError — totality twin of the cohort fuzz.

@@ -62,8 +62,31 @@ def _rows(pdf: pd.DataFrame) -> list[tuple]:
     return sorted(rows, key=repr)
 
 
+def _nested_cols(pdf: pd.DataFrame) -> list[str]:
+    """Columns holding list/array/dict values — the driver's pandas
+    hasher crashes on these (`unhashable type: 'list'`, the l34 r6
+    failure), so an oracle-backed query emitting one is a FAIL here
+    even though tuple-izing would let a value compare pass."""
+    bad = []
+    for c in pdf.columns:
+        col = pdf[c]
+        probe = col.dropna()
+        if len(probe) and isinstance(
+            probe.iloc[0], (list, tuple, dict)
+        ) or (len(probe) and type(probe.iloc[0]).__name__ == "ndarray"):
+            bad.append(c)
+    return bad
+
+
 def compare(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> list[str]:
     problems: list[str] = []
+    nested = _nested_cols(spark_pdf)
+    if nested:
+        problems.append(
+            f"nested output column(s) {nested}: driver hasher would crash "
+            f"(unhashable) — serialize to string (concat_ws / array_to_string)"
+        )
+        return problems
     if sorted(spark_pdf.columns) != sorted(oracle_pdf.columns):
         problems.append(
             f"columns differ: spark={sorted(spark_pdf.columns)} "
