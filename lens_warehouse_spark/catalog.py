@@ -48,7 +48,7 @@ BROADCAST_DIMS = FIXED_DIMS | SCALING_DIMS
 # *filtered* build side turns out tiny).
 BROADCAST_ROW_LIMIT = 5_000_000
 
-_ROWCOUNT_CACHE: dict[str, int] = {}
+_ROWCOUNT_CACHE: dict[tuple[str, int], int] = {}
 
 # Resolved StructType per "{sf_dir}/{name}". Path-based parquet reads
 # re-run schema resolution on EVERY ``spark.read.parquet`` call — a
@@ -65,6 +65,27 @@ _ROWCOUNT_CACHE: dict[str, int] = {}
 _SCHEMA_CACHE: dict = {}
 
 
+def _cache_key(sf_dir: str, tname: str) -> tuple[str, int]:
+    """Cache key for footer-derived metadata: (path, mtime_ns).
+
+    mtime invalidates both caches when a table at the same path is
+    rewritten in-process (round-6 advisor: a stale _SCHEMA_CACHE entry
+    made spark.read.schema(stale) silently MISREAD a rewritten table's
+    columns — worse than a stale rowcount, which only skews gates).
+    ``write.mode('overwrite')`` replaces the file/recreates the part
+    directory either way, so st_mtime_ns moves; one os.stat per call is
+    noise next to the ~90 ms footer job the caches exist to skip. A
+    missing path stats as mtime -1 (the read below raises anyway)."""
+    import os as _os
+
+    path = f"{sf_dir}/{tname}.parquet"
+    try:
+        mtime = _os.stat(path).st_mtime_ns
+    except OSError:
+        mtime = -1
+    return (path, mtime)
+
+
 def table_rows(sf_dir: str, tname: str) -> int:
     """Row count from parquet footers — metadata only, no Spark job.
     This is exactly the statistic a cluster catalog would serve.
@@ -73,7 +94,7 @@ def table_rows(sf_dir: str, tname: str) -> int:
     100 TB layout (a date-partitioned directory of part files):
     ``pyarrow.dataset`` sums fragment footer counts either way.
     """
-    key = f"{sf_dir}/{tname}"
+    key = _cache_key(sf_dir, tname)
     if key not in _ROWCOUNT_CACHE:
         import pyarrow.dataset as ds
 
@@ -164,7 +185,7 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; have {TABLES}")
     _ensure_reader_conf(spark)
     path = f"{sf_dir}/{name}.parquet"
-    key = f"{sf_dir}/{name}"
+    key = _cache_key(sf_dir, name)
     schema = _SCHEMA_CACHE.get(key)
     if schema is None:
         df = spark.read.parquet(path)

@@ -45,21 +45,41 @@ _INTERVAL_UNITS_MS = {
 
 
 def _interval_ms(gap: str) -> int:
-    """Parse a '<n> <unit>' inactivity gap (the session_window interval
-    subset actually used for sessionization) into milliseconds.
-    Strict on purpose: a typo'd unit must fail loudly here, not
-    produce NULL-gap sessions downstream (the wire.py date lesson)."""
+    """Parse an inactivity gap into milliseconds: one or more
+    '<n> <unit>' terms, summed — the interval grammar Spark's
+    ``session_window`` itself accepts ('30 minutes',
+    '1 hour 30 minutes', '1.5 hours'). Decimal counts are allowed
+    when they resolve to whole milliseconds ('1.5 hours' == 5400000;
+    '0.0005 seconds' raises). Strict on purpose: a typo'd unit or a
+    sub-millisecond residue must fail loudly here, not produce
+    NULL-gap sessions downstream (the wire.py date lesson)."""
     import re
+    from decimal import Decimal, InvalidOperation
 
-    m = re.fullmatch(
-        r"\s*(\d+)\s+(millisecond|second|minute|hour|day)s?\s*", gap
+    terms = re.findall(
+        r"(\d+(?:\.\d+)?)\s+(millisecond|second|minute|hour|day)s?", gap
     )
-    if not m:
+    consumed = re.fullmatch(
+        r"\s*(?:\d+(?:\.\d+)?\s+"
+        r"(?:millisecond|second|minute|hour|day)s?\s*)+",
+        gap,
+    )
+    if not terms or not consumed:
         raise ValueError(
-            f"unsupported gap interval {gap!r}; expected '<n> "
-            "<millisecond|second|minute|hour|day>[s]'"
+            f"unsupported gap interval {gap!r}; expected one or more "
+            "'<n> <millisecond|second|minute|hour|day>[s]' terms"
         )
-    return int(m.group(1)) * _INTERVAL_UNITS_MS[m.group(2)]
+    try:
+        total = sum(
+            Decimal(n) * _INTERVAL_UNITS_MS[u] for n, u in terms
+        )
+    except InvalidOperation:  # pragma: no cover - regex precludes
+        raise ValueError(f"unparseable gap interval {gap!r}") from None
+    if total != int(total):
+        raise ValueError(
+            f"gap interval {gap!r} is not a whole number of milliseconds"
+        )
+    return int(total)
 
 
 class LensWarehouse:

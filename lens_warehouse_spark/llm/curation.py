@@ -158,10 +158,17 @@ def decontamination(docs: DataFrame, bench_mod: int, n_docs: int) -> DataFrame:
         .distinct()
     )
     corpus = grams.filter(F.col("doc_id") % bench_mod != 0)
-    # bench derives from ~1% of the corpus -> scales with data; gate the
-    # never-demoted hint on corpus size (l13 vocab precedent), let AQE
-    # upgrade from runtime size on big corpora.
-    bench_side = F.broadcast(bench) if n_docs <= 100_000 else bench
+    # bench derives from ~1/bench_mod of the corpus -> scales with data;
+    # gate the never-demoted hint on the estimated BENCH-SIDE doc count,
+    # not raw corpus size: the facade accepts user-supplied bench_mod,
+    # and a small mod (e.g. 2) makes the bench side ~half of all
+    # distinct gram hashes — corpus-gated broadcast would OOM the
+    # driver near the boundary (round-6 advisor finding). 1031 bench
+    # docs is the old gate's operating point (100k docs / mod 97). Let
+    # AQE upgrade from runtime size on big corpora.
+    bench_side = (
+        F.broadcast(bench) if n_docs // bench_mod <= 1_031 else bench
+    )
     return (
         corpus.join(bench_side, "gram_h")
         .groupBy("doc_id")
@@ -904,6 +911,24 @@ def l27_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 _L28_N = 8  # chunk size (tokens)
 _L28_MIN_DOCS = 3  # chunks in >= this many docs are boilerplate
+# Boiler-set broadcast budget: 2M int64 hashes = 16 MB on the wire,
+# ~sub-second collect; past this the map-side plan's driver collect
+# stops being bounded and the shuffle fallback takes over.
+_L28_BC_MAX = 2_000_000
+# Literal-array membership ceiling: below this the kept-index filter is
+# a constant-folded JVM array_contains (Python-free plan); above it the
+# set ships via sparkContext.broadcast to a numpy-searchsorted UDF.
+# 64, not 1024: array_contains is a LINEAR scan per chunk, so at 100x
+# (34M chunks) a 128-entry literal measured 6.48 s vs the UDF's 4.45 s
+# (r7 A/B, contended-but-paired runs) — the O(c log b) searchsorted
+# wins as soon as the set has real size; the literal path exists for
+# the handful-of-hashes regime where a Python-free plan is free.
+_L28_LIT_MAX = 64
+# Below this doc count (parquet footer stats) the single-job broadcast
+# mark-join plan wins: job-count fixed cost dominates and the Arrow
+# chunker's transfer does not amortize (r5: 0.288 s lambda vs r6:
+# 0.459 s Arrow at sf0.1).
+_L28_SMALL_DOCS = 100_000
 
 
 def _chunk_strings_arrow():
@@ -958,37 +983,42 @@ ORDER BY c.doc_id
 """,
 )
 def l28_boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Round-7 rewrite: THREE-TIER plan routed by measured sizes, not
+    # guesses. The r6 finding to beat: at volume the docs<=100k
+    # broadcast gate turned the mark join into a corpus-wide
+    # chunk-STRING shuffle (2.5-3.7x DuckDB at 100x-1000x) — yet under
+    # replication-style growth the boiler set stays ~constant while the
+    # corpus explodes, so the join side that actually needed shipping
+    # was tiny all along.
+    #
+    # Tier 1 (n_docs <= 100k, parquet footer stats — bench scale): the
+    # single-job explode + broadcast-mark-join + rebuild plan with the
+    # INTERPRETED lambda chunker — at this scale the corpus is small,
+    # job count dominates, and r5 measured the lambda faster than the
+    # Arrow chunker here (0.288 s vs 0.459 s at sf0.1; the Arrow
+    # transfer cost does not amortize below ~100k docs).
+    #
+    # Tier 2 (big corpus, boiler set <= _L28_BC_MAX by a limit()d
+    # probe): collect the boiler HASHES (8 bytes each) and scrub
+    # MAP-SIDE — zero corpus shuffle. The doc-frequency branch is the
+    # only corpus-wide exchange (64-bit chunk hashes built straight
+    # from token hashes, round-6 hash-first rule; xxhash64 skips the
+    # nulls past a short last chunk, so equal token sequences hash
+    # equal). Membership goes through a constant-folded JVM literal
+    # array when the set is tiny (<= _L28_LIT_MAX: array_contains is a
+    # linear scan but codegen-compiled, and the plan stays Python-free)
+    # or an Arrow pandas_udf over HASH ARRAYS (never chunk strings, per
+    # the gram-hash rule) with numpy searchsorted against the broadcast
+    # sorted set. The rebuild is pure JVM token-slice algebra:
+    # md5(concat_ws(' ', flatten(slice(__t, ...)))) — chunks joined by
+    # ' ' of tokens joined by ' ' == one flat token join, and split+
+    # join on ' ' is an identity, so the reconstruction is exact.
+    #
+    # Tier 3 (boiler set > _L28_BC_MAX — a genuinely boilerplate-heavy
+    # 100TB corpus): the r6 shuffle plan (_l28_scrub_shuffle), which
+    # never collects; Arrow chunker on the probe side (measured -28% vs
+    # the lambda at 100x).
     n = _L28_N
-    # Round-6 rewrite (measured at base/10x/100x, checksum harness):
-    # the doc-frequency branch never needs chunk TEXT, so it counts
-    # 64-bit chunk hashes built straight from token hashes (xxhash64
-    # over the <=8 try_element_at slots; nulls past the short last
-    # chunk are skipped by xxhash64, so equal token sequences hash
-    # equal) — no concat_ws(slice(...)) string build, no string
-    # shuffle. The probe side builds chunk strings ONCE (the rebuild
-    # needs them) with the hash ridden alongside via arrays_zip, and
-    # the mark join keys on the 8-byte hash. 1.12/1.45/4.95 s current
-    # -> 0.99/1.15/3.72 s at base/10x/100x (DuckDB 1.14 s at 100x).
-    # REJECTED (same session): fully map-side rebuild — collect
-    # removed chunk_idx per doc, join back to the un-exploded docs,
-    # reconstruct clean text from kept token slices. 4.03/2.69/17.0 s:
-    # the join back shuffles whole token arrays (the corpus text) the
-    # moment the removed set outgrows broadcast, and the interpreted
-    # filter/flatten rebuild lambda is slower than the explode+agg it
-    # replaces. Don't re-try.
-    # MEASURED FLOOR, revised (idle 100x, checksum protocol,
-    # tools/ab_l28.py): the interpreted concat_ws(slice(...)) chunk-
-    # string pass was NOT irreducible after all — an Arrow pandas_udf
-    # chunker (C-speed str.split/join, text in / chunk array out)
-    # measured 2.81 s vs the lambda's 3.91 s at 100x (-28%), exact on
-    # real data AND adversarial spacing (split+join on ' ' is an
-    # identity, so a chunk is the original text cut at every Nth
-    # space). A \G-anchored regexp_extract_all chunker timed the same
-    # 2.81 s but MISMATCHED an adversarial spacing case — rejected.
-    # Remaining decomposition at 100x: boiler hash branch ~0.7 s, mark
-    # join + collect/sort/md5 rebuild ~1.5 s, Arrow chunk pass ~0.6 s;
-    # DuckDB 1.27 s does it in one string_agg pipeline over a single
-    # hash table — the residual is exchange cost, not plan shape.
     hargs = ", ".join(f"try_element_at(__th, i * {n} + {j + 1})" for j in range(n))
     ch_h = (
         f"transform(sequence(0, CAST(ceil(size(__t) / {n}.0) AS INT) - 1),"
@@ -997,6 +1027,7 @@ def l28_boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = (
         table(spark, sf_dir, "documents")
         .select("doc_id", "text", F.split("text", " ").alias("__t"))
+        .where(F.col("__t").isNotNull())
         .select(
             "doc_id",
             "text",
@@ -1004,25 +1035,121 @@ def l28_boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("transform(__t, t -> xxhash64(t))").alias("__th"),
         )
     )
-    chunk_hashes = base.select("doc_id", F.explode(F.expr(ch_h)).alias("chunk_h"))
+    if table_rows(sf_dir, "documents") <= _L28_SMALL_DOCS:
+        return _l28_scrub_shuffle(base, ch_h, broadcast_boiler=True, arrow=False)
+
     boiler = (
-        chunk_hashes.groupBy("chunk_h")
+        base.select("doc_id", F.explode(F.expr(ch_h)).alias("chunk_h"))
+        .groupBy("chunk_h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= _L28_MIN_DOCS)
+        .select("chunk_h")
+    )
+    rows = boiler.limit(_L28_BC_MAX + 1).collect()
+    if len(rows) > _L28_BC_MAX:
+        return _l28_scrub_shuffle(base, ch_h, broadcast_boiler=False, arrow=True)
+
+    hashes = sorted(r[0] for r in rows)
+    staged = base.select(
+        "doc_id",
+        "__t",
+        F.expr(f"CAST(ceil(size(__t) / {n}.0) AS INT)").alias("__nc"),
+        F.expr(ch_h).alias("__ch"),
+    )
+    if not hashes:
+        staged = staged.select(
+            "doc_id", "__t", "__nc", F.expr("sequence(0, __nc - 1)").alias("__k")
+        )
+    elif len(hashes) <= _L28_LIT_MAX:
+        lits = ", ".join(f"{h}L" for h in hashes)
+        staged = staged.select(
+            "doc_id",
+            "__t",
+            "__nc",
+            F.expr(
+                f"filter(sequence(0, __nc - 1),"
+                f" i -> NOT array_contains(array({lits}), __ch[i]))"
+            ).alias("__k"),
+        )
+    else:
+        import numpy as np
+
+        bc = spark.sparkContext.broadcast(np.array(hashes, dtype=np.int64))
+
+        @F.pandas_udf("array<int>")
+        def kept_idx(hs: pd.Series) -> pd.Series:
+            import numpy as _np
+
+            b = bc.value
+
+            def f(arr):
+                if arr is None or not len(arr):
+                    return _np.empty(0, dtype=_np.int32)
+                a = _np.asarray(arr, dtype=_np.int64)
+                # sorted-array membership: searchsorted is C-speed
+                # O(c log b) per doc, no Python-level per-element loop
+                pos = _np.searchsorted(b, a).clip(max=len(b) - 1)
+                return _np.nonzero(b[pos] != a)[0].astype(_np.int32)
+
+            return hs.map(f)
+
+        staged = staged.select(
+            "doc_id", "__t", "__nc", kept_idx("__ch").alias("__k")
+        )
+    return (
+        staged.select(
+            "doc_id",
+            F.size("__k").cast("long").alias("n_kept"),
+            (F.col("__nc") - F.size("__k")).cast("long").alias("n_removed"),
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.flatten(
+                        F.expr(f"transform(__k, i -> slice(__t, i * {n} + 1, {n}))")
+                    ),
+                )
+            ).alias("clean_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _l28_scrub_shuffle(
+    base: DataFrame, ch_h: str, *, broadcast_boiler: bool, arrow: bool
+) -> DataFrame:
+    """The explode + mark-join + rebuild plan (round 6): tier 1 with a
+    broadcast boiler side + interpreted lambda chunker (bench scale,
+    where job count dominates and Arrow transfer does not amortize),
+    and tier 3 with a shuffle mark join + Arrow chunker (boiler sets
+    too big to collect; never materializes anything on the driver).
+    Chunk strings are built ONCE on the probe side with the 8-byte hash
+    ridden alongside via arrays_zip; the mark join keys on the hash.
+    REJECTED variants (r6, measured): fully map-side rebuild via a
+    non-broadcast join back of removed chunk_idx (shuffles whole token
+    arrays, 4.03/2.69/17.0 s at base/10x/100x); a G-anchored
+    regexp_extract_all chunker (same speed as Arrow, mismatched
+    adversarial spacing). Don't re-try either."""
+    n = _L28_N
+    boiler = (
+        base.select("doc_id", F.explode(F.expr(ch_h)).alias("chunk_h"))
+        .groupBy("chunk_h")
         .agg(F.countDistinct("doc_id").alias("nd"))
         .filter(F.col("nd") >= _L28_MIN_DOCS)
         .select("chunk_h", F.lit(1).alias("__b"))
     )
-    # boiler is the cross-corpus repeated-chunk set -> scales with data;
-    # gate the hint on corpus size (l13 vocab precedent).
-    boiler_side = (
-        F.broadcast(boiler)
-        if table_rows(sf_dir, "documents") <= 100_000
-        else boiler
-    )
+    boiler_side = F.broadcast(boiler) if broadcast_boiler else boiler
+    if arrow:
+        chunk_col = _chunk_strings_arrow()("text")
+    else:
+        chunk_col = F.expr(
+            f"transform(sequence(0, CAST(ceil(size(__t) / {n}.0) AS INT) - 1),"
+            f" i -> concat_ws(' ', slice(__t, i * {n} + 1, {n})))"
+        )
     chunks = base.select(
         "doc_id",
         F.posexplode(
             F.arrays_zip(
-                _chunk_strings_arrow()("text").alias("chunk"),
+                chunk_col.alias("chunk"),
                 F.expr(ch_h).alias("chunk_h"),
             )
         ).alias("chunk_idx", "__z"),
@@ -1033,9 +1160,7 @@ def l28_boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("__z.chunk_h").alias("chunk_h"),
     )
     marked = chunks.join(boiler_side, "chunk_h", "left")
-    kept_in_order = F.expr(
-        "transform(array_sort(collect_kept), x -> x.chunk)"
-    )
+    kept_in_order = F.expr("transform(array_sort(collect_kept), x -> x.chunk)")
     return (
         marked.groupBy("doc_id")
         .agg(
@@ -1054,12 +1179,12 @@ def l28_boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "n_kept",
             "n_removed",
-            F.md5(
-                F.concat_ws(" ", kept_in_order)
-            ).alias("clean_md5"),
+            F.md5(F.concat_ws(" ", kept_in_order)).alias("clean_md5"),
         )
         .orderBy("doc_id")
     )
+
+
 
 
 # ---------------------------------------------------------------------------

@@ -1111,7 +1111,8 @@ WITH g AS (
   SELECT value,
          count(*) FILTER (event_type = 'click') AS a,
          count(*) FILTER (event_type = 'view') AS b
-  FROM events WHERE event_type IN ('click', 'view')
+  FROM events
+  WHERE event_type IN ('click', 'view') AND value IS NOT NULL
   GROUP BY value
 ), t AS (
   SELECT sum(a) AS na, sum(b) AS nb FROM g
@@ -1130,9 +1131,16 @@ GROUP BY t.na, t.nb
 def a26_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
+    # NULL values have no place in a CDF — and Spark's ascending window
+    # sorts NULL FIRST where DuckDB's sorts it LAST, so one NULL in
+    # events.value would silently shift every cumulative prefix between
+    # the engines (round-6 advisor finding). Filter on BOTH sides.
     ev = (
         table(spark, sf_dir, "events")
-        .filter(F.col("event_type").isin("click", "view"))
+        .filter(
+            F.col("event_type").isin("click", "view")
+            & F.col("value").isNotNull()
+        )
         .select("value", (F.col("event_type") == "click").alias("__ia"))
     )
     g = ev.groupBy("value").agg(

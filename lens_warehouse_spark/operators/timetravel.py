@@ -66,9 +66,11 @@ def _staging_tag(sf_dir: str, source_table: str) -> str:
     staging dir left behind by a run against an older generation of the
     testdata is never reused against a fresh oracle."""
     st = os.stat(os.path.join(sf_dir, f"{source_table}.parquet"))
+    # st_mtime_ns, not int(st_mtime): a same-second rewrite with equal
+    # size must not reuse stale staging (catalog._cache_key precedent).
     return (
         f"{sf_dir.strip('/').replace('/', '_')}"
-        f"_{source_table}_{st.st_size}_{int(st.st_mtime)}"
+        f"_{source_table}_{st.st_size}_{st.st_mtime_ns}"
     )
 
 

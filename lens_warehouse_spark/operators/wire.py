@@ -340,7 +340,16 @@ def transit_parse(text: str):
     already accepts."""
     import json
 
-    return _transit_decode(json.loads(text), cache=[])
+    try:
+        return _transit_decode(json.loads(text), cache=[])
+    except RecursionError:
+        # A pathologically nested document ('[[[[...' a few thousand
+        # deep) exhausts the Python stack inside _transit_decode;
+        # json.loads survives (its C scanner has a higher ceiling), so
+        # without this the wire contract (malformed -> ValueError ->
+        # 400) leaks a RecursionError 500. Found in the round-7
+        # adversarial pass over the decode paths.
+        raise ValueError("transit document nested too deeply") from None
 
 
 def cohort_from_transit(text: str) -> CohortQuery:

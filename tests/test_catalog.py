@@ -34,7 +34,7 @@ def test_scaling_dim_not_hinted_above_limit(spark, monkeypatch):
     """Simulate the 100 TB catalog: footer stats over the limit."""
     monkeypatch.setitem(
         catalog._ROWCOUNT_CACHE,
-        f"{SF_SMOKE}/customer",
+        catalog._cache_key(SF_SMOKE, "customer"),
         catalog.BROADCAST_ROW_LIMIT + 1,
     )
     cu = catalog.table(spark, SF_SMOKE, "customer")
@@ -62,7 +62,7 @@ def test_schema_cache_replay_identical(spark):
     events ts rebuild, whose bigint-vs-timestamp dispatch reads the
     dtypes of whichever path ran."""
     for t in ("events", "lineitem"):
-        key = f"{SF_SMOKE}/{t}"
+        key = catalog._cache_key(SF_SMOKE, t)
         catalog._SCHEMA_CACHE.pop(key, None)
         fresh = catalog.table(spark, SF_SMOKE, t)  # populates the cache
         assert key in catalog._SCHEMA_CACHE
@@ -75,3 +75,27 @@ def test_schema_cache_replay_identical(spark):
             cached.orderBy(order).limit(5).collect()
             == fresh.orderBy(order).limit(5).collect()
         )
+
+
+def test_schema_cache_invalidates_on_rewrite(spark, tmp_path):
+    """Round-6 advisor: a table REWRITTEN at the same path with a
+    changed schema must not be silently misread through a stale cached
+    schema (spark.read.schema(stale) doesn't fail — it misreads). The
+    (path, mtime_ns) cache key makes the rewrite a cache miss."""
+    import os
+    import time
+
+    d = str(tmp_path)
+    p = os.path.join(d, "nation.parquet")
+    spark.createDataFrame(
+        [(1, "a")], "n_nationkey long, n_name string"
+    ).coalesce(1).write.mode("overwrite").parquet(p)
+    first = catalog.table(spark, d, "nation")
+    assert first.columns == ["n_nationkey", "n_name"]
+    time.sleep(0.01)  # ensure mtime_ns moves even on coarse filesystems
+    spark.createDataFrame(
+        [(2, "b", 7)], "n_nationkey long, n_name string, n_regionkey long"
+    ).coalesce(1).write.mode("overwrite").parquet(p)
+    second = catalog.table(spark, d, "nation")
+    assert second.columns == ["n_nationkey", "n_name", "n_regionkey"]
+    assert second.collect()[0].n_regionkey == 7

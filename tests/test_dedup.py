@@ -343,3 +343,50 @@ def test_simhash_wide_splits_skewed_bucket(spark):
         }
 
     assert survivors(False) == survivors(True)
+
+
+def test_lsh_recall_band_near_threshold(spark):
+    """Threshold-REGIME recall guard (round-6 advisor): the planted
+    fixture was tightened to mutate=1 (shingle jaccard ~0.85+), which
+    left the 4x4 banding's ~0.71 S-curve crossover untested — a recall
+    regression near the threshold would go unnoticed. Plant pairs, keep
+    only those whose TRUE 3-token-shingle jaccard lands in the
+    [0.60, 0.80] band, and assert pooled recall across seeds stays in a
+    statistical band (the S-curve predicts ~0.42 at j=0.60 rising to
+    ~0.88 at j=0.80; >= 40% pooled is the floor the construction is
+    entitled to). Deterministic seeds — a failure is a code change, not
+    noise."""
+    recalled, total = 0, 0
+    for seed in (3, 11, 19, 27, 35):
+        rng = random.Random(seed)
+        rows = [
+            (i, " ".join(rng.choice(VOCAB) for _ in range(40)))
+            for i in range(8)
+        ]
+        band_pairs = []
+        for i in range(8):
+            toks = rows[i][1].split(" ")
+            mutated = list(toks)
+            for _ in range(rng.choice((2, 3))):
+                mutated[rng.randrange(len(mutated))] = rng.choice(VOCAB)
+            rows.append((1000 + i, " ".join(mutated)))
+            sh_a = {tuple(toks[j : j + 3]) for j in range(len(toks) - 2)}
+            sh_b = {
+                tuple(mutated[j : j + 3]) for j in range(len(mutated) - 2)
+            }
+            jac = len(sh_a & sh_b) / len(sh_a | sh_b)
+            if 0.60 <= jac <= 0.80:
+                band_pairs.append((i, 1000 + i))
+        if not band_pairs:
+            continue
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        sigs = minhash_signatures(docs).select("doc_id", "sig")
+        found = {
+            (r.doc_a, r.doc_b) for r in lsh_candidate_pairs(sigs).collect()
+        }
+        total += len(band_pairs)
+        recalled += sum(p in found for p in band_pairs)
+    assert total >= 10, f"fixture drift: only {total} band pairs planted"
+    assert recalled / total >= 0.40, (
+        f"threshold-band recall {recalled}/{total} below the S-curve floor"
+    )

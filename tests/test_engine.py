@@ -320,3 +320,23 @@ def test_sql_views_follow_instance_sf_dir(spark):
     n_big = lw_big.sql("SELECT count(*) AS n FROM orders").collect()[0]["n"]
     n_small_again = lw_small.sql("SELECT count(*) AS n FROM orders").collect()[0]["n"]
     assert n_small == n_small_again != n_big
+
+
+def test_interval_grammar_compound_and_decimal():
+    """Round-6 advisor: the facade's gap grammar had silently narrowed
+    to a single '<n> <unit>' term — interval strings session_window
+    itself accepts ('1 hour 30 minutes', '1.5 hours') raised. Now they
+    sum; sub-millisecond residue and junk still fail loudly."""
+    import pytest
+
+    from lens_warehouse_spark.engine import _interval_ms
+
+    assert _interval_ms("30 minutes") == 1_800_000
+    assert _interval_ms("1 hour 30 minutes") == 5_400_000
+    assert _interval_ms("1.5 hours") == 5_400_000
+    assert _interval_ms("1 day 2 hours 3 minutes") == 93_780_000
+    assert _interval_ms("2 milliseconds") == 2
+    for bad in ("", "1 fortnight", "0.0005 seconds", "1 hour and 30 minutes",
+                "hour 1", "1.5.5 hours"):
+        with pytest.raises(ValueError):
+            _interval_ms(bad)

@@ -148,3 +148,59 @@ def test_l28_arrow_chunker_matches_lambda_on_adversarial_spacing(spark):
     ).collect()
     for r in rows:
         assert r.got == r.want, f"doc {r.doc_id}: {r.got!r} != {r.want!r}"
+
+
+def test_l28_all_four_plan_tiers_agree(spark, tmp_path, monkeypatch):
+    """l28 routes between four physical plans by measured size: tier 1
+    (small corpus: single-job broadcast mark-join + lambda chunker),
+    tier 2a (collected boiler as a JVM literal array), tier 2b
+    (collected boiler via sparkContext.broadcast + numpy searchsorted
+    UDF), tier 3 (shuffle mark-join + Arrow chunker, no collect). Only
+    tier 1 fires on CI-sized data, so force each route via the gate
+    constants and assert EXACT output equality. Corpus plants: a
+    boilerplate chunk in >=3 docs (removed), the same chunk TWICE in
+    one doc (per-occurrence n_removed), a doc that is ALL boilerplate
+    (clean_md5 == md5('')), adversarial spacing, short docs, and a doc
+    with no boilerplate."""
+    import hashlib
+    import os
+
+    from lens_warehouse_spark import registry
+    from lens_warehouse_spark.llm import curation
+
+    n = curation._L28_N
+    boiler = " ".join(f"b{i}" for i in range(n))  # one exact chunk
+    rows = [
+        (1, boiler + " " + "u1 " * (n - 1) + "tail1"),
+        (2, boiler + " " + boiler + " unique2"),  # boiler twice
+        (3, boiler),  # all boilerplate
+        (4, " ".join(f"c{i}" for i in range(2 * n + 3)) + " " + boiler),
+        (5, "a  b   c " + " x" * n),  # adversarial spacing
+        (6, "solo"),
+        (7, ""),
+    ]
+    d = str(tmp_path)
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(d, "documents.parquet"))
+
+    q = registry.QUERIES["l28_boilerplate_scrub"]
+    tier1 = q(spark, d).collect()
+    monkeypatch.setattr(curation, "_L28_SMALL_DOCS", 0)
+    tier2_lit = q(spark, d).collect()
+    monkeypatch.setattr(curation, "_L28_LIT_MAX", 0)
+    tier2_udf = q(spark, d).collect()
+    monkeypatch.setattr(curation, "_L28_BC_MAX", 0)
+    tier3 = q(spark, d).collect()
+
+    assert (
+        [tuple(r) for r in tier1]
+        == [tuple(r) for r in tier2_lit]
+        == [tuple(r) for r in tier2_udf]
+        == [tuple(r) for r in tier3]
+    )
+    by_id = {r.doc_id: r for r in tier1}
+    assert by_id[3].n_kept == 0 and by_id[3].n_removed == 1
+    assert by_id[3].clean_md5 == hashlib.md5(b"").hexdigest()
+    assert by_id[2].n_removed == 2  # per-occurrence counting
+    assert by_id[6].n_removed == 0

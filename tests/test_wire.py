@@ -503,3 +503,17 @@ def test_transit_cache_resets_when_full():
     out = transit_parse(payload)
     assert out[-1] == "fresh"
     assert out[-2] == "fresh"
+
+
+def test_transit_deep_nesting_raises_valueerror_not_recursionerror():
+    """Round-7 adversarial pass: a '[[[[...' document a few thousand
+    levels deep survives json.loads (C scanner) but exhausted the
+    Python stack inside _transit_decode — RecursionError escaping the
+    malformed->ValueError wire contract (500 instead of 400)."""
+    from lens_warehouse_spark.operators.wire import transit_parse
+
+    deep = "[" * 100_000 + "]" * 100_000
+    try:
+        transit_parse(deep)
+    except ValueError:
+        pass  # either outcome is in-contract: decode or ValueError
