@@ -46,6 +46,28 @@ def _already_checked() -> set[str]:
     return seen
 
 
+def _failed_last_check() -> set[str]:
+    """Names whose MOST RECENT driver row was a hard error (err set and
+    not the rows-only 'no_oracle' marker) — these must jump the queue
+    so a fix is re-verified the very next round (l34, round 6)."""
+    latest: dict[str, tuple[int, bool]] = {}
+    for path in glob.glob(os.path.join(_HERE, "CORRECTNESS_r*.json")):
+        m = re.search(r"_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as fh:
+                rows = json.load(fh)
+        except Exception:
+            continue
+        for name, row in rows.items():
+            bad = bool(isinstance(row, dict) and row.get("err") not in (None, "no_oracle"))
+            if name not in latest or rnd > latest[name][0]:
+                latest[name] = (rnd, bad)
+    return {n for n, (_, bad) in latest.items() if bad}
+
+
 def _coverage_order(names: list[str]) -> list[str]:
     """Order queries for the driver's first-N sample so no slot repeats a
     prior round while unchecked queries remain: three strict tiers —
@@ -73,13 +95,24 @@ def _coverage_order(names: list[str]) -> list[str]:
             if n is not None
         ]
 
-    unseen_oracle = [n for n in names if n not in seen and n in registry.ORACLES]
-    unseen_rows = [
-        n for n in names if n not in seen and n not in registry.ORACLES
+    failed = _failed_last_check()
+    refail = [n for n in names if n in failed]
+    unseen_oracle = [
+        n
+        for n in names
+        if n not in seen and n not in failed and n in registry.ORACLES
     ]
-    checked = [n for n in names if n in seen]
+    unseen_rows = [
+        n
+        for n in names
+        if n not in seen and n not in failed and n not in registry.ORACLES
+    ]
+    checked = [n for n in names if n in seen and n not in failed]
+    # Tier 0: names whose latest driver row ERRORED — the fix must be
+    # re-verified next round, not whenever the round-robin reaches it.
     return (
-        fam_round_robin(unseen_oracle)
+        refail
+        + fam_round_robin(unseen_oracle)
         + fam_round_robin(unseen_rows)
         + fam_round_robin(checked)
     )

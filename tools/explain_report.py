@@ -434,10 +434,25 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         ("no row-at-a-time python", "!BatchEvalPython"),
     ],
     "l28_boilerplate_scrub": [
+        # Tier 1 at audit SF (<=100k docs): single-job broadcast
+        # mark-join with the JVM lambda chunker — Python-free plan.
         ("frequent-chunk set joined via broadcast", "BroadcastHashJoin LeftOuter"),
         ("chunk counts partial+final", "HashAggregate"),
         ("no cartesian product", "!CartesianProduct"),
-        ("chunk strings built Arrow-batched, not row-at-a-time", "ArrowEvalPython"),
+        ("tier 1 chunker is a JVM lambda, no Arrow transfer", "!ArrowEvalPython"),
+        ("no row-at-a-time python", "!BatchEvalPython"),
+    ],
+    # Size-routed tier 2 (forced via the virtual @tier2 entry): the
+    # map-side scrub — the collected boiler set means NO mark join and
+    # NO groupBy(doc_id) rebuild; the only Exchange in the whole plan
+    # is the final orderBy's range partitioning. At audit SF the set is
+    # tiny (<=64) so membership is a constant-folded literal; the
+    # searchsorted-UDF variant is equality-tested in test_short_docs.
+    "l28_boilerplate_scrub@tier2": [
+        ("no join anywhere — membership is map-side", "!Join"),
+        ("corpus never hash-shuffles (only the output sort ranges)", "!hashpartitioning"),
+        ("no explode of chunk strings", "!Generate"),
+        ("no cartesian product", "!CartesianProduct"),
         ("no row-at-a-time python", "!BatchEvalPython"),
     ],
     # u5d fused cohort: tagged UNION of predicate branches -> ONE
@@ -559,8 +574,23 @@ def main() -> int:
     failures = []
     snapshots: dict[str, str] = {}
     out = ["# PLANS — physical plan audit (auto-generated by tools/explain_report.py)\n"]
+    def build(name: str):
+        # Virtual entries audit size-routed plans the audit SF would
+        # never take: l28's tier 2 (map-side scrub) only fires above
+        # 100k docs, so force the route and explain THAT plan.
+        if name == "l28_boilerplate_scrub@tier2":
+            from lens_warehouse_spark.llm import curation
+
+            saved = curation._L28_SMALL_DOCS
+            curation._L28_SMALL_DOCS = 0
+            try:
+                return registry.QUERIES["l28_boilerplate_scrub"](spark, sf_dir)
+            finally:
+                curation._L28_SMALL_DOCS = saved
+        return registry.QUERIES[name](spark, sf_dir)
+
     for name, checks in CHECKS.items():
-        df = registry.QUERIES[name](spark, sf_dir)
+        df = build(name)
         buf = io.StringIO()
         with redirect_stdout(buf):
             df.explain("formatted")
