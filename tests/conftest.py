@@ -22,3 +22,17 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir() -> str:
     return os.environ.get("SPARK_GRAFT_TEST_SF_DIR", SF_SMOKE)
+
+
+# Deep-sweep profile: `HYPOTHESIS_PROFILE=deep pytest tests/ -k fuzz`
+# runs every @given suite at 20x examples (the round-5/7 adversarial
+# sweeps used ad-hoc copies of the tests; a named profile makes the
+# sweep repeatable and keeps CI fast by default).
+try:
+    from hypothesis import settings as _hs
+
+    _hs.register_profile("deep", max_examples=5000, deadline=None)
+    if os.environ.get("HYPOTHESIS_PROFILE") == "deep":
+        _hs.load_profile("deep")
+except Exception:  # pragma: no cover - hypothesis always present in CI
+    pass
