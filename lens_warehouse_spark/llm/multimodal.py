@@ -868,3 +868,145 @@ def l8h_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return docs.mapInPandas(decode_batch, out_schema).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# L8i: REAL video frame parsing — the third honesty upgrade. YUV4MPEG2
+# (y4m, the mjpegtools interchange format) is uncompressed: a text
+# header, then per frame a FRAME marker + raw YUV planes. A numpy
+# worker parses it with no codec; 4:2:0 subsampling gives the plane
+# sizes. Frame SAMPLING (every Nth frame, the l8b operation) then
+# happens on real decoded lumas, and the oracle re-derives the exact
+# sampled-luma sums from the generator formula. Compressed video
+# (h264/vp9/av1) stays honestly out of scope.
+# ---------------------------------------------------------------------------
+def decode_y4m(blob: bytes):
+    """(width, height, [n, h, w] uint8 luma planes) from a YUV4MPEG2
+    4:2:0 payload. ValueError on malformed structure;
+    NotImplementedError for chroma modes other than 420."""
+    import numpy as np
+
+    b = bytes(blob)
+    nl = b.find(b"\n")
+    if not b.startswith(b"YUV4MPEG2") or nl < 0:
+        raise ValueError("not a YUV4MPEG2 payload")
+    w = h = None
+    for tok in b[9:nl].split():
+        if tok[:1] == b"W":
+            w = int(tok[1:])
+        elif tok[:1] == b"H":
+            h = int(tok[1:])
+        elif tok[:1] == b"C" and not tok[1:].startswith(b"420"):
+            raise NotImplementedError(f"chroma mode {tok!r} unsupported")
+    if not w or not h or w % 2 or h % 2:
+        raise ValueError(f"bad y4m dimensions W={w} H={h} (4:2:0 needs even)")
+    ysz, csz = w * h, (w // 2) * (h // 2)
+    frames, pos = [], nl + 1
+    while pos < len(b):
+        fnl = b.find(b"\n", pos)
+        if not b.startswith(b"FRAME", pos) or fnl < 0:
+            raise ValueError("malformed FRAME marker")
+        start = fnl + 1
+        if start + ysz + 2 * csz > len(b):
+            raise ValueError("truncated y4m frame")
+        frames.append(
+            np.frombuffer(b, dtype=np.uint8, offset=start, count=ysz).reshape(
+                h, w
+            )
+        )
+        pos = start + ysz + 2 * csz
+    return w, h, np.stack(frames) if frames else np.empty((0, h, w), np.uint8)
+
+
+_L8I_STRIDE = 2  # sample every 2nd frame
+
+
+def _synth_y4m_expr():
+    """Columnar y4m synthesis (hex -> unhex, independent of the numpy
+    parser): per doc W=(doc_id%3)*2+4, H=(doc_id%2)*2+4,
+    n=(doc_id%7+2) frames; luma(f, x, y) = (doc_id*11 + f*17 + x*3 +
+    y*5) % 256, chroma planes constant 0x80."""
+    w = "CAST(doc_id % 3 AS INT) * 2 + 4"
+    h = "CAST(doc_id % 2 AS INT) * 2 + 4"
+    n = "CAST(doc_id % 7 AS INT) + 2"
+    luma = "lpad(hex((doc_id * 11 + f * 17 + x * 3 + y * 5) % 256), 2, '0')"
+    return f"""
+    cast(concat('YUV4MPEG2 W', cast({w} AS STRING), ' H',
+                cast({h} AS STRING), ' F25:1 Ip A1:1 C420\\n') AS BINARY)
+    || unhex(concat_ws('', transform(sequence(0, {n} - 1), f -> concat(
+         hex(concat('FRAME', '\\n')),
+         concat_ws('', transform(sequence(0, {h} - 1), y ->
+           concat_ws('', transform(sequence(0, {w} - 1), x -> {luma})))),
+         repeat('80', (({w}) div 2) * (({h}) div 2) * 2)
+       ))))
+    """
+
+
+@register(
+    "l8i_video_frame_sample",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id,
+         (doc_id % 3) * 2 + 4 AS w,
+         (doc_id % 2) * 2 + 4 AS h,
+         doc_id % 7 + 2 AS n
+  FROM documents
+), px AS (
+  SELECT d.doc_id, d.n,
+         sum((d.doc_id * 11 + f.f * 17 + x.x * 3 + y.y * 5) % 256) AS s
+  FROM d,
+       (SELECT unnest(range(8)) AS f) f,
+       (SELECT unnest(range(8)) AS x) x,
+       (SELECT unnest(range(6)) AS y) y
+  WHERE f.f < d.n AND f.f % {_L8I_STRIDE} = 0 AND x.x < d.w AND y.y < d.h
+  GROUP BY d.doc_id, d.n
+)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_frames,
+       CAST((n + {_L8I_STRIDE} - 1) // {_L8I_STRIDE} AS BIGINT) AS n_sampled,
+       CAST(s AS BIGINT) AS sampled_luma_sum
+FROM px
+ORDER BY doc_id
+""",
+)
+def l8i_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video path, oracle-verified: SQL-synthesized y4m blobs,
+    numpy FRAME walk + plane math worker-side, every-2nd-frame
+    sampling on decoded lumas; the oracle re-derives the exact sampled
+    luma sums from the generator formula — a plane-size, marker-walk,
+    or stride bug breaks the integers."""
+    import pandas as pd
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_synth_y4m_expr()).alias("blob")
+    )
+    out_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("n_frames", LongType()),
+            StructField("n_sampled", LongType()),
+            StructField("sampled_luma_sum", LongType()),
+        ]
+    )
+
+    def sample_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            nf, ns, sums = [], [], []
+            for b in pdf["blob"]:
+                _w, _h, lumas = decode_y4m(b)
+                sampled = lumas[:: _L8I_STRIDE]
+                nf.append(len(lumas))
+                ns.append(len(sampled))
+                sums.append(int(sampled.astype(np.int64).sum()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "n_frames": pd.Series(nf, dtype="int64"),
+                    "n_sampled": pd.Series(ns, dtype="int64"),
+                    "sampled_luma_sum": pd.Series(sums, dtype="int64"),
+                }
+            )
+
+    return docs.mapInPandas(sample_batch, out_schema).orderBy("doc_id")

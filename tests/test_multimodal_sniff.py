@@ -319,3 +319,50 @@ def test_decode_audio_error_paths():
 
         fmt = b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
         decode_audio(b"RIFF" + struct.pack("<I", 4 + len(fmt)) + b"WAVE" + fmt)
+
+
+def _y4m_bytes(lumas, chroma=128):
+    """Independent y4m construction (struct-free: it's a text+raw
+    format): n frames of (h, w) luma + constant 4:2:0 chroma."""
+    import numpy as np
+
+    arr = np.asarray(lumas, dtype=np.uint8)
+    n, h, w = arr.shape
+    out = f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 C420\n".encode()
+    c = bytes([chroma]) * ((w // 2) * (h // 2))
+    for f in range(n):
+        out += b"FRAME\n" + arr[f].tobytes() + c + c
+    return out
+
+
+def test_decode_y4m_roundtrip_and_sampling():
+    import numpy as np
+
+    from lens_warehouse_spark.llm.multimodal import decode_y4m
+
+    rng = np.random.default_rng(7)
+    lumas = rng.integers(0, 256, size=(5, 4, 6), dtype=np.uint8)
+    w, h, out = decode_y4m(_y4m_bytes(lumas))
+    assert (w, h) == (6, 4)
+    assert np.array_equal(out, lumas)
+    assert np.array_equal(out[::2], lumas[[0, 2, 4]])
+
+
+def test_decode_y4m_error_paths():
+    import numpy as np
+    import pytest
+
+    from lens_warehouse_spark.llm.multimodal import decode_y4m
+
+    lumas = np.zeros((2, 4, 4), dtype=np.uint8)
+    good = _y4m_bytes(lumas)
+    with pytest.raises(ValueError):
+        decode_y4m(b"AVI1 not y4m")
+    with pytest.raises(ValueError):  # truncated final frame
+        decode_y4m(good[:-3])
+    with pytest.raises(NotImplementedError):  # 4:2:2 chroma
+        decode_y4m(good.replace(b"C420", b"C422", 1))
+    with pytest.raises(ValueError):  # odd width under 4:2:0
+        decode_y4m(good.replace(b"W4", b"W5", 1))
+    with pytest.raises(ValueError):  # corrupted FRAME marker
+        decode_y4m(good.replace(b"FRAME", b"FRUME", 1))
