@@ -166,6 +166,26 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         ("decode runs as Arrow batches", "MapInPandas"),
         ("column pruning to doc_id+text", "ReadSchema: struct<doc_id:bigint,text:string>"),
     ],
+    # Real-codec media paths (l8g/l8h/l8i): blob synthesis is columnar
+    # JVM SQL, decode is one Arrow-batched map stage, and nothing
+    # shuffles except the output orderBy's range exchange — the
+    # pointer-to-blob 100 TB shape with zero data-sized exchanges.
+    "l8g_pixel_resize": [
+        ("decode+resample runs as Arrow batches", "MapInPandas"),
+        ("no join, no corpus shuffle", "!Join"),
+        ("no hash exchange (only the output sort ranges)", "!hashpartitioning"),
+        ("column pruning to doc_id", "ReadSchema: struct<doc_id:bigint>"),
+    ],
+    "l8h_audio_decode": [
+        ("chunk walk runs as Arrow batches", "MapInPandas"),
+        ("no join, no corpus shuffle", "!Join"),
+        ("no hash exchange (only the output sort ranges)", "!hashpartitioning"),
+    ],
+    "l8i_video_frame_sample": [
+        ("frame walk runs as Arrow batches", "MapInPandas"),
+        ("no join, no corpus shuffle", "!Join"),
+        ("no hash exchange (only the output sort ranges)", "!hashpartitioning"),
+    ],
     "s12_partitioned_scan": [
         ("partition pruning at the scan", "PartitionFilters: [isnotnull(event_date"),
         ("partial aggregation", "HashAggregate"),
