@@ -1018,6 +1018,15 @@ def l28_boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 100TB corpus): the r6 shuffle plan (_l28_scrub_shuffle), which
     # never collects; Arrow chunker on the probe side (measured -28% vs
     # the lambda at 100x).
+    #
+    # Measured (idle-start, checksum protocol, VOLUME_*x.json r7):
+    # Spark side 100x 3.14 s (unchanged vs r6 — the probe collect's
+    # job sync offsets the saved shuffle at this size), 300x
+    # 12.86 -> 6.99 s, 1000x 23.99 -> 17.96 s; ratio band 1.93-2.16x
+    # across 100x-1000x (r6: 2.48-3.75x). Tier-2 membership A/B under
+    # contention (paired runs, 100x): a 128-hash literal array read
+    # 6.48 s vs the searchsorted UDF's 4.45 s — array_contains is a
+    # linear scan per chunk, hence the small _L28_LIT_MAX.
     n = _L28_N
     hargs = ", ".join(f"try_element_at(__th, i * {n} + {j + 1})" for j in range(n))
     ch_h = (

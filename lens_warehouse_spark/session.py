@@ -40,6 +40,13 @@ def get_spark(
         # FAIR scheduling so concurrent query streams (bench throughput
         # run, any multi-tenant caller) share executors instead of
         # FIFO head-of-line blocking. No effect on single-stream runs.
+        # NEGATIVE A/B (round 7): additionally giving each stream its
+        # own scheduler POOL (setLocalProperty per thread — intra-pool
+        # FAIR instead of the default pool's FIFO job order) showed no
+        # effect beyond run-order page-cache noise across order-swapped
+        # pairs (pool 3.14/3.06 s vs plain 3.39/2.60 s, 16 streams at
+        # sf0.1); at 32 local cores the job queue drains faster than
+        # pool weights matter. Don't re-try without a real cluster.
         .config("spark.scheduler.mode", "FAIR")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
