@@ -127,7 +127,70 @@ ORDER BY user_id, session_start_ms
 """,
 )
 def t3_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return sessionize_islands(table(spark, sf_dir, "events"), 1800000)
+    # Array-fold form: the synthetic corpus bounds events-per-user by
+    # CONSTRUCTION (volume replication adds disjoint USERS, not depth
+    # per user), which is exactly the contract sessionize_arrayfold
+    # requires; see its docstring for the measured -27%/-32% vs the
+    # islands form and the unbounded-input hazard that keeps islands
+    # as the facade default.
+    return sessionize_arrayfold(table(spark, sf_dir, "events"), 1800000)
+
+
+def sessionize_arrayfold(events: DataFrame, gap_ms: int) -> DataFrame:
+    """Per-user sessions via ONE groupBy + in-array fold — no window.
+
+    Round-7 third variant (after r6's islands-vs-session_window A/B):
+    collect each user's epoch-ms timestamps into a sorted array, find
+    session-start INDEXES with a filter() over the gap predicate, and
+    emit (start_ms, n_events) per island from index arithmetic —
+    all JVM higher-order functions, zero window passes. The plan is
+    one hash exchange on user_id (8-byte keys + one long per event,
+    same bytes the window exchange moves) + per-group Timsort, vs the
+    islands form's exchange + partition sort + TWO window passes +
+    final hash agg. Measured (checksum protocol, idle pairs):
+    100x 1.78 -> 1.29 s (-27%), 1000x 15.69 -> 10.72 s (-32%,
+    ~0.91x DuckDB's 11.8 s — t3's first sub-parity reading).
+
+    CONTRACT / scale hazard: one row per user holds ALL that user's
+    timestamps, so memory per group is O(max events per user) and a
+    single pathological user (a bot with 10^8 events) OOMs a task the
+    windowed islands form would merely spill on. Use this form when
+    per-user cardinality is bounded (the synthetic corpus: replication
+    adds users, not depth); sessionize_islands remains the
+    unbounded-safe default on the engine facade. Tie handling: sorting
+    by ms alone is sufficient — equal timestamps have gap 0 < gap_ms,
+    so tie ORDER can never open a session, and neither output column
+    depends on it (equality with islands property-tested, including
+    exact-gap boundaries and ties).
+    """
+    ev = events.select(
+        "user_id", F.unix_millis(as_ts("ts")).alias("ms")
+    )
+    per = ev.groupBy("user_id").agg(
+        F.sort_array(F.collect_list("ms")).alias("arr")
+    )
+    starts = (
+        "filter(sequence(0, size(arr) - 1),"
+        f" i -> i = 0 OR element_at(arr, i + 1) - element_at(arr, i) >= {gap_ms})"
+    )
+    sessions = (
+        "transform(sequence(0, size(__s) - 1),"
+        " j -> struct("
+        "element_at(arr, element_at(__s, j + 1) + 1) AS session_start_ms,"
+        " (CASE WHEN j = size(__s) - 1 THEN size(arr)"
+        "       ELSE element_at(__s, j + 2) END"
+        "  - element_at(__s, j + 1)) AS n_events))"
+    )
+    return (
+        per.withColumn("__s", F.expr(starts))
+        .select("user_id", F.explode(F.expr(sessions)).alias("x"))
+        .select(
+            "user_id",
+            F.col("x.session_start_ms").alias("session_start_ms"),
+            F.col("x.n_events").cast("long").alias("n_events"),
+        )
+        .orderBy("user_id", "session_start_ms")
+    )
 
 
 def sessionize_islands(events: DataFrame, gap_ms: int) -> DataFrame:

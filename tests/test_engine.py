@@ -340,3 +340,57 @@ def test_interval_grammar_compound_and_decimal():
                 "hour 1", "1.5.5 hours"):
         with pytest.raises(ValueError):
             _interval_ms(bad)
+
+
+def test_sessionize_arrayfold_equals_islands_adversarial(spark):
+    """The round-7 array-fold sessionizer (t3's graded form) must equal
+    the windowed islands form EXACTLY on the cases a fold gets wrong:
+    duplicate timestamps (tie order must not open a session), gaps
+    exactly AT the threshold (>= splits), one-event users, a user who
+    is one long session, and a user whose every event starts a new
+    session. Both forms also pin the session-count arithmetic: total
+    events in == sum(n_events) out."""
+    import datetime
+
+    from lens_warehouse_spark.operators.timeseries import (
+        sessionize_arrayfold,
+        sessionize_islands,
+    )
+
+    gap = 1800000
+    base = datetime.datetime(2024, 1, 1)
+
+    def ts(ms):
+        return base + datetime.timedelta(milliseconds=ms)
+
+    rows = []
+    eid = 0
+
+    def add(uid, ms):
+        nonlocal eid
+        eid += 1
+        rows.append((eid, uid, ts(ms)))
+
+    add(1, 0); add(1, 0); add(1, 0)                    # pure ties
+    add(1, gap - 1)                                     # just inside
+    add(1, (gap - 1) + gap)                             # exactly AT gap -> split
+    add(2, 5)                                           # single event
+    for i in range(10):
+        add(3, i * (gap - 1))                           # one long session
+    for i in range(6):
+        add(4, i * gap * 2)                             # all separate
+    add(5, 100); add(5, 100); add(5, 100 + gap)         # tie then boundary
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+
+    a = [tuple(r) for r in sessionize_arrayfold(df, gap).collect()]
+    b = [tuple(r) for r in sessionize_islands(df, gap).collect()]
+    assert a == b
+    assert sum(r[2] for r in a) == len(rows)
+    by_user = {}
+    for uid, _start, n in a:
+        by_user.setdefault(uid, []).append(n)
+    assert by_user[1] == [4, 1]   # ties+just-inside merge; at-gap splits
+    assert by_user[2] == [1]
+    assert by_user[3] == [10]
+    assert by_user[4] == [1] * 6
+    assert by_user[5] == [2, 1]

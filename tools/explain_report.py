@@ -441,10 +441,15 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
     # t3 gaps-and-islands: ONE user_id exchange feeds both window
     # passes and the island groupBy (clustering already satisfied);
     # the only other exchange is the final ORDER BY range partition.
+    # Round-7 array-fold form: one user_id exchange + per-group sorted
+    # array + in-array fold — NO window passes at all (the r6 islands
+    # form's two Windows + final agg are gone; islands remains the
+    # unbounded-safe facade path and is equality-property-tested).
     "t3_session_window": [
         ("sessionize shuffles on user_id once", "hashpartitioning(user_id"),
-        ("both window passes JVM-side", "Window"),
-        ("island agg partial+final", "HashAggregate"),
+        ("no window pass anywhere", "!Window"),
+        ("per-user array agg", "ObjectHashAggregate"),
+        ("sessions explode from the fold", "Generate"),
         ("no python, no cartesian", "!BatchEvalPython"),
     ],
     "l9_language_id": [
