@@ -441,15 +441,12 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
     # t3 gaps-and-islands: ONE user_id exchange feeds both window
     # passes and the island groupBy (clustering already satisfied);
     # the only other exchange is the final ORDER BY range partition.
-    # Round-7 array-fold form: one user_id exchange + per-group sorted
-    # array + in-array fold — NO window passes at all (the r6 islands
-    # form's two Windows + final agg are gone; islands remains the
-    # unbounded-safe facade path and is equality-property-tested).
+    # Islands form (array-fold variant REJECTED in-harness — OOM at
+    # 1000x under the shared JVM; see t3_session_window's comment).
     "t3_session_window": [
         ("sessionize shuffles on user_id once", "hashpartitioning(user_id"),
-        ("no window pass anywhere", "!Window"),
-        ("per-user array agg", "ObjectHashAggregate"),
-        ("sessions explode from the fold", "Generate"),
+        ("both window passes JVM-side", "Window"),
+        ("island agg partial+final", "HashAggregate"),
         ("no python, no cartesian", "!BatchEvalPython"),
     ],
     "l9_language_id": [
