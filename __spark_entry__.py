@@ -68,6 +68,102 @@ def _failed_last_check() -> set[str]:
     return {n for n, (_, bad) in latest.items() if bad}
 
 
+def _latest_round_by_name() -> dict[str, int]:
+    """Latest driver round that sampled each query name."""
+    latest: dict[str, int] = {}
+    for path in glob.glob(os.path.join(_HERE, "CORRECTNESS_r*.json")):
+        m = re.search(r"_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as fh:
+                rows = json.load(fh)
+        except Exception:
+            continue
+        for name in rows:
+            latest[name] = max(latest.get(name, 0), rnd)
+    return latest
+
+
+def _git_commit_time(path: str) -> int:
+    """Unix time of the last commit touching ``path`` (0 if unknown)."""
+    import subprocess
+
+    try:
+        out = subprocess.run(
+            ["git", "-C", _HERE, "log", "-1", "--format=%ct", "--", path],
+            capture_output=True,
+            text=True,
+            timeout=10,
+        ).stdout.strip()
+        return int(out) if out else 0
+    except Exception:
+        return 0
+
+
+def _dirty_files() -> set[str]:
+    """Repo-relative paths with uncommitted modifications."""
+    import subprocess
+
+    try:
+        out = subprocess.run(
+            ["git", "-C", _HERE, "status", "--porcelain"],
+            capture_output=True,
+            text=True,
+            timeout=10,
+        ).stdout
+        return {line[3:].strip() for line in out.splitlines() if line.strip()}
+    except Exception:
+        return set()
+
+
+def _stale_checked(names: list[str]) -> dict[str, int]:
+    """Names whose implementing module changed SINCE their last driver
+    row (r7 verdict #3: l28 was rewritten in r6/r7 but last
+    driver-checked r5 — a rewritten query must not wait many rounds of
+    family round-robin for re-verification), mapped to the module's
+    change time (working-tree-dirty ranks newest). A name is stale when
+    its source module's last git commit postdates the commit of the
+    CORRECTNESS artifact that last sampled it, or the module is
+    currently dirty. Any git failure -> empty dict (rotation falls back
+    to the plain round-robin). Module granularity is deliberately
+    coarse (one edit stales every query in the module), so callers
+    order by change recency: the driver's 50-query sample then leads
+    with THIS round's rewrites, while older incidental staleness
+    drains over subsequent rounds."""
+    latest = _latest_round_by_name()
+    round_time: dict[int, int] = {}
+    module_time: dict[str, int] = {}
+    dirty = _dirty_files()
+    stale: dict[str, int] = {}
+    for name in names:
+        rnd = latest.get(name)
+        if rnd is None:
+            continue  # unseen tier handles it
+        fn = registry.QUERIES.get(name)
+        code = getattr(fn, "__code__", None)
+        if code is None:
+            continue
+        src = code.co_filename
+        if os.path.relpath(src, _HERE) in dirty:
+            stale[name] = 2**62  # uncommitted = newest possible
+            continue
+        if src not in module_time:
+            module_time[src] = _git_commit_time(src)
+        if rnd not in round_time:
+            round_time[rnd] = _git_commit_time(
+                os.path.join(_HERE, f"CORRECTNESS_r{rnd:02d}.json")
+            )
+        if (
+            module_time[src]
+            and round_time[rnd]
+            and module_time[src] > round_time[rnd]
+        ):
+            stale[name] = module_time[src]
+    return stale
+
+
 def _coverage_order(names: list[str]) -> list[str]:
     """Order queries for the driver's first-N sample so no slot repeats a
     prior round while unchecked queries remain: three strict tiers —
@@ -81,13 +177,14 @@ def _coverage_order(names: list[str]) -> list[str]:
     seen = _already_checked()
     index = {n: i for i, n in enumerate(names)}
 
-    def fam_round_robin(subset: list[str]) -> list[str]:
+    def fam_round_robin(subset: list[str], key=None) -> list[str]:
+        key = key or (lambda n: index[n])
         fams: dict[str, list[str]] = {}
         for n in subset:
             m = re.match(r"[a-z]+", n)
             fams.setdefault(m.group(0) if m else n, []).append(n)
         for fam in fams.values():
-            fam.sort(key=lambda n: index[n])
+            fam.sort(key=key)
         return [
             n
             for tier in itertools.zip_longest(*fams.values())
@@ -108,13 +205,26 @@ def _coverage_order(names: list[str]) -> list[str]:
         if n not in seen and n not in failed and n not in registry.ORACLES
     ]
     checked = [n for n in names if n in seen and n not in failed]
+    # r8: the checked tier re-verifies REWRITTEN queries first — source
+    # module committed after the query's last driver row (git-aware) —
+    # ordered oldest-driver-row first; then the rest, family
+    # round-robined with oldest-checked leading inside each family.
+    stale = _stale_checked(checked)
+    last = _latest_round_by_name()
+    oldest_first = lambda n: (last.get(n, 0), index[n])  # noqa: E731
+    stale_first = sorted(
+        (n for n in checked if n in stale),
+        key=lambda n: (-stale[n], last.get(n, 0), index[n]),
+    )
+    rest = [n for n in checked if n not in stale]
     # Tier 0: names whose latest driver row ERRORED — the fix must be
     # re-verified next round, not whenever the round-robin reaches it.
     return (
         refail
         + fam_round_robin(unseen_oracle)
         + fam_round_robin(unseen_rows)
-        + fam_round_robin(checked)
+        + stale_first
+        + fam_round_robin(rest, key=oldest_first)
     )
 
 

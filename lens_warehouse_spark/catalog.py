@@ -48,7 +48,13 @@ BROADCAST_DIMS = FIXED_DIMS | SCALING_DIMS
 # *filtered* build side turns out tiny).
 BROADCAST_ROW_LIMIT = 5_000_000
 
-_ROWCOUNT_CACHE: dict[tuple[str, int], int] = {}
+# Both metadata caches are keyed by PATH with the observed mtime_ns
+# stored alongside the value (r7 advisor: keying BY (path, mtime)
+# retained every superseded entry forever, so a rewrite-heavy session
+# grew without bound). A lookup whose stored mtime mismatches the
+# current one recomputes and REPLACES the entry — at most one live
+# entry per path.
+_ROWCOUNT_CACHE: dict[str, tuple[int, int]] = {}
 
 # Resolved StructType per "{sf_dir}/{name}". Path-based parquet reads
 # re-run schema resolution on EVERY ``spark.read.parquet`` call — a
@@ -65,8 +71,8 @@ _ROWCOUNT_CACHE: dict[tuple[str, int], int] = {}
 _SCHEMA_CACHE: dict = {}
 
 
-def _cache_key(sf_dir: str, tname: str) -> tuple[str, int]:
-    """Cache key for footer-derived metadata: (path, mtime_ns).
+def _cache_lookup(cache: dict, sf_dir: str, tname: str):
+    """(path, mtime_ns, cached-value-or-None) for footer metadata.
 
     mtime invalidates both caches when a table at the same path is
     rewritten in-process (round-6 advisor: a stale _SCHEMA_CACHE entry
@@ -75,7 +81,8 @@ def _cache_key(sf_dir: str, tname: str) -> tuple[str, int]:
     ``write.mode('overwrite')`` replaces the file/recreates the part
     directory either way, so st_mtime_ns moves; one os.stat per call is
     noise next to the ~90 ms footer job the caches exist to skip. A
-    missing path stats as mtime -1 (the read below raises anyway)."""
+    missing path stats as mtime -1 (the read below raises anyway).
+    A stale entry is evicted by the caller overwriting cache[path]."""
     import os as _os
 
     path = f"{sf_dir}/{tname}.parquet"
@@ -83,7 +90,10 @@ def _cache_key(sf_dir: str, tname: str) -> tuple[str, int]:
         mtime = _os.stat(path).st_mtime_ns
     except OSError:
         mtime = -1
-    return (path, mtime)
+    hit = cache.get(path)
+    if hit is not None and hit[0] == mtime:
+        return path, mtime, hit[1]
+    return path, mtime, None
 
 
 def table_rows(sf_dir: str, tname: str) -> int:
@@ -94,14 +104,13 @@ def table_rows(sf_dir: str, tname: str) -> int:
     100 TB layout (a date-partitioned directory of part files):
     ``pyarrow.dataset`` sums fragment footer counts either way.
     """
-    key = _cache_key(sf_dir, tname)
-    if key not in _ROWCOUNT_CACHE:
+    path, mtime, rows = _cache_lookup(_ROWCOUNT_CACHE, sf_dir, tname)
+    if rows is None:
         import pyarrow.dataset as ds
 
-        _ROWCOUNT_CACHE[key] = ds.dataset(
-            f"{sf_dir}/{tname}.parquet", format="parquet"
-        ).count_rows()
-    return _ROWCOUNT_CACHE[key]
+        rows = ds.dataset(path, format="parquet").count_rows()
+        _ROWCOUNT_CACHE[path] = (mtime, rows)
+    return rows
 
 
 def maybe_broadcast(df: DataFrame, sf_dir: str, name: str) -> DataFrame:
@@ -184,12 +193,10 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; have {TABLES}")
     _ensure_reader_conf(spark)
-    path = f"{sf_dir}/{name}.parquet"
-    key = _cache_key(sf_dir, name)
-    schema = _SCHEMA_CACHE.get(key)
+    path, mtime, schema = _cache_lookup(_SCHEMA_CACHE, sf_dir, name)
     if schema is None:
         df = spark.read.parquet(path)
-        _SCHEMA_CACHE[key] = df.schema
+        _SCHEMA_CACHE[path] = (mtime, df.schema)
     else:
         df = spark.read.schema(schema).parquet(path)
     if name == "events":

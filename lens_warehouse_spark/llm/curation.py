@@ -930,6 +930,32 @@ _L28_LIT_MAX = 64
 # 0.459 s Arrow at sf0.1).
 _L28_SMALL_DOCS = 100_000
 
+# One live tier-2b broadcast at a time, keyed by a digest of the hash
+# set (r7 advisor: a fresh sparkContext.broadcast per l28 call was
+# never unpersisted, so a long-lived session accumulated broadcast
+# blocks on driver AND executors). Same set -> reuse; different set ->
+# unpersist the predecessor before replacing it. Bound: exactly one.
+_L28_BC_CACHE: dict = {}
+
+
+def _l28_cached_broadcast(spark, arr):
+    import hashlib
+
+    digest = hashlib.sha1(arr.tobytes()).digest()
+    hit = _L28_BC_CACHE.get(digest)
+    # A broadcast is only reusable within the SparkContext that made it.
+    if hit is not None and hit[0] is spark.sparkContext:
+        return hit[1]
+    for _, (_, old) in _L28_BC_CACHE.items():
+        try:
+            old.unpersist()
+        except Exception:
+            pass  # context already stopped; nothing to release
+    _L28_BC_CACHE.clear()
+    bc = spark.sparkContext.broadcast(arr)
+    _L28_BC_CACHE[digest] = (spark.sparkContext, bc)
+    return bc
+
 
 def _chunk_strings_arrow():
     """Arrow pandas_udf chunker: text -> array of N-token chunk strings
@@ -1083,7 +1109,7 @@ def l28_boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     else:
         import numpy as np
 
-        bc = spark.sparkContext.broadcast(np.array(hashes, dtype=np.int64))
+        bc = _l28_cached_broadcast(spark, np.array(hashes, dtype=np.int64))
 
         @F.pandas_udf("array<int>")
         def kept_idx(hs: pd.Series) -> pd.Series:

@@ -183,9 +183,17 @@ def sessionize_arrayfold(events: DataFrame, gap_ms: int) -> DataFrame:
     per = ev.groupBy("user_id").agg(
         F.sort_array(F.collect_list("ms")).alias("arr")
     )
+    # r7 advisor: the earlier form 'i = 0 OR element_at(arr, i)...'
+    # relied on OR short-circuit to avoid element_at(arr, 0) (a 1-based
+    # API: index 0 always errors). Structural fix: iterate gap
+    # candidates over 1..size-1 only — both element_at calls are then
+    # always in range — and prepend index 0 explicitly. The CASE guards
+    # sequence(1, 0), which Spark evaluates as a DESCENDING [1, 0] for
+    # single-element arrays rather than an empty range.
     starts = (
-        "filter(sequence(0, size(arr) - 1),"
-        f" i -> i = 0 OR element_at(arr, i + 1) - element_at(arr, i) >= {gap_ms})"
+        "concat(array(0), filter("
+        " CASE WHEN size(arr) < 2 THEN array() ELSE sequence(1, size(arr) - 1) END,"
+        f" i -> element_at(arr, i + 1) - element_at(arr, i) >= {gap_ms}))"
     )
     sessions = (
         "transform(sequence(0, size(__s) - 1),"

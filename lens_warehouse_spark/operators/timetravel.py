@@ -67,7 +67,7 @@ def _staging_tag(sf_dir: str, source_table: str) -> str:
     testdata is never reused against a fresh oracle."""
     st = os.stat(os.path.join(sf_dir, f"{source_table}.parquet"))
     # st_mtime_ns, not int(st_mtime): a same-second rewrite with equal
-    # size must not reuse stale staging (catalog._cache_key precedent).
+    # size must not reuse stale staging (catalog._cache_lookup precedent).
     return (
         f"{sf_dir.strip('/').replace('/', '_')}"
         f"_{source_table}_{st.st_size}_{st.st_mtime_ns}"

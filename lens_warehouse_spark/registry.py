@@ -40,6 +40,16 @@ hash-compares Spark output against DuckDB at value level):
     ``concat_ws(',', sort_array(collect_list(x)).cast('array<string>'))``
     vs DuckDB ``array_to_string(list(x ORDER BY x), ',')``.
     tests/test_registry_schema.py enforces this registry-wide.
+
+BUILD-IS-LAZY CONTRACT (and its one exception): calling a registered
+query returns an UNEXECUTED DataFrame — plan audits and dry runs may
+construct plans freely without triggering Spark jobs. Exception,
+documented here per the r7 advisor: ``l28_boilerplate_scrub`` above
+100k docs (footer stats) runs an eager bounded probe at construction
+time (``boiler.limit(2M+1).collect()``) to route between its map-side
+and shuffle tiers — the tier decision needs the boiler-set cardinality,
+which no metadata-only statistic can supply. Audits that must stay
+job-free should treat l28 as execute-on-build past that threshold.
 """
 
 from __future__ import annotations

@@ -32,10 +32,11 @@ def test_scaling_dim_hinted_below_limit(spark):
 
 def test_scaling_dim_not_hinted_above_limit(spark, monkeypatch):
     """Simulate the 100 TB catalog: footer stats over the limit."""
+    path, mtime, _ = catalog._cache_lookup(
+        catalog._ROWCOUNT_CACHE, SF_SMOKE, "customer"
+    )
     monkeypatch.setitem(
-        catalog._ROWCOUNT_CACHE,
-        catalog._cache_key(SF_SMOKE, "customer"),
-        catalog.BROADCAST_ROW_LIMIT + 1,
+        catalog._ROWCOUNT_CACHE, path, (mtime, catalog.BROADCAST_ROW_LIMIT + 1)
     )
     cu = catalog.table(spark, SF_SMOKE, "customer")
     out = catalog.maybe_broadcast(cu, SF_SMOKE, "customer")
@@ -62,7 +63,7 @@ def test_schema_cache_replay_identical(spark):
     events ts rebuild, whose bigint-vs-timestamp dispatch reads the
     dtypes of whichever path ran."""
     for t in ("events", "lineitem"):
-        key = catalog._cache_key(SF_SMOKE, t)
+        key = f"{SF_SMOKE}/{t}.parquet"
         catalog._SCHEMA_CACHE.pop(key, None)
         fresh = catalog.table(spark, SF_SMOKE, t)  # populates the cache
         assert key in catalog._SCHEMA_CACHE
@@ -99,3 +100,22 @@ def test_schema_cache_invalidates_on_rewrite(spark, tmp_path):
     second = catalog.table(spark, d, "nation")
     assert second.columns == ["n_nationkey", "n_name", "n_regionkey"]
     assert second.collect()[0].n_regionkey == 7
+
+def test_metadata_caches_bounded_per_path(spark, tmp_path):
+    """r7 advisor: rewriting a table in-process must REPLACE its cache
+    entries, not append new keys — a rewrite-heavy session (compaction
+    loops, streaming foreachBatch sinks) would otherwise grow both
+    caches without bound."""
+    import os
+
+    d = str(tmp_path)
+    p = os.path.join(d, "nation.parquet")
+    for i in range(4):
+        spark.createDataFrame(
+            [(i, "x")], "n_nationkey long, n_name string"
+        ).coalesce(1).write.mode("overwrite").parquet(p)
+        os.utime(p, ns=(1_000_000_000 * i, 1_000_000_000 * i))
+        catalog.table(spark, d, "nation")
+        catalog.table_rows(d, "nation")
+    assert sum(1 for k in catalog._SCHEMA_CACHE if k == p) == 1
+    assert sum(1 for k in catalog._ROWCOUNT_CACHE if k == p) == 1

@@ -204,3 +204,24 @@ def test_l28_all_four_plan_tiers_agree(spark, tmp_path, monkeypatch):
     assert by_id[3].clean_md5 == hashlib.md5(b"").hexdigest()
     assert by_id[2].n_removed == 2  # per-occurrence counting
     assert by_id[6].n_removed == 0
+
+
+def test_l28_broadcast_cache_bounded(spark):
+    """r7 advisor: tier-2b must not leak one broadcast per invocation.
+    The cache holds exactly ONE live broadcast; same hash set -> same
+    object, different set -> predecessor unpersisted and replaced."""
+    import numpy as np
+
+    from lens_warehouse_spark.llm import curation
+
+    curation._L28_BC_CACHE.clear()
+    a = np.array([3, 1, 2], dtype=np.int64)
+    b1 = curation._l28_cached_broadcast(spark, a)
+    b2 = curation._l28_cached_broadcast(spark, a.copy())
+    assert b1 is b2  # content-keyed reuse
+    b3 = curation._l28_cached_broadcast(
+        spark, np.array([9, 9], dtype=np.int64)
+    )
+    assert b3 is not b1
+    assert len(curation._L28_BC_CACHE) == 1  # predecessor evicted
+    assert list(b3.value) == [9, 9]

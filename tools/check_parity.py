@@ -69,11 +69,15 @@ def _nested_cols(pdf: pd.DataFrame) -> list[str]:
     even though tuple-izing would let a value compare pass."""
     bad = []
     for c in pdf.columns:
-        col = pdf[c]
-        probe = col.dropna()
-        if len(probe) and isinstance(
-            probe.iloc[0], (list, tuple, dict)
-        ) or (len(probe) and type(probe.iloc[0]).__name__ == "ndarray"):
+        # r7 advisor: probe a SAMPLE, not just the first value — an
+        # object-dtype column whose first non-null is scalar but whose
+        # later values are lists (mixed column) slipped past the guard.
+        probe = pdf[c].dropna().head(100)
+        if any(
+            isinstance(v, (list, tuple, dict))
+            or type(v).__name__ == "ndarray"
+            for v in probe
+        ):
             bad.append(c)
     return bad
 
