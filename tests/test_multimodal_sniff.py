@@ -252,8 +252,10 @@ def test_decode_pixels_error_paths():
 
     from lens_warehouse_spark.llm.multimodal import decode_pixels
 
-    with pytest.raises(NotImplementedError):  # compressed format
-        decode_pixels(b"\x89PNG\r\n\x1a\n" + b"\x00" * 24)
+    with pytest.raises(NotImplementedError):  # LZW format, no stdlib codec
+        decode_pixels(b"GIF89a" + b"\x00" * 24)
+    with pytest.raises(ValueError):  # PNG decodes for real now (r8) —
+        decode_pixels(b"\x89PNG\r\n\x1a\n" + b"\x00" * 24)  # garbage body
     with pytest.raises(ValueError):  # truncated PPM body
         decode_pixels(b"P6\n4 4\n255\n\x00\x00")
     with pytest.raises(ValueError):  # malformed header
@@ -366,3 +368,180 @@ def test_decode_y4m_error_paths():
         decode_y4m(good.replace(b"W4", b"W5", 1))
     with pytest.raises(ValueError):  # corrupted FRAME marker
         decode_y4m(good.replace(b"FRAME", b"FRUME", 1))
+
+
+# --------------------------------------------------------------------------
+# l8j: real PNG decode (r8). The test encoder below is a THIRD
+# construction, independent of both the SQL synthesizer (stored-deflate
+# blocks, forward-filtered in SQL) and the decoder: it uses REAL
+# zlib.compress output (dynamic-Huffman deflate, which the stored-block
+# SQL path never produces) and applies filters with its own numpy code.
+# --------------------------------------------------------------------------
+def _encode_png(px, filters=None, level=6):
+    """Minimal test-side PNG encoder: (h, w, ch) uint8 -> PNG bytes
+    with a chosen per-row filter list (default all-zero)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w, ch = px.shape
+    filters = filters if filters is not None else [0] * h
+    stride = w * ch
+    flat = px.reshape(h, stride).astype(np.int64)
+    out = bytearray()
+    for y in range(h):
+        ft = filters[y]
+        cur = flat[y]
+        left = np.concatenate([np.zeros(ch, np.int64), cur[:-ch]])
+        up = flat[y - 1] if y else np.zeros(stride, np.int64)
+        upl = (
+            np.concatenate([np.zeros(ch, np.int64), flat[y - 1][:-ch]])
+            if y
+            else np.zeros(stride, np.int64)
+        )
+        if ft == 0:
+            pred = np.zeros(stride, np.int64)
+        elif ft == 1:
+            pred = left
+        elif ft == 2:
+            pred = up
+        elif ft == 3:
+            pred = (left + up) // 2
+        else:
+            p = left + up - upl
+            pa, pb, pc = abs(p - left), abs(p - up), abs(p - upl)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, upl)
+            )
+        out.append(ft)
+        out += ((cur - pred) % 256).astype(np.uint8).tobytes()
+    ctype = 2 if ch == 3 else 6
+
+    def chunk(t, d):
+        return (
+            struct.pack(">I", len(d))
+            + t
+            + d
+            + struct.pack(">I", zlib.crc32(t + d))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(out), level))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_roundtrip_all_filters_rgb_and_rgba():
+    import numpy as np
+
+    from lens_warehouse_spark.llm.multimodal import decode_png
+
+    rng = np.random.default_rng(42)
+    for ch in (3, 4):
+        px = rng.integers(0, 256, size=(7, 5, ch), dtype=np.uint8)
+        for filters in ([0] * 7, [1] * 7, [2] * 7, [3] * 7, [4] * 7,
+                        [0, 1, 2, 3, 4, 3, 1]):
+            blob = _encode_png(px, filters)
+            got = decode_png(blob)
+            assert got.shape == px.shape
+            assert (got == px).all(), f"ch={ch} filters={filters}"
+
+
+def test_png_multiple_idat_chunks_and_sniff_agree():
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from lens_warehouse_spark.llm.multimodal import decode_png, sniff_media
+
+    px = np.arange(6 * 4 * 3, dtype=np.uint8).reshape(6, 4, 3)
+    blob = _encode_png(px, [4, 2, 0, 1, 3, 4])
+    fmt, w, h = sniff_media(blob)
+    assert (fmt, w, h) == ("png", 4, 6)
+    # split the IDAT payload into two chunks: decoders must concat
+    sig, rest = blob[:8], blob[8:]
+    ln = struct.unpack(">I", rest[:4])[0]
+    ihdr, rest = rest[: 12 + ln], rest[12 + ln :]
+    ln = struct.unpack(">I", rest[:4])[0]
+    idat_data, iend = rest[8 : 8 + ln], rest[12 + ln :]
+    mid = len(idat_data) // 2
+
+    def chunk(t, d):
+        return (
+            struct.pack(">I", len(d))
+            + t
+            + d
+            + struct.pack(">I", zlib.crc32(t + d))
+        )
+
+    split = (
+        sig
+        + ihdr
+        + chunk(b"IDAT", idat_data[:mid])
+        + chunk(b"IDAT", idat_data[mid:])
+        + iend
+    )
+    assert (decode_png(split) == px).all()
+
+
+def test_png_error_paths():
+    import numpy as np
+    import pytest
+
+    from lens_warehouse_spark.llm.multimodal import decode_png
+
+    px = np.zeros((3, 3, 3), dtype=np.uint8)
+    blob = bytearray(_encode_png(px))
+    # corrupt one IDAT payload byte -> chunk CRC must catch it
+    blob[-20] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(blob))
+    with pytest.raises(ValueError, match="signature"):
+        decode_png(b"not a png at all")
+    # grayscale (color type 0) is honestly out of this decoder's scope
+    import struct
+    import zlib
+
+    def chunk(t, d):
+        return (
+            struct.pack(">I", len(d))
+            + t
+            + d
+            + struct.pack(">I", zlib.crc32(t + d))
+        )
+
+    gray = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"\x00\x01\x02\x00\x03\x04"))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(NotImplementedError):
+        decode_png(gray)
+    # truncated chunk length field
+    with pytest.raises(ValueError):
+        decode_png(bytes(_encode_png(px))[:20])
+
+
+def test_decode_pixels_routes_png_and_resize_works():
+    """decode_pixels now treats PNG as a first-class pixel source
+    (alpha dropped for the 3-channel resize path)."""
+    import numpy as np
+
+    from lens_warehouse_spark.llm.multimodal import (
+        decode_pixels,
+        real_resize_image,
+    )
+
+    rng = np.random.default_rng(7)
+    rgba = rng.integers(0, 256, size=(6, 5, 4), dtype=np.uint8)
+    got = decode_pixels(_encode_png(rgba, [0, 1, 2, 3, 4, 2]))
+    assert got.shape == (6, 5, 3)
+    assert (got == rgba[..., :3]).all()
+    out = real_resize_image(_encode_png(rgba), 3, 3)
+    assert out[:2] == b"P6"

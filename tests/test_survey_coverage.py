@@ -47,3 +47,46 @@ def test_oracle_counts_match_survey_totals():
     assert m, "SURVEY totals line missing"
     assert int(m.group(1)) == len(registry.QUERIES)
     assert int(m.group(2)) == len(registry.ORACLES)
+
+
+def _correctness_union_and_latest():
+    import glob
+    import json
+
+    union, latest = set(), 0
+    for p in glob.glob("/root/repo/CORRECTNESS_r*.json"):
+        m = re.search(r"_r(\d+)\.json$", p)
+        try:
+            rows = json.load(open(p))
+        except Exception:
+            continue
+        union |= set(rows)
+        latest = max(latest, int(m.group(1)))
+    return union, latest
+
+
+def test_no_query_goes_three_rounds_unsampled():
+    """r7 verdict #7: coverage debt must not accumulate silently. Every
+    registered query carries a registration round in
+    tools/query_ledger.json (new queries: run tools/update_ledger.py);
+    once three driver rounds have passed since registration, the name
+    MUST appear in some CORRECTNESS_r*.json — otherwise the rotation
+    (or the ledger) is broken and this test goes red."""
+    import json
+
+    ledger = json.load(open("/root/repo/tools/query_ledger.json"))
+    missing = set(registry.QUERIES) - set(ledger)
+    assert not missing, (
+        f"queries missing from tools/query_ledger.json (run "
+        f"tools/update_ledger.py): {sorted(missing)}"
+    )
+    union, latest = _correctness_union_and_latest()
+    overdue = [
+        n
+        for n in registry.QUERIES
+        if latest >= ledger[n] + 3 and n not in union
+    ]
+    assert not overdue, (
+        f"registered >=3 driver rounds ago but never driver-sampled: "
+        f"{sorted(overdue)}"
+    )
