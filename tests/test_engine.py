@@ -394,3 +394,31 @@ def test_sessionize_arrayfold_equals_islands_adversarial(spark):
     assert by_user[3] == [10]
     assert by_user[4] == [1] * 6
     assert by_user[5] == [2, 1]
+
+
+def test_knn_missing_probe_raises(spark, sf_dir):
+    """r8 adversarial pass: a nonexistent probe vec_id must raise, not
+    return an empty frame indistinguishable from 'no neighbors'."""
+    import pytest
+
+    from lens_warehouse_spark.engine import LensWarehouse
+
+    lw = LensWarehouse(spark, sf_dir)
+    with pytest.raises(KeyError, match="not found"):
+        lw.knn(query_vec_id=10**12)
+
+
+def test_synth_source_rejects_bad_options(spark):
+    """r8 adversarial pass: malformed reader options fail with a
+    message naming the option, planner-side."""
+    import pytest
+
+    from lens_warehouse_spark.sources import _register_synth_source
+
+    _register_synth_source(spark)
+    with pytest.raises(Exception, match="partitions must be >= 1"):
+        spark.read.format("lws_synth").option("rows", 10).option(
+            "partitions", 0
+        ).load().collect()
+    with pytest.raises(Exception, match="rows must be >= 0"):
+        spark.read.format("lws_synth").option("rows", -1).load().collect()

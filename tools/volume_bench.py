@@ -156,14 +156,23 @@ def content_fingerprint(sf_dir: str) -> str:
 
 
 def _best_of(fn, reps: int = 3, setup=None) -> float:
-    best = float("inf")
+    return min(_timed_reps(fn, reps=reps, setup=setup))
+
+
+def _timed_reps(fn, reps: int = 3, setup=None) -> list[float]:
+    """All rep wall-clocks, in run order. The artifact records the full
+    list (r8, T3_PIN_r08 finding): at the 1000x point DuckDB's first
+    rep ran ~2x its own best (cold page cache over 100M staged rows),
+    so a best-of scalar alone cannot show which ENGINE's variance a
+    ratio movement came from — the per-rep band can."""
+    out = []
     for _ in range(reps):
         if setup is not None:
             setup()  # OUTSIDE the timed region, but per rep
         t0 = time.perf_counter()
         fn()
-        best = min(best, time.perf_counter() - t0)
-    return best
+        out.append(round(time.perf_counter() - t0, 3))
+    return out
 
 
 def run_spark_subset(spark, sf_dir: str, names=VOLUME_SUBSET) -> dict[str, float]:
@@ -187,7 +196,7 @@ def run_spark_subset(spark, sf_dir: str, names=VOLUME_SUBSET) -> dict[str, float
         # clearCache PER REP (bench.py's 'no cross-rep cache assists'
         # rule): l13/l31 pin shared subtrees, so clearing only once let
         # reps 2-3 read cached blocks while DuckDB recomputed each rep.
-        out[name] = round(_best_of(run, setup=spark.catalog.clearCache), 3)
+        out[name] = _timed_reps(run, setup=spark.catalog.clearCache)
     return out
 
 
@@ -212,20 +221,26 @@ def run_duckdb_subset(sf_dir: str, names=VOLUME_SUBSET) -> dict[str, float]:
         # engines, keeps the result engine-side (one row), and the hash
         # itself is a vectorized native kernel on both.
         wrapped = f"SELECT count(*), sum(hash(t)) FROM ({sql}) t"
-        out[name] = round(_best_of(lambda: con.execute(wrapped).fetchall()), 3)
+        out[name] = _timed_reps(lambda: con.execute(wrapped).fetchall())
         con.close()
     return out
 
 
 def _point(spark, sf_dir: str) -> dict:
-    sp = run_spark_subset(spark, sf_dir)
-    du = run_duckdb_subset(sf_dir)
+    sp_reps = run_spark_subset(spark, sf_dir)
+    du_reps = run_duckdb_subset(sf_dir)
+    # best-of stays the headline statistic (series continuity with
+    # r5-r7 artifacts); the per-rep arrays are the new variance band.
+    sp = {n: min(r) for n, r in sp_reps.items()}
+    du = {n: min(r) for n, r in du_reps.items()}
     ratio = {
         n: round(sp[n] / du[n], 2) if du[n] > 0 else None for n in sp
     }
     return {
         "spark": sp,
         "duckdb": du,
+        "spark_reps": sp_reps,
+        "duckdb_reps": du_reps,
         "ratio_spark_over_duckdb": ratio,
         "spark_total_sec": round(sum(sp.values()), 3),
         "duckdb_total_sec": round(sum(du.values()), 3),
