@@ -1597,3 +1597,388 @@ def l8k_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return docs.mapInPandas(decode_batch, out_schema).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# L8l: REAL baseline JPEG decode — after PNG (zlib) and GIF (LZW), the
+# remaining image format. There is no stdlib entropy codec for JPEG,
+# so the decoder implements the whole baseline pipeline from the spec:
+# marker walk, DQT/DHT parsing, canonical Huffman table construction,
+# MSB-first bit reading with 0xFF00 byte unstuffing, DC-difference +
+# AC run/size coefficient decode, zigzag de-ordering, dequantization,
+# and a real 8x8 inverse DCT (orthonormal cosine matrix, numpy).
+#
+# The SQL synthesizer exploits two spec freedoms to stay closed-form:
+#   1. DHT lets the encoder define ITS OWN Huffman tables — a table of
+#      fixed 8-bit codes is valid (12 DC categories and a lone EOB at
+#      length 8), so every symbol is one literal byte in the stream;
+#   2. blocks with only a DC coefficient need no AC coding — each
+#      block is exactly 20 bits (8 code + 4 extra + 8 EOB), and the
+#      paired +d/-d DC differences keep the predictor bounded.
+# The MSB-first bit packing is then pure SQL integer algebra (the
+# stream provably never produces a 0xFF byte, so no stuffing on the
+# encode side — the DECODER still unstuffs, and pytest's independent
+# encoder uses the standard Annex-K tables, real forward DCT and real
+# stuffing to prove the general path).
+# DuckDB derives the expected sums from the DC formula alone: even
+# blocks decode to flat 128 + 2d, odd blocks to flat 128.
+# ---------------------------------------------------------------------------
+_JPEG_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+
+def _huffman_table(counts: list[int], symbols: bytes) -> dict[tuple[int, int], int]:
+    """Canonical JPEG Huffman: {(length, code) -> symbol}."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            table[(length, code)] = symbols[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+class _BitReader:
+    """MSB-first entropy-segment reader with 0xFF00 unstuffing."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.bit = 0
+
+    def read_bit(self) -> int:
+        while True:
+            if self.pos >= len(self.data):
+                raise ValueError("entropy stream exhausted")
+            byte = self.data[self.pos]
+            if byte == 0xFF:
+                nxt = self.data[self.pos + 1] if self.pos + 1 < len(self.data) else None
+                if nxt != 0x00:
+                    raise ValueError(f"unexpected marker 0xFF{nxt:02x} in scan")
+            b = (byte >> (7 - self.bit)) & 1
+            self.bit += 1
+            if self.bit == 8:
+                self.bit = 0
+                self.pos += 2 if byte == 0xFF else 1  # skip stuffed 0x00
+            return b
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def read_symbol(self, table: dict[tuple[int, int], int]) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.read_bit()
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid Huffman code in scan")
+
+
+def _extend(v: int, cat: int) -> int:
+    """JPEG magnitude-category decode: v (cat bits) -> signed value."""
+    if cat == 0:
+        return 0
+    return v if v >= (1 << (cat - 1)) else v - (1 << cat) + 1
+
+
+def decode_jpeg_gray(blob: bytes):
+    """(h, w) uint8 pixels from a baseline sequential GRAYSCALE JPEG —
+    real entropy decode, stdlib+numpy only. ValueError on malformed
+    structure; NotImplementedError for progressive mode, multi-
+    component (color) images, restart intervals, or 16-bit quant
+    tables — honest scope, not a fake."""
+    import struct
+
+    import numpy as np
+
+    b = bytes(blob)
+    if b[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    dc_tables: dict[int, dict] = {}
+    ac_tables: dict[int, dict] = {}
+    frame = None
+    while pos + 4 <= len(b):
+        if b[pos] != 0xFF:
+            raise ValueError(f"expected marker at {pos}")
+        marker = b[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        ln = struct.unpack_from(">H", b, pos + 2)[0]
+        seg = b[pos + 4 : pos + 2 + ln]
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(seg):
+                pq, tq = seg[i] >> 4, seg[i] & 0x0F
+                if pq != 0:
+                    raise NotImplementedError("16-bit quant table")
+                qtables[tq] = np.frombuffer(seg, np.uint8, 64, i + 1).astype(
+                    np.int32
+                )
+                i += 65
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 0x0F
+                counts = list(seg[i + 1 : i + 17])
+                n = sum(counts)
+                syms = seg[i + 17 : i + 17 + n]
+                (dc_tables if tc == 0 else ac_tables)[th] = _huffman_table(
+                    counts, syms
+                )
+                i += 17 + n
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, h, w, ncomp = struct.unpack_from(">BHHB", seg, 0)
+            if prec != 8:
+                raise NotImplementedError(f"{prec}-bit precision")
+            if ncomp != 1:
+                raise NotImplementedError("color JPEG out of scope (grayscale only)")
+            # component spec: seg[6]=id, seg[7]=sampling, seg[8]=tq
+            frame = (h, w, seg[8])
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7):
+            raise NotImplementedError("non-baseline JPEG (progressive/extended)")
+        elif marker == 0xDD:
+            raise NotImplementedError("restart intervals out of scope")
+        elif marker == 0xDA:  # SOS — entropy data follows
+            if frame is None:
+                raise ValueError("SOS before SOF")
+            ns = seg[0]
+            if ns != 1:
+                raise NotImplementedError("multi-component scan")
+            td, ta = seg[2] >> 4, seg[2] & 0x0F
+            h, w, tq = frame
+            if tq not in qtables or td not in dc_tables or ta not in ac_tables:
+                raise ValueError("scan references missing table")
+            q = qtables[tq]
+            scan = b[pos + 2 + ln :]
+            return _decode_scan_gray(
+                scan, h, w, q, dc_tables[td], ac_tables[ta]
+            )
+        pos += 2 + ln
+    raise ValueError("no scan data before EOI")
+
+
+def _idct_matrix():
+    import numpy as np
+
+    k = np.arange(8)
+    m = np.cos((2 * k[:, None] + 1) * k[None, :] * np.pi / 16)  # (x, u)
+    scale = np.full(8, np.sqrt(2 / 8.0))
+    scale[0] = np.sqrt(1 / 8.0)
+    return m * scale[None, :]
+
+
+def _decode_scan_gray(scan, h, w, q, dc_t, ac_t):
+    import numpy as np
+
+    r = _BitReader(scan)
+    bx, by = (w + 7) // 8, (h + 7) // 8
+    m = _idct_matrix()
+    out = np.zeros((by * 8, bx * 8), dtype=np.uint8)
+    dc = 0
+    for blk in range(bx * by):
+        zz = np.zeros(64, dtype=np.int32)
+        cat = r.read_symbol(dc_t)
+        dc += _extend(r.read_bits(cat), cat)
+        zz[0] = dc
+        i = 1
+        while i < 64:
+            sym = r.read_symbol(ac_t)
+            if sym == 0x00:  # EOB
+                break
+            run, size = sym >> 4, sym & 0x0F
+            if sym == 0xF0:  # ZRL: sixteen zeros
+                i += 16
+                continue
+            i += run
+            if i > 63 or size == 0:
+                raise ValueError("AC coefficient overruns block")
+            zz[i] = _extend(r.read_bits(size), size)
+            i += 1
+        coeffs = np.zeros(64, dtype=np.int32)
+        coeffs[_JPEG_ZIGZAG] = zz * q  # dequant, zigzag -> natural
+        s = coeffs.reshape(8, 8).astype(np.float64)
+        px = m @ s @ m.T  # 2-D type-III DCT (the IDCT of DCT-II)
+        px = np.clip(np.round(px + 128), 0, 255).astype(np.uint8)
+        y0, x0 = (blk // bx) * 8, (blk % bx) * 8
+        out[y0 : y0 + 8, x0 : x0 + 8] = px
+    return out[:h, :w]
+
+
+def _synth_jpeg_exprs():
+    """SQL column expressions building a valid baseline grayscale JPEG
+    per doc_id. All-8-bit Huffman tables declared in DHT make every
+    symbol a literal byte; blocks carry only a DC coefficient, in
+    PAIRED differences (+d then -d, d = (doc_id*3 + (k div 2)*5) % 8
+    + 8) so even blocks decode to flat 128 + 2d and odd blocks to flat
+    128 with the all-16 quant table (dc * 16 / 8 = 2 * dc). Each block
+    is exactly 20 bits; the MSB-first packing is closed-form, and no
+    byte of the stream can be 0xFF (the only 1-runs are the <=4 extra
+    bits, bounded by zeros), so no stuffing arises on this path."""
+    # per-block DC diff magnitude and extra-bits value. Category-4
+    # magnitude coding: positive diff d (8..15) -> the 4 low bits of d
+    # itself (top bit set, decodes as +d); negative -d -> 15 - d
+    # (decodes as v - 2^4 + 1 = -d)
+    d = "((doc_id * 3 + (k div 2) * 5) % 256 % 8 + 8)"
+    e = f"(CASE WHEN pmod(k, 2) = 0 THEN {d} ELSE 15 - {d} END)"
+    # bit t of the entropy stream: block k = t div 20, r = t mod 20
+    bit = (
+        "(CASE WHEN pmod(t, 20) < 8 THEN (4 >> (7 - pmod(t, 20))) & 1"
+        f" WHEN pmod(t, 20) < 12 THEN ({e.replace('k', '(t div 20)')}"
+        " >> (11 - pmod(t, 20))) & 1"
+        " ELSE 0 END)"
+    )
+    # MSB-first packing with 1-padding past the stream end
+    # CAST to INT: the doc_id arithmetic inside the bit expression
+    # promotes everything to BIGINT, but aggregate()'s accumulator is
+    # typed by its INT zero-start (the l8k lesson, same fix)
+    byte = (
+        "aggregate(sequence(0, 7), 0, (acc, bb) ->"
+        " acc * 2 + CAST(CASE WHEN 8 * j + bb < 20 * __nb"
+        f" THEN {bit.replace('t', '(8 * j + bb)')} ELSE 1 END AS INT))"
+    )
+    packed = (
+        "transform(sequence(0, CAST(ceil(20 * __nb / 8.0) AS INT) - 1),"
+        f" j -> {byte})"
+    )
+    to_bin = "unhex(concat_ws('', transform({arr}, v -> lpad(hex(v), 2, '0'))))"
+    be16 = "unhex(lpad(hex({v}), 4, '0'))"
+    # DQT: all-16 table; DHT DC: 12 symbols at length 8; DHT AC: EOB only
+    dqt = "concat(X'FFDB', X'0043', X'00', " + to_bin.format(
+        arr="transform(sequence(0, 63), i -> 16)"
+    ) + ")"
+    # 16 count bytes exactly (7 zero lengths, the count at length 8,
+    # 8 zero lengths) — an off-by-one-byte table shifts every following
+    # field, so the literals are built and length-asserted here
+    dc_counts = "00" * 7 + "0C" + "00" * 8  # 12 codes at length 8
+    ac_counts = "00" * 7 + "01" + "00" * 8  # 1 code at length 8
+    assert len(dc_counts) == 32 and len(ac_counts) == 32
+    dht = (
+        "concat(X'FFC4', X'001F', X'00',"
+        f" X'{dc_counts}',"
+        " X'000102030405060708090A0B',"  # DC category symbols 0..11
+        " X'FFC4', X'0014', X'10',"
+        f" X'{ac_counts}',"
+        " X'00')"  # the EOB symbol
+    )
+    sof = (
+        "concat(X'FFC0', X'000B', X'08',"
+        f" {be16.format(v='__h')}, {be16.format(v='__w')},"
+        " X'01', X'01', X'11', X'00')"
+    )
+    sos = "concat(X'FFDA', X'0008', X'01', X'01', X'00', X'003F00')"
+    jpeg = (
+        f"concat(X'FFD8', {dqt}, {dht}, {sof}, {sos},"
+        f" {to_bin.format(arr='__pk')}, X'FFD9')"
+    )
+    return {
+        "w": "CAST(8 * (doc_id % 3 + 1) AS INT)",
+        "h": "CAST(8 * (doc_id % 2 + 1) AS INT)",
+        "nblocks": "CAST((__w div 8) * (__h div 8) AS INT)",
+        "packed": packed,
+        "jpeg": jpeg,
+    }
+
+
+@register(
+    "l8l_jpeg_decode",
+    oracle="""
+WITH dims AS (
+  SELECT doc_id,
+         8 * (doc_id % 3 + 1) AS w, 8 * (doc_id % 2 + 1) AS h
+  FROM documents
+), blocks AS (
+  SELECT d.doc_id, d.w, d.h, b.k,
+         CASE WHEN b.k % 2 = 0
+              THEN 128 + 2 * ((d.doc_id * 3 + (b.k // 2) * 5) % 256 % 8 + 8)
+              ELSE 128 END AS val,
+         (b.k // (d.w // 8)) * 8 AS y0,
+         (b.k % (d.w // 8)) * 8 AS x0
+  FROM dims d, (SELECT unnest(range(6)) AS k) b
+  WHERE b.k < (d.w // 8) * (d.h // 8)
+), px AS (
+  SELECT doc_id, w, h,
+         sum(64 * val) AS ps,
+         -- position-weighted: sum over the flat block of
+         -- ((y0+dy)*w + (x0+dx) + 1) * val, closed form:
+         -- 64*(y0*w + x0 + 1) + w*sum(dy)*8 + sum(dx)*8, sum(0..7)=28
+         sum(val * (64 * (y0 * w + x0 + 1) + 224 * w + 224)) AS pw
+  FROM blocks
+  GROUP BY doc_id, w, h
+)
+SELECT doc_id,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       CAST(ps AS BIGINT) AS pixel_sum,
+       CAST(pw AS BIGINT) AS pos_sum
+FROM px
+ORDER BY doc_id
+""",
+)
+def l8l_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline JPEG decode under an exact oracle: SQL-synthesized
+    valid grayscale JPEGs (self-declared all-8-bit Huffman tables,
+    DC-only blocks, closed-form MSB-first packing) -> full baseline
+    decode in mapInPandas (canonical Huffman, unstuffing, zigzag,
+    dequant, real 8x8 IDCT) -> exact pixel and position-weighted sums,
+    re-derived by DuckDB from the DC formula alone."""
+    import pandas as pd
+
+    e = _synth_jpeg_exprs()
+    docs = (
+        table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.expr(e["w"]).alias("__w"),
+            F.expr(e["h"]).alias("__h"),
+        )
+        .withColumn("__nb", F.expr(e["nblocks"]))
+        .withColumn("__pk", F.expr(e["packed"]))
+        .select("doc_id", F.expr(e["jpeg"]).alias("blob"))
+    )
+    out_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("width", IntegerType()),
+            StructField("height", IntegerType()),
+            StructField("pixel_sum", LongType()),
+            StructField("pos_sum", LongType()),
+        ]
+    )
+
+    def decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ws, hs, sums, pws = [], [], [], []
+            for blob in pdf["blob"]:
+                px = decode_jpeg_gray(blob)
+                h, w = px.shape
+                flat = px.reshape(-1).astype(np.int64)
+                ws.append(w)
+                hs.append(h)
+                sums.append(int(flat.sum()))
+                pws.append(int((flat * (np.arange(flat.size) + 1)).sum()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "width": pd.Series(ws, dtype="int32"),
+                    "height": pd.Series(hs, dtype="int32"),
+                    "pixel_sum": pd.Series(sums, dtype="int64"),
+                    "pos_sum": pd.Series(pws, dtype="int64"),
+                }
+            )
+
+    return docs.mapInPandas(decode_batch, out_schema).orderBy("doc_id")

@@ -72,15 +72,18 @@ def _run_to_table(stream_df: DataFrame, name: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    _await(q, 300)
     # Materialize, then release the per-run residue: without this every
     # invocation leaks one memory-sink temp view into the session
     # catalog and one checkpoint dir into /tmp (a bench best-of-3 loop
-    # grows both without bound).
-    out = spark.table(qname).localCheckpoint(eager=True)
-    spark.catalog.dropTempView(qname)
-    shutil.rmtree(ckpt, ignore_errors=True)
-    return out
+    # grows both without bound). The release lives in a finally (r8
+    # adversarial pass): a TimeoutError from _await used to leak BOTH —
+    # the orphaned lws_ckpt/* dirs observed in /tmp were exactly this.
+    try:
+        _await(q, 300)
+        return spark.table(qname).localCheckpoint(eager=True)
+    finally:
+        spark.catalog.dropTempView(qname)
+        shutil.rmtree(ckpt, ignore_errors=True)
 
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -199,12 +202,15 @@ def t7_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    _await(q, 300)
     # keep the last update per user (final state); materialize and
-    # release the per-run temp view + checkpoint (see _run_to_table)
-    out = spark.table(qname).localCheckpoint(eager=True)
-    spark.catalog.dropTempView(qname)
-    shutil.rmtree(ckpt, ignore_errors=True)
+    # release the per-run temp view + checkpoint in a finally (see
+    # _run_to_table — a timeout must not leak them)
+    try:
+        _await(q, 300)
+        out = spark.table(qname).localCheckpoint(eager=True)
+    finally:
+        spark.catalog.dropTempView(qname)
+        shutil.rmtree(ckpt, ignore_errors=True)
     return (
         out.groupBy("user_id")
         .agg(F.max("n_events").alias("n_events"), F.max("max_value").alias("max_value"))
@@ -233,14 +239,18 @@ def t8_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    _await(q, 300)
-    written = spark.read.parquet(os.path.join(out_dir, "data"))
-    out = (
-        written.groupBy("event_type")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .localCheckpoint(eager=True)  # pin before the run dir vanishes
-    )
-    shutil.rmtree(out_dir, ignore_errors=True)
+    # finally-cleanup (r8): dozens of orphaned lws_t8_* run dirs in
+    # /tmp were timeouts/failures skipping the rmtree below
+    try:
+        _await(q, 300)
+        written = spark.read.parquet(os.path.join(out_dir, "data"))
+        out = (
+            written.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .localCheckpoint(eager=True)  # pin before the run dir vanishes
+        )
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
     return out.orderBy("event_type")
 
 
@@ -535,11 +545,13 @@ def t13_stream_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    _await(q, 300)
-    out = spark.read.parquet(os.path.join(out_dir, "data")).localCheckpoint(
-        eager=True
-    )  # pin before the run dir vanishes
-    shutil.rmtree(out_dir, ignore_errors=True)
+    try:
+        _await(q, 300)
+        out = spark.read.parquet(os.path.join(out_dir, "data")).localCheckpoint(
+            eager=True
+        )  # pin before the run dir vanishes
+    finally:  # r8: a timeout must not orphan the run dir
+        shutil.rmtree(out_dir, ignore_errors=True)
     return out.orderBy("win_start_ms", "rk")
 
 
@@ -693,10 +705,12 @@ def cdc_apply_stream(
 @register("t16_stream_cdc_apply")
 def t16_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     out_dir = os.path.join(tempfile.gettempdir(), f"lws_t16_{uuid.uuid4().hex[:8]}")
-    out = cdc_apply_stream(spark, sf_dir, out_dir).localCheckpoint(
-        eager=True
-    )  # pin before the run dir vanishes
-    shutil.rmtree(out_dir, ignore_errors=True)
+    try:
+        out = cdc_apply_stream(spark, sf_dir, out_dir).localCheckpoint(
+            eager=True
+        )  # pin before the run dir vanishes
+    finally:  # r8: a timeout must not orphan the run dir
+        shutil.rmtree(out_dir, ignore_errors=True)
     return out
 
 
@@ -926,15 +940,19 @@ def t18_stream_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFram
         .trigger(availableNow=True)
         .start()
     )
-    _await(q, 600)
-    docs = table(spark, sf_dir, "documents")
-    result = (
-        jaccard(spark.read.parquet(pairs_dir).distinct(), docs, measure="shingles")
-        .filter(F.col("jaccard") >= 0.7)
-        .orderBy("doc_a", "doc_b")
-        .localCheckpoint(eager=True)  # pin before the run dir vanishes
-    )
-    shutil.rmtree(run, ignore_errors=True)
+    try:
+        _await(q, 600)
+        docs = table(spark, sf_dir, "documents")
+        result = (
+            jaccard(
+                spark.read.parquet(pairs_dir).distinct(), docs, measure="shingles"
+            )
+            .filter(F.col("jaccard") >= 0.7)
+            .orderBy("doc_a", "doc_b")
+            .localCheckpoint(eager=True)  # pin before the run dir vanishes
+        )
+    finally:  # r8: a timeout must not orphan the run dir
+        shutil.rmtree(run, ignore_errors=True)
     return result
 
 
