@@ -1048,7 +1048,11 @@ def l28_boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     # FLOOR NOTE (r8, verdict #2) — why ~2x vs DuckDB at 1000x is the
     # structural floor of this design, pinned by paired measurements on
     # the same staged fingerprint (5M docs, 33,749-hash boiler set, so
-    # tier 2b is the path the 1000x run takes):
+    # tier 2b is the path the 1000x run takes). r8 band: Spark-side
+    # flat at 19.9-25.2 s across two fresh runs (reps within 5% in the
+    # idle run) vs DuckDB best 7.4-9.2 s -> ratio 2.0-2.7 depending
+    # almost entirely on WHICH DuckDB rep you land (its own reps swung
+    # 7.4->13.9 s within one batch). Decomposition:
     #   probe pass (tokenize + chunk-hash + exact df-count + collect):
     #     8.6-13.1 s;  scrub pass (re-tokenize + searchsorted + md5
     #     rebuild + checksum): ~8.2 s — i.e. EACH Spark pass is at
