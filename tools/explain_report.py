@@ -186,6 +186,27 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         ("no join, no corpus shuffle", "!Join"),
         ("no hash exchange (only the output sort ranges)", "!hashpartitioning"),
     ],
+    # r8 compressed-image codecs: same shape — SQL blob synthesis
+    # (incl. SQL Adler-32/CRC/bit-packing) must stay columnar JVM
+    # work feeding ONE Arrow decode stage, with zero joins/exchanges.
+    "l8j_png_decode": [
+        ("inflate+filter-inverse runs as Arrow batches", "MapInPandas"),
+        ("no join, no corpus shuffle", "!Join"),
+        ("no hash exchange (only the output sort ranges)", "!hashpartitioning"),
+        ("column pruning to doc_id", "ReadSchema: struct<doc_id:bigint>"),
+    ],
+    "l8k_gif_decode": [
+        ("LZW decode runs as Arrow batches", "MapInPandas"),
+        ("no join, no corpus shuffle", "!Join"),
+        ("no hash exchange (only the output sort ranges)", "!hashpartitioning"),
+        ("column pruning to doc_id", "ReadSchema: struct<doc_id:bigint>"),
+    ],
+    "l8l_jpeg_decode": [
+        ("Huffman+IDCT decode runs as Arrow batches", "MapInPandas"),
+        ("no join, no corpus shuffle", "!Join"),
+        ("no hash exchange (only the output sort ranges)", "!hashpartitioning"),
+        ("column pruning to doc_id", "ReadSchema: struct<doc_id:bigint>"),
+    ],
     "s12_partitioned_scan": [
         ("partition pruning at the scan", "PartitionFilters: [isnotnull(event_date"),
         ("partial aggregation", "HashAggregate"),
