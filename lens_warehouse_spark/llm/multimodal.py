@@ -1982,3 +1982,118 @@ def l8l_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return docs.mapInPandas(decode_batch, out_schema).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# S21: gzip-compressed text ingestion — the source format a real 100 TB
+# text corpus actually arrives in (WARC/jsonl.gz shards). The corpus
+# column is synthesized as REAL gzip members IN SQL, reusing the l8j
+# deflate machinery: 10-byte header, stored-deflate blocks (multi-block
+# for texts past the 65535-byte stored-block cap), and the trailer's
+# CRC-32 (JVM crc32() — stdlib gzip VERIFIES it on decode, pinning
+# Spark's CRC against Python's zlib a second way) + ISIZE. The decode
+# stage is one Arrow mapInPandas over stdlib gzip.decompress; the
+# DuckDB oracle computes the byte/token stats from the PLAIN text, so
+# a corrupted container, a wrong CRC, or a lossy round-trip cannot
+# match. Scale shape: decode-on-read is map-only; at 100 TB the blobs
+# arrive via the l8e pointer pattern and each shard decompresses
+# inside its own task.
+# ---------------------------------------------------------------------------
+_GZ_BLOCK = 65535
+
+
+def _synth_gzip_exprs():
+    """SQL column expressions building a real gzip member per doc from
+    its text column. Stored-deflate blocks carry the UTF-8 text bytes
+    verbatim; hdr/trailer per RFC 1952 (mtime 0, OS 255)."""
+    le16 = (
+        "unhex(concat(substr(lpad(hex({v}), 4, '0'), 3, 2),"
+        " substr(lpad(hex({v}), 4, '0'), 1, 2)))"
+    )
+    le32 = (
+        "unhex(concat(substr(lpad(hex({v}), 8, '0'), 7, 2),"
+        " substr(lpad(hex({v}), 8, '0'), 5, 2),"
+        " substr(lpad(hex({v}), 8, '0'), 3, 2),"
+        " substr(lpad(hex({v}), 8, '0'), 1, 2)))"
+    )
+    nb = "length(__tb)"
+    blk_len = f"least({_GZ_BLOCK}, {nb} - i * {_GZ_BLOCK})"
+    # greatest(.., 0): empty text gives ceil(0)-1 = -1 and Spark's
+    # sequence(0, -1) is a DESCENDING [0, -1] (the arrayfold lesson) —
+    # clamp to one iteration, which emits the legal empty final
+    # stored block (BFINAL=1, LEN=0)
+    blocks = (
+        f"transform(sequence(0, greatest("
+        f"CAST(ceil({nb} / {_GZ_BLOCK}.0) AS INT) - 1, 0)),"
+        " i -> concat("
+        f"  CASE WHEN (i + 1) * {_GZ_BLOCK} >= {nb} THEN X'01' ELSE X'00' END,"
+        f"  {le16.format(v=blk_len)},"
+        f"  {le16.format(v=f'65535 - ({blk_len})')},"
+        f"  substr(__tb, i * {_GZ_BLOCK} + 1, {_GZ_BLOCK})))"
+    )
+    # fold the block array into one binary (aggregate with binary acc)
+    body = f"aggregate({blocks}, CAST('' AS BINARY), (acc, b) -> concat(acc, b))"
+    gz = (
+        "concat(X'1F8B08000000000000FF',"
+        f" {body},"
+        f" {le32.format(v='crc32(__tb)')},"
+        f" {le32.format(v=f'pmod({nb}, 4294967296)')})"
+    )
+    return {"text_bytes": "CAST(text AS BINARY)", "gzip": gz}
+
+
+@register(
+    "s21_gzip_text_scan",
+    oracle="""
+SELECT doc_id,
+       CAST(strlen(text) AS BIGINT) AS n_bytes,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       md5(text) AS text_md5
+FROM documents
+ORDER BY doc_id
+""",
+)
+def s21_gzip_text_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gzip-compressed corpus ingestion under an exact oracle: the
+    corpus text is packed into REAL gzip members in SQL (stored-deflate
+    + JVM-crc32 trailer), decompressed worker-side with stdlib gzip
+    (which verifies CRC-32 and ISIZE), and reduced to byte/token/md5
+    stats the DuckDB oracle re-derives from the uncompressed text."""
+    import pandas as pd
+
+    e = _synth_gzip_exprs()
+    docs = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", F.expr(e["text_bytes"]).alias("__tb"))
+        .select("doc_id", F.expr(e["gzip"]).alias("blob"))
+    )
+    out_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("n_bytes", LongType()),
+            StructField("n_tokens", LongType()),
+            StructField("text_md5", StringType()),
+        ]
+    )
+
+    def decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import gzip
+        import hashlib
+
+        for pdf in batches:
+            nb, nt, md = [], [], []
+            for blob in pdf["blob"]:
+                text = gzip.decompress(bytes(blob))  # CRC+ISIZE verified
+                nb.append(len(text))
+                nt.append(len(text.decode("utf-8").split(" ")))
+                md.append(hashlib.md5(text).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "n_bytes": pd.Series(nb, dtype="int64"),
+                    "n_tokens": pd.Series(nt, dtype="int64"),
+                    "text_md5": md,
+                }
+            )
+
+    return docs.mapInPandas(decode_batch, out_schema).orderBy("doc_id")

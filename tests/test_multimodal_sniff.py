@@ -971,3 +971,35 @@ def test_jpeg_decode_property(bw, bh, qdc, seed):
     except AssertionError:
         return  # >4 distinct AC symbols: outside the test table's reach
     assert (decode_jpeg_gray(blob) == ref).all()
+
+
+def test_s21_gzip_multiblock_and_unicode(spark, tmp_path_factory):
+    """The stored-deflate path must split texts past the 65535-byte
+    block cap into multiple blocks (sf0.01 never exercises this), and
+    byte counts must be UTF-8 bytes. stdlib gzip verifies each
+    member's CRC-32 + ISIZE, so a mis-assembled container fails loudly
+    rather than producing wrong stats."""
+    import os
+
+    from lens_warehouse_spark import registry
+
+    registry.load_all()
+    d = tmp_path_factory.mktemp("gzip_sf")
+    big = ("word " * 20000).strip()  # ~100k bytes -> 2 stored blocks
+    rows = [
+        (1, big, "en", "web", len(big)),
+        (2, "café au lait", "fr", "web", 12),  # 13 utf-8 bytes
+        (3, "", "en", "web", 0),  # empty text -> empty member
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(str(d), "documents.parquet")
+    )
+    out = {
+        r.doc_id: (r.n_bytes, r.n_tokens)
+        for r in registry.QUERIES["s21_gzip_text_scan"](spark, str(d)).collect()
+    }
+    assert out[1] == (len(big.encode()), 20000)
+    assert out[2] == (13, 3)
+    assert out[3] == (0, 1)  # ''.split(' ') == [''] on both engines
