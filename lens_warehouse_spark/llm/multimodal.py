@@ -2097,3 +2097,260 @@ def s21_gzip_text_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return docs.mapInPandas(decode_batch, out_schema).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# L8m: REAL TIFF decode — completes the image-format set. Uncompressed
+# baseline TIFF is a pure byte layout (header, IFD tag walk, strip
+# table), so the decoder needs no entropy codec at all; what it DOES
+# need is a faithful IFD implementation: little- vs big-endian files,
+# SHORT/LONG value types, inline-vs-offset values (a value field holds
+# the VALUE when it fits in 4 bytes and an OFFSET otherwise — the
+# classic TIFF-reader bug), multi-strip assembly, and gray vs RGB.
+# The SQL synthesizer emits multi-strip little-endian grayscale files
+# (strip tables always out-of-line: RowsPerStrip=4 and h>=5 force >=2
+# strips, so the offset form is the only legal one); pytest's
+# independent encoder covers big-endian, RGB and inline values.
+# ---------------------------------------------------------------------------
+def decode_tiff(blob: bytes):
+    """(h, w) uint8 grayscale or (h, w, 3) uint8 RGB pixels from an
+    uncompressed 8-bit baseline TIFF (II or MM). ValueError on
+    malformed structure; NotImplementedError for compressed, tiled,
+    paletted or non-8-bit files."""
+    import struct
+
+    import numpy as np
+
+    b = bytes(blob)
+    if len(b) < 8 or b[:2] not in (b"II", b"MM"):
+        raise ValueError("not a TIFF header")
+    e = "<" if b[:2] == b"II" else ">"
+    magic, ifd_off = struct.unpack_from(e + "HI", b, 2)
+    if magic != 42:
+        raise ValueError("bad TIFF magic")
+    if ifd_off + 2 > len(b):
+        raise ValueError("truncated IFD offset")
+    (n_entries,) = struct.unpack_from(e + "H", b, ifd_off)
+    tags: dict[int, list[int]] = {}
+    type_size = {1: 1, 3: 2, 4: 4}
+    type_fmt = {1: "B", 3: "H", 4: "I"}
+    for i in range(n_entries):
+        off = ifd_off + 2 + 12 * i
+        if off + 12 > len(b):
+            raise ValueError("truncated IFD entry")
+        tag, typ, cnt = struct.unpack_from(e + "HHI", b, off)
+        if typ not in type_size:
+            continue  # rational/ascii tags: irrelevant here, skip
+        total = type_size[typ] * cnt
+        # THE inline-vs-offset rule: value field IS the value iff it fits
+        if total <= 4:
+            vals = struct.unpack_from(e + type_fmt[typ] * cnt, b, off + 8)
+        else:
+            (voff,) = struct.unpack_from(e + "I", b, off + 8)
+            if voff + total > len(b):
+                raise ValueError(f"tag {tag} value overruns file")
+            vals = struct.unpack_from(e + type_fmt[typ] * cnt, b, voff)
+        tags[tag] = list(vals)
+
+    def one(tag, default=None):
+        if tag in tags:
+            return tags[tag][0]
+        if default is None:
+            raise ValueError(f"required TIFF tag {tag} missing")
+        return default
+
+    w, h = one(256), one(257)
+    comp = one(259, 1)
+    if comp != 1:
+        raise NotImplementedError(f"TIFF compression {comp} out of scope")
+    photo = one(262)
+    spp = one(277, 1)
+    bits = tags.get(258, [8])
+    if set(bits) != {8}:
+        raise NotImplementedError(f"non-8-bit TIFF samples {bits}")
+    if photo == 3:
+        raise NotImplementedError("paletted TIFF out of scope")
+    if 322 in tags or 323 in tags:
+        raise NotImplementedError("tiled TIFF out of scope")
+    if spp not in (1, 3):
+        raise NotImplementedError(f"{spp} samples per pixel")
+    offsets = tags.get(273)
+    counts = tags.get(279)
+    if not offsets or not counts or len(offsets) != len(counts):
+        raise ValueError("missing/mismatched strip tables")
+    data = bytearray()
+    for o, c in zip(offsets, counts):
+        if o + c > len(b):
+            raise ValueError("strip overruns file")
+        data += b[o : o + c]
+    need = w * h * spp
+    if len(data) < need:
+        raise ValueError("strips shorter than w*h*spp")
+    px = np.frombuffer(bytes(data), np.uint8, need)
+    if photo == 0:  # WhiteIsZero: invert to the BlackIsZero convention
+        px = 255 - px
+    return px.reshape(h, w) if spp == 1 else px.reshape(h, w, 3)
+
+
+_L8M_RPS = 4  # RowsPerStrip in the synthetic corpus
+
+
+def _synth_tiff_exprs():
+    """SQL column expressions for a multi-strip little-endian grayscale
+    TIFF per doc. Layout is closed-form: header 8B, IFD at 8 with nine
+    12-byte entries (2+108+4 = 114B), strip-offset and strip-count
+    LONG arrays at 122 and 122+4S, pixel strips from 122+8S with strip
+    i at +4*w*i (every strip except the last is exactly 4 rows)."""
+    le16 = (
+        "unhex(concat(substr(lpad(hex({v}), 4, '0'), 3, 2),"
+        " substr(lpad(hex({v}), 4, '0'), 1, 2)))"
+    )
+    le32 = (
+        "unhex(concat(substr(lpad(hex({v}), 8, '0'), 7, 2),"
+        " substr(lpad(hex({v}), 8, '0'), 5, 2),"
+        " substr(lpad(hex({v}), 8, '0'), 3, 2),"
+        " substr(lpad(hex({v}), 8, '0'), 1, 2)))"
+    )
+
+    def entry_short(tag: int, val: str) -> str:
+        return (
+            f"concat({le16.format(v=str(tag))}, {le16.format(v='3')},"
+            f" {le32.format(v='1')}, {le16.format(v=val)}, X'0000')"
+        )
+
+    def entry_longs(tag: int, cnt: str, off: str) -> str:
+        return (
+            f"concat({le16.format(v=str(tag))}, {le16.format(v='4')},"
+            f" {le32.format(v=cnt)}, {le32.format(v=off)})"
+        )
+
+    s = "__s"  # strip count column
+    ifd = "concat(" + ", ".join(
+        [
+            le16.format(v="9"),
+            entry_short(256, "__w"),
+            entry_short(257, "__h"),
+            entry_short(258, "8"),
+            entry_short(259, "1"),
+            entry_short(262, "1"),
+            entry_longs(273, s, "122"),
+            entry_short(277, "1"),
+            entry_short(278, str(_L8M_RPS)),
+            entry_longs(279, s, f"122 + 4 * {s}"),
+            le32.format(v="0"),  # next-IFD pointer: none
+        ]
+    ) + ")"
+    off_arr = (
+        f"transform(sequence(0, {s} - 1),"
+        f" i -> 122 + 8 * {s} + 4 * __w * i)"
+    )
+    cnt_arr = (
+        f"transform(sequence(0, {s} - 1),"
+        f" i -> __w * least({_L8M_RPS}, __h - {_L8M_RPS} * i))"
+    )
+    to_le32_bin = (
+        "unhex(concat_ws('', transform({arr}, v ->"
+        " concat(substr(lpad(hex(v), 8, '0'), 7, 2),"
+        " substr(lpad(hex(v), 8, '0'), 5, 2),"
+        " substr(lpad(hex(v), 8, '0'), 3, 2),"
+        " substr(lpad(hex(v), 8, '0'), 1, 2)))))"
+    )
+    pixels = (
+        "unhex(concat_ws('', transform(sequence(0, __w * __h - 1),"
+        " k -> lpad(hex(pmod(doc_id * 7 + (k % __w) * 5 + (k div __w) * 3,"
+        " 256)), 2, '0'))))"
+    )
+    tiff = (
+        f"concat(X'49492A00', {le32.format(v='8')},"
+        f" {ifd},"
+        f" {to_le32_bin.format(arr=off_arr)},"
+        f" {to_le32_bin.format(arr=cnt_arr)},"
+        f" {pixels})"
+    )
+    return {
+        "w": "CAST(doc_id % 19 + 4 AS INT)",
+        "h": "CAST(doc_id % 15 + 5 AS INT)",
+        "strips": f"CAST(ceil(__h / {_L8M_RPS}.0) AS INT)",
+        "tiff": tiff,
+    }
+
+
+@register(
+    "l8m_tiff_decode",
+    oracle="""
+WITH dims AS (
+  SELECT doc_id, doc_id % 19 + 4 AS w, doc_id % 15 + 5 AS h
+  FROM documents
+), px AS (
+  SELECT d.doc_id, d.w, d.h,
+         sum((d.doc_id * 7 + x.i * 5 + y.j * 3) % 256) AS ps,
+         sum((y.j * d.w + x.i + 1)
+             * ((d.doc_id * 7 + x.i * 5 + y.j * 3) % 256)) AS pw
+  FROM dims d,
+       (SELECT unnest(range(23)) AS i) x,
+       (SELECT unnest(range(20)) AS j) y
+  WHERE x.i < d.w AND y.j < d.h
+  GROUP BY d.doc_id, d.w, d.h
+)
+SELECT doc_id,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       CAST(ps AS BIGINT) AS pixel_sum,
+       CAST(pw AS BIGINT) AS pos_sum
+FROM px
+ORDER BY doc_id
+""",
+)
+def l8m_tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL TIFF decode under an exact oracle: SQL-synthesized
+    multi-strip little-endian grayscale TIFFs (full IFD with nine tags,
+    out-of-line strip tables) -> IFD walk + strip assembly in
+    mapInPandas -> exact pixel and position-weighted sums, re-derived
+    by DuckDB from the pixel formula alone."""
+    import pandas as pd
+
+    e = _synth_tiff_exprs()
+    docs = (
+        table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.expr(e["w"]).alias("__w"),
+            F.expr(e["h"]).alias("__h"),
+        )
+        .withColumn("__s", F.expr(e["strips"]))
+        .select("doc_id", F.expr(e["tiff"]).alias("blob"))
+    )
+    out_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("width", IntegerType()),
+            StructField("height", IntegerType()),
+            StructField("pixel_sum", LongType()),
+            StructField("pos_sum", LongType()),
+        ]
+    )
+
+    def decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ws, hs, sums, pws = [], [], [], []
+            for blob in pdf["blob"]:
+                px = decode_tiff(blob)
+                h, w = px.shape[:2]
+                flat = px.reshape(-1).astype(np.int64)
+                ws.append(w)
+                hs.append(h)
+                sums.append(int(flat.sum()))
+                pws.append(int((flat * (np.arange(flat.size) + 1)).sum()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "width": pd.Series(ws, dtype="int32"),
+                    "height": pd.Series(hs, dtype="int32"),
+                    "pixel_sum": pd.Series(sums, dtype="int64"),
+                    "pos_sum": pd.Series(pws, dtype="int64"),
+                }
+            )
+
+    return docs.mapInPandas(decode_batch, out_schema).orderBy("doc_id")

@@ -1003,3 +1003,132 @@ def test_s21_gzip_multiblock_and_unicode(spark, tmp_path_factory):
     assert out[1] == (len(big.encode()), 20000)
     assert out[2] == (13, 3)
     assert out[3] == (0, 1)  # ''.split(' ') == [''] on both engines
+
+
+# --------------------------------------------------------------------------
+# l8m: real TIFF decode (r8). Independent Python encoder exercising
+# everything the SQL synthesizer deliberately avoids: big-endian MM
+# files, RGB (3 samples, out-of-line BitsPerSample), single-strip
+# INLINE strip tables (value-in-field rule), and WhiteIsZero.
+# --------------------------------------------------------------------------
+def _tiff_bytes(px, big_endian=False, white_is_zero=False, rows_per_strip=None):
+    import struct
+
+    import numpy as np
+
+    e = ">" if big_endian else "<"
+    h, w = px.shape[:2]
+    spp = 1 if px.ndim == 2 else px.shape[2]
+    rps = rows_per_strip or h
+    n_strips = (h + rps - 1) // rps
+    body = (255 - px) if white_is_zero else px
+    entries = []  # (tag, type, count, values)
+    entries.append((256, 3, 1, [w]))
+    entries.append((257, 3, 1, [h]))
+    entries.append((258, 3, spp, [8] * spp))
+    entries.append((259, 3, 1, [1]))
+    entries.append((262, 3, 1, [0 if white_is_zero else 1]))
+    entries.append((277, 3, 1, [spp]))
+    entries.append((278, 3, 1, [rps]))
+    # strip tables appended later once offsets are known
+    tsize = {3: 2, 4: 4}
+    tfmt = {3: "H", 4: "I"}
+    n = len(entries) + 2
+    ifd_off = 8
+    after_ifd = ifd_off + 2 + 12 * n + 4
+    # out-of-line pool starts after the IFD
+    pool = bytearray()
+    pool_base = after_ifd
+
+    def value_field(typ, vals):
+        total = tsize[typ] * len(vals)
+        if total <= 4:
+            raw = struct.pack(e + tfmt[typ] * len(vals), *vals)
+            return raw + b"\x00" * (4 - total)
+        off = pool_base + len(pool)
+        pool.extend(struct.pack(e + tfmt[typ] * len(vals), *vals))
+        return struct.pack(e + "I", off)
+
+    # strip geometry: data goes after the pool; two passes since the
+    # pool grows as we add the strip tables themselves
+    strip_rows = [min(rps, h - i * rps) for i in range(n_strips)]
+    strip_sizes = [r * w * spp for r in strip_rows]
+    # reserve pool space for every out-of-line value: existing entries
+    # past 4 bytes (e.g. RGB BitsPerSample, 3 SHORTs) plus the strip
+    # tables if their LONG arrays don't fit inline
+    probe = sum(
+        tsize[typ] * len(vals)
+        for _tag, typ, _cnt, vals in entries
+        if tsize[typ] * len(vals) > 4
+    )
+    if 4 * n_strips > 4:
+        probe += 8 * n_strips  # offsets + counts arrays
+    data_base = pool_base + probe
+    offsets = []
+    acc = data_base
+    for sz in strip_sizes:
+        offsets.append(acc)
+        acc += sz
+    entries.append((273, 4, n_strips, offsets))
+    entries.append((279, 4, n_strips, strip_sizes))
+    entries.sort(key=lambda t: t[0])
+    out = bytearray()
+    out += (b"MM" if big_endian else b"II") + struct.pack(e + "HI", 42, ifd_off)
+    out += struct.pack(e + "H", n)
+    fields = b"".join(
+        struct.pack(e + "HHI", tag, typ, cnt) + value_field(typ, vals)
+        for tag, typ, cnt, vals in entries
+    )
+    out += fields + struct.pack(e + "I", 0)
+    assert len(out) == after_ifd
+    out += pool
+    assert len(out) == data_base, (len(out), data_base)
+    flat = body.reshape(h, -1)
+    row = 0
+    for r in strip_rows:
+        out += flat[row : row + r].tobytes()
+        row += r
+    return bytes(out)
+
+
+def test_tiff_decode_variants():
+    import numpy as np
+
+    from lens_warehouse_spark.llm.multimodal import decode_tiff
+
+    rng = np.random.default_rng(17)
+    gray = rng.integers(0, 256, (7, 5), dtype=np.uint8)
+    rgb = rng.integers(0, 256, (6, 4, 3), dtype=np.uint8)
+    # little-endian single-strip (INLINE strip tables: count 1 fits)
+    assert (decode_tiff(_tiff_bytes(gray)) == gray).all()
+    # big-endian multi-strip
+    assert (decode_tiff(_tiff_bytes(gray, big_endian=True, rows_per_strip=3)) == gray).all()
+    # RGB (out-of-line BitsPerSample), both endiannesses
+    assert (decode_tiff(_tiff_bytes(rgb)) == rgb).all()
+    assert (decode_tiff(_tiff_bytes(rgb, big_endian=True)) == rgb).all()
+    # WhiteIsZero files must come back inverted to BlackIsZero pixels
+    assert (decode_tiff(_tiff_bytes(gray, white_is_zero=True)) == gray).all()
+
+
+def test_tiff_decode_error_paths():
+    import numpy as np
+    import pytest
+
+    from lens_warehouse_spark.llm.multimodal import decode_tiff
+
+    gray = np.zeros((4, 4), dtype=np.uint8)
+    good = bytearray(_tiff_bytes(gray))
+    with pytest.raises(ValueError, match="header"):
+        decode_tiff(b"notatiff")
+    with pytest.raises(ValueError):
+        decode_tiff(bytes(good[:30]))  # truncated IFD
+    # flip Compression (tag 259) to 5 (LZW): honest NotImplementedError
+    import struct
+
+    n = struct.unpack_from("<H", good, 8)[0]
+    for i in range(n):
+        off = 10 + 12 * i
+        if struct.unpack_from("<H", good, off)[0] == 259:
+            struct.pack_into("<H", good, off + 8, 5)
+    with pytest.raises(NotImplementedError, match="compression"):
+        decode_tiff(bytes(good))

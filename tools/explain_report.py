@@ -207,6 +207,12 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         ("no hash exchange (only the output sort ranges)", "!hashpartitioning"),
         ("column pruning to doc_id", "ReadSchema: struct<doc_id:bigint>"),
     ],
+    "l8m_tiff_decode": [
+        ("IFD walk + strip assembly runs as Arrow batches", "MapInPandas"),
+        ("no join, no corpus shuffle", "!Join"),
+        ("no hash exchange (only the output sort ranges)", "!hashpartitioning"),
+        ("column pruning to doc_id", "ReadSchema: struct<doc_id:bigint>"),
+    ],
     "s21_gzip_text_scan": [
         ("gzip decode runs as Arrow batches", "MapInPandas"),
         ("no join, no corpus shuffle", "!Join"),
