@@ -61,6 +61,14 @@ def sniff_media(blob: bytes) -> tuple[str, int | None, int | None]:
     if b[:8] == b"\x89PNG\r\n\x1a\n" and len(b) >= 24:
         w, h = struct.unpack(">II", b[16:24])
         return ("png", w, h)
+    if b[:4] in (b"II*\x00", b"MM\x00*"):  # r8: TIFF (dims live in
+        return ("tiff", None, None)  # IFD tags; decode_tiff parses them)
+    if b[:2] == b"P6":  # r8: netpbm P6 (the l8g interchange format)
+        import re as _re
+
+        m = _re.match(rb"P6\s+(\d+)\s+(\d+)\s", b[:64])
+        if m:
+            return ("ppm", int(m.group(1)), int(m.group(2)))
     if b[:6] in (b"GIF87a", b"GIF89a") and len(b) >= 10:
         w, h = struct.unpack("<HH", b[6:10])
         return ("gif", w, h)
@@ -2354,3 +2362,122 @@ def l8m_tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return docs.mapInPandas(decode_batch, out_schema).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# L8n: mixed-format media dispatch — the heterogeneous-corpus shape a
+# real 100 TB media bucket has. No single-format query exercises the
+# ROUTING: one mapInPandas stage sniffs each blob's magic and
+# dispatches to the matching real decoder (PPM pixels / PCM WAV
+# samples / TIFF strips), emitting a modality-normalized feature row.
+# The corpus interleaves all three formats by doc_id % 3 (each blob
+# synthesized by the same SQL machinery its dedicated query uses), and
+# the oracle re-derives fmt, unit count and value sum per doc from the
+# formulas — a mis-sniffed or mis-routed row cannot match.
+# ---------------------------------------------------------------------------
+@register(
+    "l8n_media_dispatch",
+    oracle=f"""
+WITH ppm AS (
+  SELECT d.doc_id, 'ppm' AS fmt,
+         CAST((d.doc_id % 37 + 4) * (d.doc_id % 29 + 4) * 3 AS BIGINT) AS n_units,
+         CAST(sum((d.doc_id * 7 + x.i * 3 + y.j * 5 + c.k) % 256) AS BIGINT) AS val_sum
+  FROM documents d,
+       (SELECT unnest(range(41)) AS i) x,
+       (SELECT unnest(range(33)) AS j) y,
+       (SELECT unnest(range(3)) AS k) c
+  WHERE d.doc_id % 3 = 0
+    AND x.i < d.doc_id % 37 + 4 AND y.j < d.doc_id % 29 + 4
+  GROUP BY d.doc_id
+), wav AS (
+  SELECT d.doc_id, 'wav' AS fmt,
+         CAST(d.doc_id % 200 + 50 AS BIGINT) AS n_units,
+         CAST(sum(CASE WHEN (d.doc_id * 13 + i.i * 9) % 65536 >= 32768
+                       THEN (d.doc_id * 13 + i.i * 9) % 65536 - 65536
+                       ELSE (d.doc_id * 13 + i.i * 9) % 65536 END) AS BIGINT) AS val_sum
+  FROM documents d, (SELECT unnest(range(250)) AS i) i
+  WHERE d.doc_id % 3 = 1 AND i.i < d.doc_id % 200 + 50
+  GROUP BY d.doc_id
+), tif AS (
+  SELECT d.doc_id, 'tiff' AS fmt,
+         CAST((d.doc_id % 19 + 4) * (d.doc_id % 15 + 5) AS BIGINT) AS n_units,
+         CAST(sum((d.doc_id * 7 + x.i * 5 + y.j * 3) % 256) AS BIGINT) AS val_sum
+  FROM documents d,
+       (SELECT unnest(range(23)) AS i) x,
+       (SELECT unnest(range(20)) AS j) y
+  WHERE d.doc_id % 3 = 2
+    AND x.i < d.doc_id % 19 + 4 AND y.j < d.doc_id % 15 + 5
+  GROUP BY d.doc_id
+)
+SELECT * FROM ppm UNION ALL SELECT * FROM wav UNION ALL SELECT * FROM tif
+ORDER BY doc_id
+""",
+)
+def l8n_media_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sniff-and-route over a mixed-format corpus: blobs alternate
+    PPM / WAV / TIFF by doc_id %% 3 (SQL-synthesized by the same
+    machinery as l8g/l8h/l8m); one Arrow stage dispatches each row on
+    its magic bytes to the matching real decoder and emits
+    (fmt, n_units, val_sum), which the oracle re-derives per doc."""
+    import pandas as pd
+
+    te = _synth_tiff_exprs()
+    docs = (
+        table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.expr(te["w"]).alias("__w"),
+            F.expr(te["h"]).alias("__h"),
+        )
+        .withColumn("__s", F.expr(te["strips"]))
+        .select(
+            "doc_id",
+            F.expr(
+                f"CASE pmod(doc_id, 3) WHEN 0 THEN {_synth_ppm_expr()}"
+                f" WHEN 1 THEN {_synth_wav_expr()}"
+                f" ELSE {te['tiff']} END"
+            ).alias("blob"),
+        )
+    )
+    out_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("fmt", StringType()),
+            StructField("n_units", LongType()),
+            StructField("val_sum", LongType()),
+        ]
+    )
+
+    def dispatch_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            fmts, nus, sums = [], [], []
+            for blob in pdf["blob"]:
+                fmt, _, _ = sniff_media(blob)
+                if fmt == "ppm":
+                    px = decode_pixels(blob)
+                    nus.append(px.size)
+                    sums.append(int(px.astype(np.int64).sum()))
+                elif fmt == "wav":
+                    _rate, _ch, smp = decode_audio(blob)
+                    nus.append(smp.size)
+                    sums.append(int(smp.astype(np.int64).sum()))
+                elif fmt == "tiff":
+                    px = decode_tiff(blob)
+                    nus.append(px.size)
+                    sums.append(int(px.reshape(-1).astype(np.int64).sum()))
+                else:  # a real bucket has garbage rows: degrade, don't die
+                    nus.append(0)
+                    sums.append(0)
+                fmts.append(fmt)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "fmt": fmts,
+                    "n_units": pd.Series(nus, dtype="int64"),
+                    "val_sum": pd.Series(sums, dtype="int64"),
+                }
+            )
+
+    return docs.mapInPandas(dispatch_batch, out_schema).orderBy("doc_id")

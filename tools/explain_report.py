@@ -213,6 +213,11 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         ("no hash exchange (only the output sort ranges)", "!hashpartitioning"),
         ("column pruning to doc_id", "ReadSchema: struct<doc_id:bigint>"),
     ],
+    "l8n_media_dispatch": [
+        ("sniff-and-route runs as one Arrow stage", "MapInPandas"),
+        ("no join, no corpus shuffle", "!Join"),
+        ("no hash exchange (only the output sort ranges)", "!hashpartitioning"),
+    ],
     "s21_gzip_text_scan": [
         ("gzip decode runs as Arrow batches", "MapInPandas"),
         ("no join, no corpus shuffle", "!Join"),
