@@ -277,20 +277,15 @@ def main() -> None:
             ),
         },
         **gate,
-        # r7 verdict #5: the artifact must say, not leave the judge to
-        # infer, how to read a loaded start. 1m >> 5m at start = OUR
-        # warmup/JIT phase still draining (benign); 5m also high = an
-        # external process, and throughput ratios are suspect — read
-        # power + VOLUME_*x instead.
+        # r9: the note keys off the GATE, not the raw 5m average — the
+        # load sample now happens after our own warmup, so a 5m>1
+        # reading usually reflects the warmup itself, not an external
+        # process (the r8 heuristic would mislabel every gated run).
         "contention_note": (
-            "warmup-draining (1m>>5m): throughput comparable"
-            if load1_at_start > 2 * load5_at_start + 0.5
-            else (
-                "externally-loaded start: throughput suspect, read "
-                "power/VOLUME series"
-                if load5_at_start > 1.0
-                else "idle start"
-            )
+            "idle start (gated)"
+            if gate["contention_gate"] == "idle"
+            else "idle-gate timed out: throughput suspect, read "
+            "power/VOLUME series"
         ),
     }
     # Compact headline JSON as the FINAL stdout line (driver contract).

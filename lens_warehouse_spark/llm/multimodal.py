@@ -2299,6 +2299,423 @@ def l8o_jpeg_color_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# L8p: REAL FLAC decode (r9, verdict #7) — the one remaining feasible
+# audio codec: pure integer Rice + fixed/LPC prediction, no stdlib
+# entropy layer needed. The decoder implements the subset a lossless
+# 16-bit corpus needs from the public spec (RFC 9639): fLaC metadata
+# walk, STREAMINFO, frame-header parse (all blocksize/rate codes,
+# UTF-8-coded frame numbers, CRC-8 verify), subframe types CONSTANT /
+# VERBATIM / FIXED 0-4 / LPC 1-32, Rice residual partitions (4- and
+# 5-bit params, raw escape), wasted bits, the three stereo
+# decorrelation modes (left/right/mid-side), and frame CRC-16 verify —
+# so a corrupted container or a bit-slipped stream raises, never
+# mis-decodes. The SQL synthesizer emits valid mono 16-bit streams via
+# VERBATIM subframes: with blocksize 256 and a 1-byte UTF-8 frame
+# number, EVERY field is byte-aligned, so the whole file is closed-form
+# byte algebra — including the spec's CRC-8 (poly 0x07) and CRC-16
+# (poly 0x8005), folded in SQL with nested aggregate() so the decoder's
+# verification pins the SQL CRCs against Python's. pytest's independent
+# encoder covers the paths SQL never produces: FIXED/LPC prediction,
+# real Rice coding with partitions, stereo decorrelation, escapes.
+# ---------------------------------------------------------------------------
+_FLAC_BLOCKSIZE = {
+    1: 192, 2: 576, 3: 1152, 4: 2304, 5: 4608,
+    8: 256, 9: 512, 10: 1024, 11: 2048, 12: 4096,
+    13: 8192, 14: 16384, 15: 32768,
+}
+_FLAC_RATES = {
+    1: 88200, 2: 176400, 3: 192000, 4: 8000, 5: 16000, 6: 22050,
+    7: 24000, 8: 32000, 9: 44100, 10: 48000, 11: 96000,
+}
+_FLAC_BPS = {1: 8, 2: 12, 4: 16, 5: 20, 6: 24}
+
+
+def _crc8(data: bytes) -> int:
+    """FLAC frame-header CRC: poly 0x07, init 0."""
+    crc = 0
+    for b in data:
+        crc ^= b
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+    return crc
+
+
+_CRC16_TBL: list[int] = []
+
+
+def _crc16(data: bytes) -> int:
+    """FLAC frame CRC: poly 0x8005, init 0 (table-driven)."""
+    if not _CRC16_TBL:
+        for b in range(256):
+            crc = b << 8
+            for _ in range(8):
+                crc = (
+                    ((crc << 1) ^ 0x8005) & 0xFFFF
+                    if crc & 0x8000
+                    else (crc << 1) & 0xFFFF
+                )
+            _CRC16_TBL.append(crc)
+    crc = 0
+    for b in data:
+        crc = ((crc << 8) & 0xFFFF) ^ _CRC16_TBL[(crc >> 8) ^ b]
+    return crc
+
+
+class _FlacBits:
+    """MSB-first bit reader (no unstuffing — FLAC has none)."""
+
+    def __init__(self, data: bytes, pos: int = 0):
+        self.data = data
+        self.pos = pos
+        self.bit = 0
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        while n:
+            if self.pos >= len(self.data):
+                raise ValueError("FLAC bitstream exhausted")
+            avail = 8 - self.bit
+            take = n if n < avail else avail
+            v = (v << take) | (
+                (self.data[self.pos] >> (avail - take)) & ((1 << take) - 1)
+            )
+            self.bit += take
+            if self.bit == 8:
+                self.bit = 0
+                self.pos += 1
+            n -= take
+        return v
+
+    def read_signed(self, n: int) -> int:
+        v = self.read_bits(n)
+        return v - (1 << n) if v >= (1 << (n - 1)) else v
+
+    def read_unary(self) -> int:
+        q = 0
+        while self.read_bits(1) == 0:
+            q += 1
+        return q
+
+    def align(self) -> None:
+        if self.bit:
+            self.bit = 0
+            self.pos += 1
+
+
+def _flac_utf8_number(r: _FlacBits) -> int:
+    """The frame header's UTF-8-style coded number (up to 36 bits)."""
+    b0 = r.read_bits(8)
+    if b0 < 0x80:
+        return b0
+    n = 0
+    while b0 & (0x80 >> n):
+        n += 1
+    if n < 2 or n > 7:
+        raise ValueError("invalid UTF-8-coded frame number")
+    v = b0 & (0x7F >> n)
+    for _ in range(n - 1):
+        c = r.read_bits(8)
+        if c & 0xC0 != 0x80:
+            raise ValueError("invalid UTF-8 continuation in frame number")
+        v = (v << 6) | (c & 0x3F)
+    return v
+
+
+def _flac_residual(r: _FlacBits, order: int, blocksize: int) -> list[int]:
+    method = r.read_bits(2)
+    if method > 1:
+        raise ValueError("reserved residual coding method")
+    plen = 4 + method
+    porder = r.read_bits(4)
+    nparts = 1 << porder
+    if blocksize % nparts or (blocksize >> porder) <= order and porder:
+        raise ValueError("invalid Rice partition order")
+    out: list[int] = []
+    for p in range(nparts):
+        n = (blocksize >> porder) - (order if p == 0 else 0)
+        param = r.read_bits(plen)
+        if param == (1 << plen) - 1:  # escape: raw fixed-width residuals
+            raw = r.read_bits(5)
+            out.extend(r.read_signed(raw) if raw else 0 for _ in range(n))
+        else:
+            for _ in range(n):
+                q = r.read_unary()
+                u = (q << param) | (r.read_bits(param) if param else 0)
+                out.append((u >> 1) ^ -(u & 1))  # unzigzag
+    return out
+
+
+_FLAC_FIXED_COEF = {0: [], 1: [1], 2: [2, -1], 3: [3, -3, 1], 4: [4, -6, 4, -1]}
+
+
+def _flac_subframe(r: _FlacBits, blocksize: int, bps: int) -> list[int]:
+    if r.read_bits(1):
+        raise ValueError("invalid subframe padding bit")
+    t = r.read_bits(6)
+    wasted = 0
+    if r.read_bits(1):
+        wasted = 1 + r.read_unary()
+        bps -= wasted
+    if t == 0:  # CONSTANT
+        out = [r.read_signed(bps)] * blocksize
+    elif t == 1:  # VERBATIM
+        out = [r.read_signed(bps) for _ in range(blocksize)]
+    elif 8 <= t <= 12:  # FIXED order 0-4
+        order = t - 8
+        out = [r.read_signed(bps) for _ in range(order)]
+        coefs = _FLAC_FIXED_COEF[order]
+        for res in _flac_residual(r, order, blocksize):
+            i = len(out)
+            pred = sum(c * out[i - 1 - j] for j, c in enumerate(coefs))
+            out.append(res + pred)
+    elif t >= 32:  # LPC order 1-32
+        order = t - 31
+        out = [r.read_signed(bps) for _ in range(order)]
+        prec = r.read_bits(4)
+        if prec == 0x0F:
+            raise ValueError("invalid LPC precision")
+        prec += 1
+        shift = r.read_signed(5)
+        if shift < 0:
+            raise ValueError("negative LPC shift")
+        coefs = [r.read_signed(prec) for _ in range(order)]
+        for res in _flac_residual(r, order, blocksize):
+            i = len(out)
+            pred = sum(c * out[i - 1 - j] for j, c in enumerate(coefs)) >> shift
+            out.append(res + pred)
+    else:
+        raise ValueError(f"reserved subframe type {t}")
+    if wasted:
+        out = [v << wasted for v in out]
+    return out
+
+
+def decode_flac(blob: bytes):
+    """(sample_rate, n_channels, samples[(n, ch) int32]) from a FLAC
+    stream — real Rice/LPC decode, stdlib+numpy only, CRC-verified.
+    ValueError on malformed structure or CRC mismatch."""
+    import numpy as np
+
+    b = bytes(blob)
+    if b[:4] != b"fLaC":
+        raise ValueError("not a FLAC stream (missing fLaC)")
+    pos = 4
+    info = None
+    while True:
+        if pos + 4 > len(b):
+            raise ValueError("truncated metadata block header")
+        last, btype = b[pos] & 0x80, b[pos] & 0x7F
+        ln = int.from_bytes(b[pos + 1 : pos + 4], "big")
+        if btype == 0:  # STREAMINFO
+            si = b[pos + 4 : pos + 4 + ln]
+            if len(si) < 34:
+                raise ValueError("short STREAMINFO")
+            packed = int.from_bytes(si[10:18], "big")
+            info = (
+                packed >> 44,  # sample rate
+                ((packed >> 41) & 0x7) + 1,  # channels
+                ((packed >> 36) & 0x1F) + 1,  # bits per sample
+                packed & ((1 << 36) - 1),  # total samples
+            )
+        elif btype == 127:
+            raise ValueError("invalid metadata block type 127")
+        pos += 4 + ln
+        if last:
+            break
+    if info is None:
+        raise ValueError("missing STREAMINFO")
+    rate0, nch, bps0, _total = info
+    chans: list[list[int]] = [[] for _ in range(nch)]
+    while pos < len(b):
+        if b[pos] != 0xFF or (b[pos + 1] >> 2) != 0x3E:
+            raise ValueError(f"lost frame sync at {pos}")
+        if b[pos + 1] & 0x02:
+            raise ValueError("reserved frame-header bit set")
+        r = _FlacBits(b, pos + 2)
+        bs_code = r.read_bits(4)
+        sr_code = r.read_bits(4)
+        ca = r.read_bits(4)
+        ss_code = r.read_bits(3)
+        if r.read_bits(1):
+            raise ValueError("reserved frame-header bit set")
+        _num = _flac_utf8_number(r)
+        if bs_code == 0:
+            raise ValueError("reserved blocksize code 0")
+        elif bs_code == 6:
+            blocksize = r.read_bits(8) + 1
+        elif bs_code == 7:
+            blocksize = r.read_bits(16) + 1
+        else:
+            blocksize = _FLAC_BLOCKSIZE[bs_code]
+        if sr_code == 12:
+            _rate = r.read_bits(8) * 1000
+        elif sr_code == 13:
+            _rate = r.read_bits(16)
+        elif sr_code == 14:
+            _rate = r.read_bits(16) * 10
+        elif sr_code == 15:
+            raise ValueError("invalid sample rate code")
+        bps = bps0 if ss_code == 0 else _FLAC_BPS.get(ss_code)
+        if bps is None:
+            raise ValueError("reserved sample size code")
+        if _crc8(b[pos : r.pos]) != r.read_bits(8):
+            raise ValueError("frame header CRC-8 mismatch")
+        if ca < 8:
+            if ca + 1 != nch:
+                raise ValueError("frame/STREAMINFO channel mismatch")
+            subs = [_flac_subframe(r, blocksize, bps) for _ in range(nch)]
+        elif ca in (8, 9, 10):
+            if nch != 2:
+                raise ValueError("stereo decorrelation in non-stereo stream")
+            side0 = 1 if ca == 9 else 0  # right/side stores side first
+            s0 = _flac_subframe(r, blocksize, bps + (1 if ca == 9 else 0))
+            s1 = _flac_subframe(r, blocksize, bps + (0 if ca == 9 else 1))
+            if ca == 8:  # left/side: R = L - side
+                subs = [s0, [left - side for left, side in zip(s0, s1)]]
+            elif ca == 9:  # side/right: L = side + R
+                subs = [[side + rt for side, rt in zip(s0, s1)], s1]
+            else:  # mid/side
+                subs = [[], []]
+                for mid, side in zip(s0, s1):
+                    m2 = (mid << 1) | (side & 1)
+                    subs[0].append((m2 + side) >> 1)
+                    subs[1].append((m2 - side) >> 1)
+        else:
+            raise ValueError("reserved channel assignment")
+        r.align()
+        if _crc16(b[pos : r.pos]) != r.read_bits(16):
+            raise ValueError("frame CRC-16 mismatch")
+        for ci in range(nch):
+            chans[ci].extend(subs[ci])
+        pos = r.pos
+    return rate0, nch, np.array(chans, dtype=np.int64).T
+
+
+def _synth_flac_exprs():
+    """SQL column expressions building a valid mono 16-bit FLAC stream
+    per doc_id: __nf frames of blocksize 256 with VERBATIM subframes.
+    Frame layout (all byte-aligned): FF F8 89 08 [frame#] [CRC-8] 02
+    [256 x 2-byte big-endian samples] [CRC-16]. Sample t (global) has
+    the l8h WAV formula's unsigned pattern (doc_id*13 + t*9) % 65536,
+    read back signed. The CRC folds run in SQL over the same byte
+    arrays the stream is built from, so the decoder's mandatory CRC
+    verification pins SQL's arithmetic against Python's."""
+    # header bytes: sync FF F8; blocksize code 8 (=256) | rate code 9
+    # (=44100) -> 0x89; channels 0000 | bps code 100 (16-bit) | 0 -> 0x08
+    u = "pmod(doc_id * 13 + (f * 256 + tt) * 9, 65536)"
+    fb = (
+        "concat("
+        " array(255, 248, 137, 8, f,"
+        "  aggregate(array(255, 248, 137, 8, f), 0, (c8, b8) ->"
+        "   aggregate(sequence(0, 7), c8 ^ b8, (a8, i8) ->"
+        "    CASE WHEN (a8 & 128) > 0 THEN ((a8 * 2) & 255) ^ 7"
+        "         ELSE (a8 * 2) & 255 END)),"
+        "  2),"
+        # CAST to INT: doc_id arithmetic makes the sample bytes BIGINT,
+        # but the CRC folds' accumulators are typed by their INT
+        # zero-start (the l8k aggregate lesson)
+        f" flatten(transform(sequence(0, 255), tt ->"
+        f"  array(CAST({u} div 256 AS INT), CAST({u} % 256 AS INT)))))"
+    )
+    crc16 = (
+        "aggregate(fb, 0, (c16, b16) ->"
+        " aggregate(sequence(0, 7), c16 ^ (b16 * 256), (a16, i16) ->"
+        "  CASE WHEN (a16 & 32768) > 0 THEN ((a16 * 2) & 65535) ^ 32773"
+        "       ELSE (a16 * 2) & 65535 END))"
+    )
+    frames = (
+        f"flatten(transform(transform(sequence(0, __nf - 1), f -> {fb}),"
+        f" fb -> concat(fb, array({crc16} div 256, {crc16} % 256))))"
+    )
+    to_bin = "unhex(concat_ws('', transform({arr}, v -> lpad(hex(v), 2, '0'))))"
+    # STREAMINFO packed tail: rate 44100 (20b) | ch-1=0 (3b) |
+    # bps-1=15 (5b) | total samples (36b)
+    base = (44100 << 44) | (15 << 36)
+    streaminfo = (
+        "concat(X'664C6143', X'80', X'000022',"
+        " X'01000100', X'000000000000',"
+        f" unhex(lpad(hex({base} + 256 * __nf), 16, '0')),"
+        " X'00000000000000000000000000000000')"
+    )
+    flac = f"concat({streaminfo}, {to_bin.format(arr=frames)})"
+    return {
+        "nf": "CAST(doc_id % 3 + 1 AS INT)",
+        "flac": flac,
+    }
+
+
+@register(
+    "l8p_flac_decode",
+    oracle="""
+WITH dims AS (
+  SELECT doc_id, 256 * (doc_id % 3 + 1) AS n FROM documents
+), smp AS (
+  SELECT d.doc_id, d.n,
+         CASE WHEN (d.doc_id * 13 + t.t * 9) % 65536 >= 32768
+              THEN (d.doc_id * 13 + t.t * 9) % 65536 - 65536
+              ELSE (d.doc_id * 13 + t.t * 9) % 65536 END AS v
+  FROM dims d, (SELECT unnest(range(768)) AS t) t
+  WHERE t.t < d.n
+)
+SELECT doc_id,
+       CAST(44100 AS INT) AS sample_rate,
+       CAST(n AS BIGINT) AS n_samples,
+       CAST(sum(v) AS BIGINT) AS sample_sum,
+       CAST(max(abs(v)) AS INT) AS peak
+FROM smp
+GROUP BY doc_id, n
+ORDER BY doc_id
+""",
+)
+def l8p_flac_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL FLAC decode under an exact oracle: SQL-synthesized valid
+    mono 16-bit FLAC streams (VERBATIM subframes, SQL-folded CRC-8 and
+    CRC-16 that the decoder VERIFIES) -> full Rice/LPC-capable decode
+    in mapInPandas -> exact count/sum/peak, re-derived by DuckDB from
+    the sample formula alone."""
+    import pandas as pd
+
+    e = _synth_flac_exprs()
+    docs = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", F.expr(e["nf"]).alias("__nf"))
+        .select("doc_id", F.expr(e["flac"]).alias("blob"))
+    )
+    out_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("sample_rate", IntegerType()),
+            StructField("n_samples", LongType()),
+            StructField("sample_sum", LongType()),
+            StructField("peak", IntegerType()),
+        ]
+    )
+
+    def decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            srs, ns, sums, peaks = [], [], [], []
+            for blob in pdf["blob"]:
+                sr, _nch, smp = decode_flac(blob)
+                srs.append(sr)
+                ns.append(smp.shape[0])
+                sums.append(int(smp.sum()))
+                peaks.append(int(np.abs(smp).max()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "sample_rate": pd.Series(srs, dtype="int32"),
+                    "n_samples": pd.Series(ns, dtype="int64"),
+                    "sample_sum": pd.Series(sums, dtype="int64"),
+                    "peak": pd.Series(peaks, dtype="int32"),
+                }
+            )
+
+    return docs.mapInPandas(decode_batch, out_schema).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
 # S21: gzip-compressed text ingestion — the source format a real 100 TB
 # text corpus actually arrives in (WARC/jsonl.gz shards). The corpus
 # column is synthesized as REAL gzip members IN SQL, reusing the l8j

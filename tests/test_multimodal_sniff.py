@@ -1397,3 +1397,261 @@ def test_jpeg_color_oracle_space_half_free():
                     ):
                         assert abs((v % 1) - 0.5) > 1e-9, (d, c, r, yv, v)
                         assert 0 < v < 255  # clip never fires either
+
+
+# --------------------------------------------------------------------------
+# l8p: real FLAC decode (r9). Test-side REAL encoder: FIXED and LPC
+# prediction with genuine Rice-coded residual partitions, raw-escape
+# partitions, wasted bits, all three stereo decorrelation modes, and
+# spec CRC-8/CRC-16 — every path the SQL synthesizer's byte-aligned
+# VERBATIM construction never produces.
+# --------------------------------------------------------------------------
+class _FlacWriter:
+    def __init__(self):
+        self.bits = []
+
+    def wb(self, v, n):  # n bits MSB-first, unsigned
+        for i in range(n - 1, -1, -1):
+            self.bits.append((v >> i) & 1)
+
+    def ws(self, v, n):  # signed two's complement
+        self.wb(v & ((1 << n) - 1), n)
+
+    def unary(self, q):  # q zeros then a 1 (FLAC unary)
+        self.bits.extend([0] * q)
+        self.bits.append(1)
+
+    def rice(self, v, p):
+        u = (v << 1) ^ (-1 if v < 0 else 0)  # zigzag
+        self.unary(u >> p)
+        if p:
+            self.wb(u & ((1 << p) - 1), p)
+
+    def to_bytes(self):
+        while len(self.bits) % 8:
+            self.bits.append(0)  # frame zero-padding to alignment
+        return bytes(
+            sum(b << (7 - i) for i, b in enumerate(self.bits[j : j + 8]))
+            for j in range(0, len(self.bits), 8)
+        )
+
+
+def _flac_residuals(samples, order, kind):
+    coefs = {0: [], 1: [1], 2: [2, -1], 3: [3, -3, 1], 4: [4, -6, 4, -1]}[order]
+    out = []
+    for i in range(order, len(samples)):
+        pred = sum(c * samples[i - 1 - j] for j, c in enumerate(coefs))
+        out.append(int(samples[i]) - pred)
+    return out
+
+
+def _flac_write_subframe(w, samples, bps, plan):
+    """plan: ('constant',) | ('verbatim',) | ('fixed', order, porder,
+    params) | ('lpc', coefs, shift, prec, porder, params) |
+    ('fixed_escape', order, rawbits) | ('wasted', k, inner_plan)."""
+    samples = [int(s) for s in samples]
+    if plan[0] == "wasted":
+        k, inner = plan[1], plan[2]
+        assert all(s % (1 << k) == 0 for s in samples)
+        w.wb(0, 1)
+        t = {"constant": 0, "verbatim": 1}[inner]
+        w.wb(t, 6)
+        w.wb(1, 1)  # wasted flag
+        w.unary(k - 1)
+        shifted = [s >> k for s in samples]
+        if inner == "constant":
+            w.ws(shifted[0], bps - k)
+        else:
+            for s in shifted:
+                w.ws(s, bps - k)
+        return
+    w.wb(0, 1)
+    if plan[0] == "constant":
+        w.wb(0, 6)
+        w.wb(0, 1)
+        w.ws(samples[0], bps)
+        return
+    if plan[0] == "verbatim":
+        w.wb(1, 6)
+        w.wb(0, 1)
+        for s in samples:
+            w.ws(s, bps)
+        return
+    if plan[0] in ("fixed", "fixed_escape"):
+        order = plan[1]
+        w.wb(8 + order, 6)
+        w.wb(0, 1)
+        for s in samples[:order]:
+            w.ws(s, bps)
+        res = _flac_residuals(samples, order, "fixed")
+        if plan[0] == "fixed_escape":
+            rawbits = plan[2]
+            w.wb(0, 2)  # method 0: 4-bit params
+            w.wb(0, 4)  # one partition
+            w.wb(0xF, 4)  # escape
+            w.wb(rawbits, 5)
+            for v in res:
+                w.ws(v, rawbits)
+            return
+        porder, params = plan[2], plan[3]
+    else:  # lpc
+        coefs, shift, prec, porder, params = plan[1:]
+        order = len(coefs)
+        w.wb(31 + order, 6)
+        w.wb(0, 1)
+        for s in samples[:order]:
+            w.ws(s, bps)
+        w.wb(prec - 1, 4)
+        w.ws(shift, 5)
+        for c in coefs:
+            w.ws(c, prec)
+        res = []
+        for i in range(order, len(samples)):
+            pred = sum(c * samples[i - 1 - j] for j, c in enumerate(coefs)) >> shift
+            res.append(samples[i] - pred)
+    w.wb(0, 2)  # method 0: 4-bit rice params
+    w.wb(porder, 4)
+    n = len(samples)
+    ri = 0
+    for p in range(1 << porder):
+        cnt = (n >> porder) - (order if p == 0 else 0)
+        w.wb(params[p], 4)
+        for _ in range(cnt):
+            w.rice(res[ri], params[p])
+            ri += 1
+    assert ri == len(res)
+
+
+def _flac_bytes(chans, blocksize, frame_plans, bps=16, rate=44100):
+    """chans: list of equal-length int arrays (len multiple of
+    blocksize). frame_plans[f]: (channel_assignment, [subframe plans])
+    with ca in {'indep','left_side','right_side','mid_side'}."""
+    import struct
+
+    from lens_warehouse_spark.llm.multimodal import _crc8, _crc16
+
+    nch = len(chans)
+    total = len(chans[0])
+    out = b"fLaC"
+    packed = (rate << 44) | ((nch - 1) << 41) | ((bps - 1) << 36) | total
+    out += bytes([0x80]) + b"\x00\x00\x22"
+    out += struct.pack(">HH", blocksize, blocksize) + b"\x00" * 6
+    out += packed.to_bytes(8, "big") + b"\x00" * 16
+    ca_code = {"indep": nch - 1, "left_side": 8, "right_side": 9, "mid_side": 10}
+    for f in range(total // blocksize):
+        ca, plans = frame_plans[f]
+        sl = slice(f * blocksize, (f + 1) * blocksize)
+        hdr = bytes([0xFF, 0xF8])
+        # blocksize code 6 (8-bit value follows) pins that parse path
+        hdr += bytes([(6 << 4) | 9, (ca_code[ca] << 4) | (4 << 1), f])
+        hdr += bytes([blocksize - 1])
+        hdr += bytes([_crc8(hdr)])
+        w = _FlacWriter()
+        L = [int(v) for v in chans[0][sl]]
+        if nch == 2:
+            R = [int(v) for v in chans[1][sl]]
+        if ca == "indep":
+            subs = [([int(v) for v in c[sl]], bps) for c in chans]
+        elif ca == "left_side":
+            subs = [(L, bps), ([a - b for a, b in zip(L, R)], bps + 1)]
+        elif ca == "right_side":
+            subs = [([a - b for a, b in zip(L, R)], bps + 1), (R, bps)]
+        else:
+            subs = [
+                ([(a + b) >> 1 for a, b in zip(L, R)], bps),
+                ([a - b for a, b in zip(L, R)], bps + 1),
+            ]
+        for (samples, sbps), plan in zip(subs, plans):
+            _flac_write_subframe(w, samples, sbps, plan)
+        body = hdr + w.to_bytes()
+        out += body + _crc16(body).to_bytes(2, "big")
+    return out
+
+
+def _smooth_samples(n, seed, scale=400):
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return np.cumsum(rng.integers(-scale, scale, n)).clip(-30000, 30000)
+
+
+def test_flac_fixed_orders_roundtrip():
+    import numpy as np
+
+    from lens_warehouse_spark.llm.multimodal import decode_flac
+
+    n, bsz = 320, 64
+    s = _smooth_samples(n, 7)
+    plans = [
+        ("indep", [("fixed", 0, 0, [9])]),
+        ("indep", [("fixed", 1, 1, [8, 9])]),
+        ("indep", [("fixed", 2, 2, [7, 8, 9, 10])]),
+        ("indep", [("fixed", 3, 0, [11])]),
+        ("indep", [("fixed", 4, 1, [12, 12])]),
+    ]
+    rate, nch, got = decode_flac(_flac_bytes([s], bsz, plans))
+    assert (rate, nch) == (44100, 1)
+    assert got.shape == (n, 1)
+    assert (got[:, 0] == s).all()
+
+
+def test_flac_stereo_decorrelation_roundtrip():
+    import numpy as np
+
+    from lens_warehouse_spark.llm.multimodal import decode_flac
+
+    n, bsz = 192, 64
+    left = _smooth_samples(n, 21)
+    right = left + _smooth_samples(n, 22, scale=40)  # correlated
+    plans = [
+        ("left_side", [("fixed", 2, 1, [6, 7]), ("fixed", 1, 0, [5])]),
+        ("right_side", [("fixed", 1, 0, [5]), ("fixed", 2, 0, [7])]),
+        ("mid_side", [("fixed", 2, 0, [7]), ("verbatim",)]),
+    ]
+    rate, nch, got = decode_flac(_flac_bytes([left, right], bsz, plans))
+    assert nch == 2
+    assert (got[:, 0] == left).all() and (got[:, 1] == right).all()
+
+
+def test_flac_lpc_constant_escape_wasted_roundtrip():
+    import numpy as np
+
+    from lens_warehouse_spark.llm.multimodal import decode_flac
+
+    n, bsz = 256, 64
+    s = _smooth_samples(n, 31)
+    s[:bsz] = 1234  # frame 0: constant
+    s[bsz : 2 * bsz] = (s[bsz : 2 * bsz] // 4) * 4  # frame 1: 2 wasted bits
+    plans = [
+        ("indep", [("constant",)]),
+        ("indep", [("wasted", 2, "verbatim")]),
+        ("indep", [("lpc", [3, -1], 1, 6, 1, [9, 10])]),
+        ("indep", [("fixed_escape", 2, 14)]),
+    ]
+    rate, nch, got = decode_flac(_flac_bytes([s], bsz, plans))
+    assert (got[:, 0] == s).all()
+
+
+def test_flac_crc_and_error_paths():
+    import pytest
+
+    from lens_warehouse_spark.llm.multimodal import decode_flac
+
+    s = _smooth_samples(64, 41)
+    blob = _flac_bytes([s], 64, [("indep", [("fixed", 2, 0, [8])])])
+    with pytest.raises(ValueError, match="fLaC"):
+        decode_flac(b"notflac")
+    # corrupt one sample byte mid-frame: CRC-16 must catch it
+    bad = bytearray(blob)
+    bad[-10] ^= 0x40
+    with pytest.raises(ValueError, match="CRC"):
+        decode_flac(bytes(bad))
+    # corrupt a frame-header byte: CRC-8 must catch it
+    hdr_off = blob.index(b"\xff\xf8")
+    bad = bytearray(blob)
+    bad[hdr_off + 2] ^= 0x10
+    with pytest.raises(ValueError, match="CRC-8|sync|reserved|blocksize"):
+        decode_flac(bytes(bad))
+    # truncated stream
+    with pytest.raises(ValueError):
+        decode_flac(blob[:-5])
