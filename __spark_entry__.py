@@ -219,22 +219,38 @@ def _coverage_order(names: list[str]) -> list[str]:
     checked = [n for n in names if n in seen and n not in failed]
     # r8: the checked tier re-verifies REWRITTEN queries first — source
     # module committed after the query's last driver row (git-aware) —
-    # ordered oldest-driver-row first; then the rest, family
-    # round-robined with oldest-checked leading inside each family.
+    # ordered oldest-driver-row first (the most OVERDUE rewrite drains
+    # first; r9 fix: the r8 code sorted newest-change-first, which let
+    # one wide-module edit flood the sample and starve l31, stale since
+    # r6, for a third round); then the rest, family round-robined with
+    # oldest-checked leading inside each family.
     stale = _stale_checked(checked)
     last = _latest_round_by_name()
     oldest_first = lambda n: (last.get(n, 0), index[n])  # noqa: E731
+    # Verdict-flagged rewrites: {name: round it was rewritten}. A name
+    # jumps the stale queue while its last driver row predates the
+    # rewrite round; the first post-rewrite sample makes the entry
+    # inert (no manual cleanup). r8 verdict #4: l31 was rewritten in
+    # r6 but module-granularity staleness kept burying it behind wider
+    # (incidental) module edits for two rounds running.
+    verdict_resample = {"l31_substring_dedup": 6}
+    priority = [
+        n
+        for n, rnd in verdict_resample.items()
+        if n in checked and last.get(n, 0) < rnd
+    ]
     stale_first = sorted(
-        (n for n in checked if n in stale),
-        key=lambda n: (-stale[n], last.get(n, 0), index[n]),
+        (n for n in checked if n in stale and n not in priority),
+        key=lambda n: (last.get(n, 0), -stale[n], index[n]),
     )
-    rest = [n for n in checked if n not in stale]
+    rest = [n for n in checked if n not in stale and n not in priority]
     # Tier 0: names whose latest driver row ERRORED — the fix must be
     # re-verified next round, not whenever the round-robin reaches it.
     return (
         refail
         + fam_round_robin(unseen_oracle)
         + fam_round_robin(unseen_rows)
+        + priority
         + stale_first
         + fam_round_robin(rest, key=oldest_first)
     )
