@@ -1063,12 +1063,10 @@ def decode_png(blob: bytes):
     type 2, ch=3) or RGBA (color type 6, ch=4) PNG — stdlib-only real
     decode (zlib inflate + filter reconstruction).
 
+    Handles both non-interlaced and Adam7-interlaced streams (r9).
     ValueError on malformed structure or a failed CRC-32/Adler-32;
     NotImplementedError for PNG features that need more than zlib
-    (interlace, palette, grayscale, 16-bit). Sub/Average/Paeth
-    reconstruction is sequential in x by definition (each byte depends
-    on the RECONSTRUCTED left neighbor) — the per-row Python loop is
-    bounded by the row stride; Up/None rows stay vectorized."""
+    (palette, grayscale, 16-bit)."""
     import struct
     import zlib
 
@@ -1098,24 +1096,61 @@ def decode_png(blob: bytes):
     w, h, depth, ctype, comp, filt, interlace = ihdr
     if comp != 0 or filt != 0:
         raise ValueError("invalid compression/filter method fields")
-    if depth != 8 or ctype not in (2, 6) or interlace != 0:
+    if depth != 8 or ctype not in (2, 6) or interlace not in (0, 1):
         raise NotImplementedError(
             f"PNG feature beyond this decoder (depth={depth}, "
             f"color_type={ctype}, interlace={interlace}): only "
-            f"non-interlaced 8-bit RGB/RGBA"
+            f"8-bit RGB/RGBA, interlace 0/1"
         )
     ch = 3 if ctype == 2 else 4
     raw = zlib.decompress(b"".join(idat))  # Adler-32 verified by zlib
+    if interlace == 0:
+        sub, used = _png_unfilter(raw, 0, h, w, ch)
+        if used != len(raw):
+            raise ValueError("decompressed IDAT length mismatch")
+        return sub.reshape(h, w, ch)
+    # Adam7 (r9): seven independently-filtered reduced images, each
+    # placed on its (x0, y0, dx, dy) lattice. Empty passes contribute
+    # zero bytes (no filter byte either), per the spec.
+    out = np.zeros((h, w, ch), dtype=np.uint8)
+    off = 0
+    for x0, y0, dx, dy in _PNG_ADAM7:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        sub, used = _png_unfilter(raw, off, ph, pw, ch)
+        off += used
+        out[y0::dy, x0::dx] = sub.reshape(ph, pw, ch)
+    if off != len(raw):
+        raise ValueError("decompressed IDAT length mismatch")
+    return out
+
+
+_PNG_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
+def _png_unfilter(raw: bytes, off: int, h: int, w: int, ch: int):
+    """Reconstruct one (sub-)image of h scanlines from filtered bytes
+    at ``off``. Returns (uint8 (h, w*ch) array, bytes consumed).
+    Sub/Average/Paeth reconstruction is sequential in x by definition
+    (each byte depends on the RECONSTRUCTED left neighbor) — the
+    per-row Python loop is bounded by the row stride; Up/None rows
+    stay vectorized."""
+    import numpy as np
+
     stride = w * ch
-    if len(raw) != h * (1 + stride):
+    if off + h * (1 + stride) > len(raw):
         raise ValueError("decompressed IDAT length mismatch")
     out = np.empty((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)
     for y in range(h):
-        ft = raw[y * (1 + stride)]
-        line = np.frombuffer(
-            raw, np.uint8, stride, y * (1 + stride) + 1
-        ).copy()
+        base = off + y * (1 + stride)
+        ft = raw[base]
+        line = np.frombuffer(raw, np.uint8, stride, base + 1).copy()
         if ft == 0:
             pass
         elif ft == 1:  # Sub
@@ -1139,7 +1174,7 @@ def decode_png(blob: bytes):
             raise ValueError(f"unknown filter type {ft}")
         out[y] = line
         prev = line
-    return out.reshape(h, w, ch)
+    return out, h * (1 + stride)
 
 
 def _synth_png_exprs():
@@ -1396,10 +1431,10 @@ def lzw_decode(data: bytes, min_code_size: int) -> bytes:
 
 
 def decode_gif(blob: bytes):
-    """(h, w, 3) uint8 RGB pixels from a single-frame GIF87a/89a with a
-    global color table — real LZW decode, stdlib-only. ValueError on
-    malformed structure; NotImplementedError for interlaced images or
-    local color tables (rare, and out of this decoder's scope)."""
+    """(h, w, 3) uint8 RGB pixels from a single-frame GIF87a/89a —
+    real LZW decode, stdlib-only. Handles global AND local color
+    tables and interlaced row order (r9). ValueError on malformed
+    structure."""
     import struct
 
     import numpy as np
@@ -1432,13 +1467,16 @@ def decode_gif(blob: bytes):
             raise ValueError("truncated image descriptor")
         _x, _y, w, h = struct.unpack_from("<HHHH", b, pos + 1)
         iflags = b[pos + 9]
-        if iflags & 0x40:
-            raise NotImplementedError("interlaced GIF out of scope")
-        if iflags & 0x80:
-            raise NotImplementedError("local color table out of scope")
-        if gct is None:
-            raise ValueError("no color table")
         pos += 10
+        ct = gct
+        if iflags & 0x80:  # local color table overrides global (r9)
+            n = 2 << (iflags & 0x07)
+            if pos + n * 3 > len(b):
+                raise ValueError("truncated local color table")
+            ct = np.frombuffer(b, np.uint8, n * 3, pos).reshape(n, 3)
+            pos += n * 3
+        if ct is None:
+            raise ValueError("no color table")
         min_code_size = b[pos]
         pos += 1
         data = bytearray()
@@ -1450,7 +1488,21 @@ def decode_gif(blob: bytes):
         idx = np.frombuffer(lzw_decode(bytes(data), min_code_size), np.uint8)
         if idx.size < w * h:
             raise ValueError("LZW output shorter than w*h")
-        return gct[idx[: w * h]].reshape(h, w, 3)
+        idx = idx[: w * h]
+        if int(idx.max(initial=0)) >= len(ct):
+            raise ValueError("pixel index beyond color table")
+        px = ct[idx].reshape(h, w, 3)
+        if iflags & 0x40:  # interlaced (r9): 4-pass row reorder
+            order = (
+                list(range(0, h, 8))
+                + list(range(4, h, 8))
+                + list(range(2, h, 4))
+                + list(range(1, h, 2))
+            )
+            out = np.empty_like(px)
+            out[np.array(order, dtype=np.int64)] = px
+            return out
+        return px
     raise ValueError("no image descriptor before trailer")
 
 
@@ -1757,12 +1809,21 @@ def decode_jpeg(blob: bytes):
             i = 0
             while i < len(seg):
                 pq, tq = seg[i] >> 4, seg[i] & 0x0F
-                if pq != 0:
-                    raise NotImplementedError("16-bit quant table")
-                qtables[tq] = np.frombuffer(seg, np.uint8, 64, i + 1).astype(
-                    np.int32
-                )
-                i += 65
+                if pq == 0:
+                    qtables[tq] = np.frombuffer(
+                        seg, np.uint8, 64, i + 1
+                    ).astype(np.int32)
+                    i += 65
+                elif pq == 1:  # 16-bit precision table (r9)
+                    qtables[tq] = (
+                        np.frombuffer(seg, np.uint8, 128, i + 1)
+                        .astype(np.int32)
+                        .reshape(64, 2)
+                        @ np.array([256, 1], dtype=np.int32)
+                    )
+                    i += 129
+                else:
+                    raise ValueError(f"invalid DQT precision {pq}")
         elif marker == 0xC4:  # DHT
             i = 0
             while i < len(seg):

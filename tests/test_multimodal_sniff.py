@@ -377,15 +377,39 @@ def test_decode_y4m_error_paths():
 # zlib.compress output (dynamic-Huffman deflate, which the stored-block
 # SQL path never produces) and applies filters with its own numpy code.
 # --------------------------------------------------------------------------
-def _encode_png(px, filters=None, level=6):
+def _encode_png(px, filters=None, level=6, interlace=False):
     """Minimal test-side PNG encoder: (h, w, ch) uint8 -> PNG bytes
-    with a chosen per-row filter list (default all-zero)."""
+    with a chosen per-row filter list (default all-zero). With
+    ``interlace`` the image is split into the seven Adam7 passes, each
+    filtered independently (filters then apply per pass-row)."""
     import struct
     import zlib
 
     import numpy as np
 
     h, w, ch = px.shape
+    if interlace:
+        passes = [
+            px[y0::dy, x0::dx]
+            for x0, y0, dx, dy in
+            [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+             (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+        ]
+        body = bytearray()
+        fi = 0
+        for sub in passes:
+            if sub.size == 0:
+                continue
+            sh = sub.shape[0]
+            fl = (filters or [0] * 1000)[fi : fi + sh]
+            fl = list(fl) + [0] * (sh - len(fl))
+            fi += sh
+            inner = _encode_png(np.ascontiguousarray(sub), fl, level=0)
+            # strip container: keep only the filtered scanline bytes
+            raw = zlib.decompress(_png_idat(inner))
+            body += raw
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2 if ch == 3 else 6, 0, 0, 1)
+        return _png_container(ihdr, zlib.compress(bytes(body), level))
     filters = filters if filters is not None else [0] * h
     stride = w * ch
     flat = px.reshape(h, stride).astype(np.int64)
@@ -417,6 +441,13 @@ def _encode_png(px, filters=None, level=6):
         out.append(ft)
         out += ((cur - pred) % 256).astype(np.uint8).tobytes()
     ctype = 2 if ch == 3 else 6
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return _png_container(ihdr, zlib.compress(bytes(out), level))
+
+
+def _png_container(ihdr_payload, idat_payload):
+    import struct
+    import zlib
 
     def chunk(t, d):
         return (
@@ -426,13 +457,25 @@ def _encode_png(px, filters=None, level=6):
             + struct.pack(">I", zlib.crc32(t + d))
         )
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
     return (
         b"\x89PNG\r\n\x1a\n"
-        + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", zlib.compress(bytes(out), level))
+        + chunk(b"IHDR", ihdr_payload)
+        + chunk(b"IDAT", idat_payload)
         + chunk(b"IEND", b"")
     )
+
+
+def _png_idat(blob):
+    """Extract the (single) IDAT payload from a test-built PNG."""
+    import struct
+
+    pos = 8
+    while pos + 12 <= len(blob):
+        ln, typ = struct.unpack_from(">I4s", blob, pos)
+        if typ == b"IDAT":
+            return blob[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln
+    raise AssertionError("no IDAT in test PNG")
 
 
 def test_png_roundtrip_all_filters_rgb_and_rgba():
@@ -622,8 +665,19 @@ def test_lzw_kwkwk_pattern():
     assert lzw_decode(_lzw_encode(data, 8), 8) == data
 
 
-def _gif_bytes(idx, palette, min_code_size=8, extension=False):
-    """Independent Python GIF construction with REAL LZW compression."""
+def _gif_bytes(
+    idx,
+    palette,
+    min_code_size=8,
+    extension=False,
+    interlace=False,
+    local_palette=None,
+):
+    """Independent Python GIF construction with REAL LZW compression.
+    ``interlace`` stores rows in 4-pass order and sets the flag;
+    ``local_palette`` (256x3) rides in the image descriptor while the
+    GLOBAL table keeps the decoy ``palette`` — a decoder using the
+    wrong table cannot match."""
     import struct
 
     h, w = idx.shape
@@ -633,7 +687,18 @@ def _gif_bytes(idx, palette, min_code_size=8, extension=False):
     out += palette.astype("uint8").tobytes()
     if extension:  # graphic control extension the walker must skip
         out += b"\x21\xf9\x04\x00\x00\x00\x00\x00"
-    out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+    iflags = (0x40 if interlace else 0) | (0x87 if local_palette is not None else 0)
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + bytes([iflags])
+    if local_palette is not None:
+        out += local_palette.astype("uint8").tobytes()
+    if interlace:
+        order = (
+            list(range(0, h, 8))
+            + list(range(4, h, 8))
+            + list(range(2, h, 4))
+            + list(range(1, h, 2))
+        )
+        idx = idx[order]
     out += bytes([min_code_size])
     data = _lzw_encode(idx.tobytes(), min_code_size)
     for i in range(0, len(data), 255):
@@ -672,13 +737,29 @@ def test_gif_decode_error_paths():
         decode_gif(b"PNG nope")
     with pytest.raises(ValueError):
         decode_gif(good[:11])  # truncated LSD
-    interlaced = bytearray(good)
-    # image descriptor flags byte: 6 (sig) + 7 (LSD) + 768 (GCT) + 9
-    flags_at = 6 + 7 + 768 + 9
-    assert interlaced[flags_at - 9] == 0x2C
-    interlaced[flags_at] |= 0x40
-    with pytest.raises(NotImplementedError, match="interlaced"):
-        decode_gif(bytes(interlaced))
+
+
+def test_gif_interlace_and_local_palette_roundtrip():
+    """r9: interlaced row order and local-color-table GIFs decode for
+    real. The local table rides with a DECOY global table, so reading
+    the wrong one cannot match; the interlaced image uses a gradient
+    so any row mis-placement flips pixels."""
+    import numpy as np
+
+    from lens_warehouse_spark.llm.multimodal import decode_gif
+
+    rng = np.random.default_rng(17)
+    idx = (np.indices((11, 7)).sum(axis=0) * 13 % 256).astype(np.uint8)
+    pal = rng.integers(0, 256, (256, 3), dtype=np.uint8)
+    got = decode_gif(_gif_bytes(idx, pal, interlace=True))
+    assert (got == pal[idx]).all()
+    decoy = np.zeros((256, 3), dtype=np.uint8)
+    got = decode_gif(_gif_bytes(idx, decoy, local_palette=pal))
+    assert (got == pal[idx]).all()
+    got = decode_gif(
+        _gif_bytes(idx, decoy, local_palette=pal, interlace=True)
+    )
+    assert (got == pal[idx]).all()
 
 
 # --------------------------------------------------------------------------
@@ -804,9 +885,15 @@ def _jpeg_bytes(px, q):
     def seg(marker, payload):
         return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
 
-    zz_q = bytes(int(qnat[ni]) for ni in _JPEG_ZIGZAG)
     out = b"\xff\xd8"
-    out += seg(0xDB, b"\x00" + zz_q)
+    if int(qnat.max()) > 255:  # r9: 16-bit table (DQT precision 1)
+        zz_q = b"".join(
+            struct.pack(">H", int(qnat[ni])) for ni in _JPEG_ZIGZAG
+        )
+        out += seg(0xDB, b"\x10" + zz_q)
+    else:
+        zz_q = bytes(int(qnat[ni]) for ni in _JPEG_ZIGZAG)
+        out += seg(0xDB, b"\x00" + zz_q)
     out += seg(0xC4, b"\x00" + bytes(_DC_COUNTS) + bytes(_DC_SYMBOLS))
     out += seg(0xC4, b"\x10" + bytes(ac_counts) + bytes(ranked))
     out += seg(0xC0, struct.pack(">BHHB", 8, h, w, 1) + b"\x01\x11\x00")
@@ -1655,3 +1742,44 @@ def test_flac_crc_and_error_paths():
     # truncated stream
     with pytest.raises(ValueError):
         decode_flac(blob[:-5])
+
+
+def test_png_adam7_interlace_roundtrip():
+    """r9: Adam7-interlaced PNGs decode for real — seven independently
+    filtered reduced images reassembled on their lattices. Gradient +
+    noise content so any lattice mis-placement flips pixels; filters
+    cycle so pass boundaries reset the Up/Paeth neighbor state."""
+    import numpy as np
+
+    from lens_warehouse_spark.llm.multimodal import decode_png
+
+    rng = np.random.default_rng(23)
+    for h, w, ch in [(13, 11, 3), (8, 8, 4), (1, 7, 3), (9, 1, 4), (3, 3, 3)]:
+        px = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
+        filters = [rng.integers(0, 5) for _ in range(h * 4)]
+        blob = _encode_png(px, filters, interlace=True)
+        got = decode_png(blob)
+        assert got.shape == px.shape
+        assert (got == px).all(), (h, w, ch)
+
+
+def test_jpeg_16bit_quant_table():
+    """r9: DQT precision 1 (16-bit entries) decodes; a DC quant of 300
+    proves the wide value is actually used (an 8-bit truncation would
+    read 44 and shift every pixel)."""
+    import struct
+
+    import numpy as np
+
+    from lens_warehouse_spark.llm.multimodal import (
+        _JPEG_ZIGZAG,
+        decode_jpeg_gray,
+    )
+
+    q = np.full(64, 64, np.int32)
+    q[0] = 300  # needs 16 bits; _jpeg_bytes emits DQT precision 1
+    y, x = np.indices((8, 16))
+    px = ((y * 9 + x * 4) % 180 + 40).astype(np.uint8)
+    blob, ref = _jpeg_bytes(px, q)
+    assert b"\xff\xdb" + struct.pack(">H", 131) + b"\x10" in blob
+    assert (decode_jpeg_gray(blob) == ref).all()
