@@ -1763,6 +1763,42 @@ def _extend(v: int, cat: int) -> int:
     return v if v >= (1 << (cat - 1)) else v - (1 << cat) + 1
 
 
+def _parse_dqt(seg: bytes, qtables: dict) -> None:
+    """DQT segment: 8-bit (pq=0) or 16-bit (pq=1, r9) tables, stored in
+    zigzag order as read."""
+    import numpy as np
+
+    i = 0
+    while i < len(seg):
+        pq, tq = seg[i] >> 4, seg[i] & 0x0F
+        if pq == 0:
+            qtables[tq] = np.frombuffer(seg, np.uint8, 64, i + 1).astype(
+                np.int32
+            )
+            i += 65
+        elif pq == 1:
+            qtables[tq] = (
+                np.frombuffer(seg, np.uint8, 128, i + 1)
+                .astype(np.int32)
+                .reshape(64, 2)
+                @ np.array([256, 1], dtype=np.int32)
+            )
+            i += 129
+        else:
+            raise ValueError(f"invalid DQT precision {pq}")
+
+
+def _parse_dht(seg: bytes, dc_tables: dict, ac_tables: dict) -> None:
+    i = 0
+    while i < len(seg):
+        tc, th = seg[i] >> 4, seg[i] & 0x0F
+        counts = list(seg[i + 1 : i + 17])
+        n = sum(counts)
+        syms = seg[i + 17 : i + 17 + n]
+        (dc_tables if tc == 0 else ac_tables)[th] = _huffman_table(counts, syms)
+        i += 17 + n
+
+
 def decode_jpeg_gray(blob: bytes):
     """(h, w) uint8 pixels from a baseline sequential GRAYSCALE JPEG —
     kept as the l8l surface. Raises ValueError if handed a color JPEG
@@ -1781,10 +1817,13 @@ def decode_jpeg(blob: bytes):
     integer sampling factors (4:4:4, 4:2:2 and the ubiquitous 4:2:0),
     per-component DC predictors, chroma upsample by pixel replication,
     JFIF YCbCr->RGB (see _ycbcr_to_rgb for the rounding contract).
-    ValueError on malformed structure; NotImplementedError for
-    progressive/extended coding, restart intervals, 16-bit quant
-    tables, fractional sampling ratios, or component counts other than
-    1 and 3 (CMYK) — honest scope, not a fake."""
+    Progressive (SOF2) streams decode for real too (r9): coefficients
+    accumulate across spectral-selection / successive-approximation
+    scans and IDCT once at EOI (_decode_jpeg_progressive). ValueError
+    on malformed structure; NotImplementedError for extended/lossless
+    coding, restart intervals, fractional sampling ratios, or
+    component counts other than 1 and 3 (CMYK) — honest scope, not a
+    fake."""
     import struct
 
     import numpy as np
@@ -1797,6 +1836,7 @@ def decode_jpeg(blob: bytes):
     dc_tables: dict[int, dict] = {}
     ac_tables: dict[int, dict] = {}
     frame = None
+    progressive = False
     while pos + 4 <= len(b):
         if b[pos] != 0xFF:
             raise ValueError(f"expected marker at {pos}")
@@ -1806,35 +1846,9 @@ def decode_jpeg(blob: bytes):
         ln = struct.unpack_from(">H", b, pos + 2)[0]
         seg = b[pos + 4 : pos + 2 + ln]
         if marker == 0xDB:  # DQT
-            i = 0
-            while i < len(seg):
-                pq, tq = seg[i] >> 4, seg[i] & 0x0F
-                if pq == 0:
-                    qtables[tq] = np.frombuffer(
-                        seg, np.uint8, 64, i + 1
-                    ).astype(np.int32)
-                    i += 65
-                elif pq == 1:  # 16-bit precision table (r9)
-                    qtables[tq] = (
-                        np.frombuffer(seg, np.uint8, 128, i + 1)
-                        .astype(np.int32)
-                        .reshape(64, 2)
-                        @ np.array([256, 1], dtype=np.int32)
-                    )
-                    i += 129
-                else:
-                    raise ValueError(f"invalid DQT precision {pq}")
+            _parse_dqt(seg, qtables)
         elif marker == 0xC4:  # DHT
-            i = 0
-            while i < len(seg):
-                tc, th = seg[i] >> 4, seg[i] & 0x0F
-                counts = list(seg[i + 1 : i + 17])
-                n = sum(counts)
-                syms = seg[i + 17 : i + 17 + n]
-                (dc_tables if tc == 0 else ac_tables)[th] = _huffman_table(
-                    counts, syms
-                )
-                i += 17 + n
+            _parse_dht(seg, dc_tables, ac_tables)
         elif marker == 0xC0:  # SOF0 baseline
             prec, h, w, ncomp = struct.unpack_from(">BHHB", seg, 0)
             if prec != 8:
@@ -1848,13 +1862,30 @@ def decode_jpeg(blob: bytes):
                 for ci in range(ncomp)
             ]
             frame = (h, w, comps)
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7):
-            raise NotImplementedError("non-baseline JPEG (progressive/extended)")
+        elif marker == 0xC2:  # SOF2 progressive (r9)
+            prec, h, w, ncomp = struct.unpack_from(">BHHB", seg, 0)
+            if prec != 8:
+                raise NotImplementedError(f"{prec}-bit precision")
+            if ncomp not in (1, 3):
+                raise NotImplementedError(f"{ncomp}-component JPEG (CMYK?)")
+            comps = [
+                (seg[6 + 3 * ci], seg[7 + 3 * ci] >> 4,
+                 seg[7 + 3 * ci] & 0x0F, seg[8 + 3 * ci])
+                for ci in range(ncomp)
+            ]
+            frame = (h, w, comps)
+            progressive = True
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7):
+            raise NotImplementedError("non-baseline JPEG (extended/lossless)")
         elif marker == 0xDD:
             raise NotImplementedError("restart intervals out of scope")
         elif marker == 0xDA:  # SOS — entropy data follows
             if frame is None:
                 raise ValueError("SOS before SOF")
+            if progressive:
+                return _decode_jpeg_progressive(
+                    b, pos, frame, qtables, dc_tables, ac_tables
+                )
             h, w, comps = frame
             ns = seg[0]
             if ns != len(comps):
@@ -1961,15 +1992,269 @@ def _decode_scan(scan, h, w, specs):
                         y0 = (my * vs + by) * 8
                         x0 = (mx * hs + bx) * 8
                         planes[ci][y0 : y0 + 8, x0 : x0 + 8] = px
+    return _jpeg_assemble(planes, [(s[0], s[1]) for s in specs], h, w, hmax, vmax)
+
+
+def _jpeg_assemble(planes, samplings, h, w, hmax, vmax):
+    """Crop each component's padded plane to its nominal size and
+    upsample to (h, w) by pixel replication."""
+    import numpy as np
+
     out = []
-    for ci, (hs, vs, *_rest) in enumerate(specs):
+    for pl, (hs, vs) in zip(planes, samplings):
         cw = (w * hs + hmax - 1) // hmax
         chh = (h * vs + vmax - 1) // vmax
-        pl = planes[ci][:chh, :cw]
+        pl = pl[:chh, :cw]
         if vs != vmax or hs != hmax:
             pl = np.repeat(np.repeat(pl, vmax // vs, axis=0), hmax // hs, axis=1)
         out.append(pl[:h, :w])
     return out
+
+
+def _decode_jpeg_progressive(b, pos, frame, qtables, dc_tables, ac_tables):
+    """Progressive (SOF2) decode (r9): coefficients accumulate across
+    scans in per-component zigzag buffers; dequant + IDCT run once at
+    EOI. Implements the full scan grammar — interleaved DC scans,
+    single-component AC scans over the component's own block raster,
+    spectral selection (Ss..Se), successive approximation (first scans
+    shift by Al, refinement scans add one magnitude bit), EOB runs, and
+    DHT/DQT redefinition between scans. ``pos`` points at the first SOS
+    marker; table dicts keep updating as the walk proceeds."""
+    import struct
+
+    import numpy as np
+
+    h, w, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    for _cid, hs, vs, _tq in comps:
+        if hs < 1 or vs < 1 or hmax % hs or vmax % vs:
+            raise NotImplementedError("fractional sampling ratio")
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    ncomp = len(comps)
+    coef = []
+    bdims = []  # true (non-interleaved) block grid per component
+    for _cid, hs, vs, _tq in comps:
+        cw = (w * hs + hmax - 1) // hmax
+        chh = (h * vs + vmax - 1) // vmax
+        bdims.append(((chh + 7) // 8, (cw + 7) // 8))
+        coef.append(np.zeros((mcuy * vs, mcux * hs, 64), dtype=np.int32))
+    by_id = {c[0]: i for i, c in enumerate(comps)}
+    saw_scan = False
+    while pos + 2 <= len(b):
+        if b[pos] != 0xFF:
+            raise ValueError(f"expected marker at {pos}")
+        marker = b[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        if pos + 4 > len(b):
+            raise ValueError("truncated segment")
+        ln = struct.unpack_from(">H", b, pos + 2)[0]
+        seg = b[pos + 4 : pos + 2 + ln]
+        if marker == 0xDB:
+            _parse_dqt(seg, qtables)
+        elif marker == 0xC4:
+            _parse_dht(seg, dc_tables, ac_tables)
+        elif marker == 0xDD:
+            raise NotImplementedError("restart intervals out of scope")
+        elif marker == 0xDA:
+            ns = seg[0]
+            sel = [
+                (seg[1 + 2 * si], seg[2 + 2 * si] >> 4, seg[2 + 2 * si] & 0x0F)
+                for si in range(ns)
+            ]
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ah, al = seg[3 + 2 * ns] >> 4, seg[3 + 2 * ns] & 0x0F
+            r = _BitReader(b)
+            r.pos = pos + 2 + ln
+            _jpeg_progressive_scan(
+                r, comps, by_id, sel, ss, se, ah, al,
+                coef, bdims, mcux, mcuy, dc_tables, ac_tables,
+            )
+            saw_scan = True
+            # skip entropy padding bits to the next marker; a partially
+            # consumed stuffed 0xFF still owns its 0x00
+            if r.bit:
+                r.pos += 2 if b[r.pos] == 0xFF else 1
+            pos = r.pos
+            continue
+        pos += 2 + ln
+    if not saw_scan:
+        raise ValueError("no scan data before EOI")
+    # dequant + IDCT + assemble
+    m = _idct_matrix()
+    planes = []
+    for ci, (_cid, hs, vs, tq) in enumerate(comps):
+        if tq not in qtables:
+            raise ValueError("frame references missing quant table")
+        q = qtables[tq]
+        gh, gw = coef[ci].shape[:2]
+        pl = np.zeros((gh * 8, gw * 8), dtype=np.uint8)
+        for by in range(gh):
+            for bx in range(gw):
+                nat = np.zeros(64, dtype=np.int32)
+                nat[_JPEG_ZIGZAG] = coef[ci][by, bx] * q
+                s = nat.reshape(8, 8).astype(np.float64)
+                px = np.clip(np.round(m @ s @ m.T + 128), 0, 255)
+                pl[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = px.astype(
+                    np.uint8
+                )
+        planes.append(pl)
+    planes = _jpeg_assemble(
+        planes, [(c[1], c[2]) for c in comps], h, w, hmax, vmax
+    )
+    if ncomp == 1:
+        return planes[0]
+    return _ycbcr_to_rgb(*planes)
+
+
+def _jpeg_progressive_scan(
+    r, comps, by_id, sel, ss, se, ah, al,
+    coef, bdims, mcux, mcuy, dc_tables, ac_tables,
+):
+    """Decode one progressive scan into the coefficient buffers."""
+    if ss == 0 and se != 0:
+        raise ValueError("DC scan with nonzero spectral end")
+    if ss > 0 and len(sel) != 1:
+        raise ValueError("interleaved AC scan is illegal in progressive")
+    if ss > 63 or se > 63 or se < ss:
+        raise ValueError("invalid spectral selection")
+    if ss == 0:  # DC scan, possibly interleaved
+        idxs = []
+        tables = []
+        for cs, td, _ta in sel:
+            if cs not in by_id:
+                raise ValueError(f"scan references unknown component {cs}")
+            ci = by_id[cs]
+            idxs.append(ci)
+            if ah == 0:
+                if td not in dc_tables:
+                    raise ValueError("scan references missing DC table")
+                tables.append(dc_tables[td])
+            else:
+                tables.append(None)  # refinement reads raw bits only
+        preds = [0] * len(sel)
+        if len(sel) > 1:  # interleaved over the MCU grid
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    for si, ci in enumerate(idxs):
+                        _cid, hs, vs, _tq = comps[ci]
+                        for byy in range(vs):
+                            for bxx in range(hs):
+                                preds[si] = _jpeg_dc_unit(
+                                    r, coef[ci], my * vs + byy,
+                                    mx * hs + bxx, tables[si],
+                                    preds[si], ah, al,
+                                )
+        else:  # single component: its own block raster
+            ci = idxs[0]
+            bh, bw = bdims[ci]
+            for byy in range(bh):
+                for bxx in range(bw):
+                    preds[0] = _jpeg_dc_unit(
+                        r, coef[ci], byy, bxx, tables[0], preds[0], ah, al
+                    )
+        return
+    # AC scan: single component, raster over its true block grid
+    cs, _td, ta = sel[0]
+    if cs not in by_id:
+        raise ValueError(f"scan references unknown component {cs}")
+    ci = by_id[cs]
+    if ta not in ac_tables:
+        raise ValueError("scan references missing AC table")
+    ac_t = ac_tables[ta]
+    bh, bw = bdims[ci]
+    eobrun = 0
+    for byy in range(bh):
+        for bxx in range(bw):
+            zz = coef[ci][byy, bxx]
+            if ah == 0:
+                eobrun = _jpeg_ac_first(r, zz, ss, se, al, ac_t, eobrun)
+            else:
+                eobrun = _jpeg_ac_refine(r, zz, ss, se, al, ac_t, eobrun)
+
+
+def _jpeg_dc_unit(r, cbuf, by, bx, dc_t, pred, ah, al):
+    if ah == 0:  # first scan: category-coded diff of (dc >> al)
+        cat = r.read_symbol(dc_t)
+        pred += _extend(r.read_bits(cat), cat)
+        cbuf[by, bx, 0] = pred << al
+    else:  # refinement: one magnitude bit
+        if r.read_bits(1):
+            cbuf[by, bx, 0] |= 1 << al
+    return pred
+
+
+def _jpeg_ac_first(r, zz, ss, se, al, ac_t, eobrun):
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        sym = r.read_symbol(ac_t)
+        run, size = sym >> 4, sym & 0x0F
+        if size == 0:
+            if run < 15:  # EOBn: this block ends, plus 2^run-1+extra more
+                eobrun = (1 << run) - 1
+                if run:
+                    eobrun += r.read_bits(run)
+                return eobrun
+            k += 16  # ZRL
+            continue
+        k += run
+        if k > se:
+            raise ValueError("AC coefficient overruns spectral band")
+        zz[k] = _extend(r.read_bits(size), size) << al
+        k += 1
+    return 0
+
+
+def _jpeg_ac_refine(r, zz, ss, se, al, ac_t, eobrun):
+    """Successive-approximation AC refinement: history-nonzero
+    coefficients receive one correction bit each as the run pointer
+    passes them; zero-history runs and EOB runs count only zero-history
+    positions (the G.1.2.3 grammar)."""
+    bit = 1 << al
+
+    def correct(k):
+        if r.read_bits(1) and not (zz[k] & bit):
+            zz[k] += bit if zz[k] > 0 else -bit
+
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            sym = r.read_symbol(ac_t)
+            run, size = sym >> 4, sym & 0x0F
+            newval = 0
+            if size == 0:
+                if run < 15:
+                    eobrun = 1 << run
+                    if run:
+                        eobrun += r.read_bits(run)
+                    break  # rest of block handled by the EOB path below
+                # ZRL: pass 16 zero-history coefficients
+            else:
+                if size != 1:
+                    raise ValueError("invalid refinement magnitude size")
+                newval = bit if r.read_bits(1) else -bit
+            while k <= se:
+                if zz[k] != 0:
+                    correct(k)
+                else:
+                    if run == 0:
+                        if newval:
+                            zz[k] = newval
+                        k += 1
+                        break
+                    run -= 1
+                k += 1
+    if eobrun > 0:
+        while k <= se:  # correction bits only, to the end of the band
+            if zz[k] != 0:
+                correct(k)
+            k += 1
+        eobrun -= 1
+    return eobrun
 
 
 def _ycbcr_to_rgb(y, cb, cr):
@@ -2194,21 +2479,19 @@ def l8l_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 # floor(x+0.5) and SQL round() agree on every value; the pytest
 # encoder covers the general path (real chroma ACs, stuffing).
 # ---------------------------------------------------------------------------
-def _synth_jpeg_color_exprs():
-    """SQL column expressions building a valid baseline 4:2:0 COLOR
-    JPEG per doc_id. Scan bit t: block bk = t div 20, MCU k = bk div
-    6, slot s = pmod(bk, 6) (0-3 Y quadrants, 4 Cb, 5 Cr); within a
-    block: 8-bit DC category code (0x04), 4 extra bits, 8-bit EOB."""
-    bk = "((t) div 20)"
+def _jpeg_color_extra_expr(bk: str) -> str:
+    """The 4 DC extra bits for global block index ``bk`` (a SQL string):
+    MCU k = bk div 6, slot s = pmod(bk, 6) (0-3 Y quadrants, 4 Cb,
+    5 Cr). Category-4 magnitude coding: +v -> the 4 low bits of v (top
+    bit set); -v -> 15 - v. Shared by the baseline (l8o, 20-bit blocks)
+    and progressive (l8q, 12-bit DC-scan blocks) synthesizers."""
     k = f"({bk} div 6)"
     s = f"pmod({bk}, 6)"
     p = f"({k} div 2)"
     dd = f"((doc_id * 3 + {k} * 5) % 8 + 8)"
     cc = f"((doc_id * 5 + {p} * 7) % 8 + 8)"
     rr = f"((doc_id * 7 + {p} * 11) % 8 + 8)"
-    # category-4 magnitude coding: +v -> the 4 low bits of v (top bit
-    # set); -v -> 15 - v
-    e = (
+    return (
         f"(CASE WHEN {s} <= 3 THEN"
         f" (CASE WHEN pmod({s}, 2) = 0 THEN {dd} ELSE 15 - {dd} END)"
         f" WHEN {s} = 4 THEN"
@@ -2216,6 +2499,14 @@ def _synth_jpeg_color_exprs():
         f" ELSE (CASE WHEN pmod({k}, 2) = 0 THEN {rr} ELSE 15 - {rr} END)"
         " END)"
     )
+
+
+def _synth_jpeg_color_exprs():
+    """SQL column expressions building a valid baseline 4:2:0 COLOR
+    JPEG per doc_id. Scan bit t: block bk = t div 20, MCU k = bk div
+    6, slot s = pmod(bk, 6) (0-3 Y quadrants, 4 Cb, 5 Cr); within a
+    block: 8-bit DC category code (0x04), 4 extra bits, 8-bit EOB."""
+    e = _jpeg_color_extra_expr("((t) div 20)")
     bit = (
         "(CASE WHEN pmod((t), 20) < 8 THEN (4 >> (7 - pmod((t), 20))) & 1"
         f" WHEN pmod((t), 20) < 12 THEN ({e} >> (11 - pmod((t), 20))) & 1"
@@ -2247,9 +2538,9 @@ def _synth_jpeg_color_exprs():
     }
 
 
-@register(
-    "l8o_jpeg_color_decode",
-    oracle="""
+# Shared by l8o (baseline) and l8q (progressive): both synthesize the
+# SAME image content, so one oracle verifies both decodings.
+_JPEG_COLOR_ORACLE = """
 WITH dims AS (
   SELECT doc_id, 16 * (doc_id % 3 + 1) AS w, 16 * (doc_id % 2 + 1) AS h
   FROM documents
@@ -2290,8 +2581,10 @@ SELECT doc_id,
 FROM px
 GROUP BY doc_id, w, h
 ORDER BY doc_id
-""",
-)
+"""
+
+
+@register("l8o_jpeg_color_decode", oracle=_JPEG_COLOR_ORACLE)
 def l8o_jpeg_color_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL color (4:2:0 YCbCr) baseline JPEG decode under an exact
     oracle: SQL-synthesized valid color JPEGs (DC-only paired diffs per
@@ -2314,6 +2607,14 @@ def l8o_jpeg_color_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("__pk", F.expr(e["packed"]))
         .select("doc_id", F.expr(e["jpeg"]).alias("blob"))
     )
+    return _jpeg_color_sums(docs)
+
+
+def _jpeg_color_sums(docs: DataFrame) -> DataFrame:
+    """Shared l8o/l8q decode stage: (doc_id, blob) -> per-channel and
+    position-weighted sums via decode_jpeg inside mapInPandas."""
+    import pandas as pd
+
     out_schema = StructType(
         [
             StructField("doc_id", LongType()),
@@ -2357,6 +2658,80 @@ def l8o_jpeg_color_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return docs.mapInPandas(decode_batch, out_schema).orderBy("doc_id")
+
+
+def _synth_jpeg_prog_exprs():
+    """SQL column expressions building a valid PROGRESSIVE (SOF2)
+    4:2:0 color JPEG per doc_id carrying the SAME image as l8o. Four
+    scans, every one byte-aligned:
+    - scan 1: DC first, interleaved, Al=0 — per block the 8-bit
+      category code (0x04) + 4 extra bits = 12 bits, 6 blocks/MCU ->
+      exactly 9 bytes per MCU;
+    - scans 2-4: AC first per component over Ss=1..Se=63 — every block
+      is DC-only, so each emits one EOB, and with the all-8-bit AC
+      table an EOB is the single byte 0x00: the scan body is just
+      repeat('00', n_blocks)."""
+    e = _jpeg_color_extra_expr("((t) div 12)")
+    bit = (
+        "(CASE WHEN pmod((t), 12) < 8 THEN (4 >> (7 - pmod((t), 12))) & 1"
+        f" ELSE ({e} >> (11 - pmod((t), 12))) & 1 END)"
+    )
+    byte = (
+        "aggregate(sequence(0, 7), 0, (acc, bb) ->"
+        f" acc * 2 + CAST({bit.replace('(t)', '(8 * j + bb)')} AS INT))"
+    )
+    dc_scan = f"transform(sequence(0, 9 * __nm - 1), j -> {byte})"
+    dqt, dht = _jpeg_table_segments()
+    sof2 = (
+        "concat(X'FFC2', X'0011', X'08',"
+        f" {_JPEG_BE16.format(v='__h')}, {_JPEG_BE16.format(v='__w')},"
+        " X'03', X'012200', X'021100', X'031100')"
+    )
+    sos_dc = "concat(X'FFDA', X'000C', X'03', X'0100', X'0200', X'0300', X'000000')"
+
+    def sos_ac(cid: int) -> str:
+        return f"concat(X'FFDA', X'0008', X'01', X'0{cid}00', X'013F00')"
+
+    jpeg = (
+        f"concat(X'FFD8', {dqt}, {dht}, {sof2},"
+        f" {sos_dc}, {_JPEG_TO_BIN.format(arr='__dc')},"
+        f" {sos_ac(1)}, unhex(repeat('00', 4 * __nm)),"
+        f" {sos_ac(2)}, unhex(repeat('00', __nm)),"
+        f" {sos_ac(3)}, unhex(repeat('00', __nm)),"
+        " X'FFD9')"
+    )
+    return {
+        "w": "CAST(16 * (doc_id % 3 + 1) AS INT)",
+        "h": "CAST(16 * (doc_id % 2 + 1) AS INT)",
+        "nmcus": "CAST((__w div 16) * (__h div 16) AS INT)",
+        "dc_scan": dc_scan,
+        "jpeg": jpeg,
+    }
+
+
+@register("l8q_jpeg_progressive_decode", oracle=_JPEG_COLOR_ORACLE)
+def l8q_jpeg_progressive_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL progressive JPEG decode under an exact oracle: the l8o
+    image re-encoded as a four-scan SOF2 stream (interleaved DC first
+    scan + per-component EOB-only AC scans, all byte-aligned closed
+    forms) -> coefficient-accumulation decode across scans in
+    mapInPandas -> the SAME per-channel/position sums the l8o oracle
+    re-derives, so baseline and progressive decodings cross-check each
+    other. The pytest encoder covers the paths this synthesis never
+    produces (successive approximation, refinement, ZRL, EOB runs)."""
+    e = _synth_jpeg_prog_exprs()
+    docs = (
+        table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.expr(e["w"]).alias("__w"),
+            F.expr(e["h"]).alias("__h"),
+        )
+        .withColumn("__nm", F.expr(e["nmcus"]))
+        .withColumn("__dc", F.expr(e["dc_scan"]))
+        .select("doc_id", F.expr(e["jpeg"]).alias("blob"))
+    )
+    return _jpeg_color_sums(docs)
 
 
 # ---------------------------------------------------------------------------

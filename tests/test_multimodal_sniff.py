@@ -964,9 +964,14 @@ def test_jpeg_decode_error_paths():
 
     q = np.full(64, 16, dtype=np.int32)
     blob, _ = _jpeg_bytes(np.zeros((8, 8), dtype=np.uint8), q)
-    # flip SOF0 -> SOF2 (progressive): honest NotImplementedError
+    # SOF3 (lossless): honest NotImplementedError
+    loss = blob.replace(b"\xff\xc0", b"\xff\xc3")
+    with pytest.raises(NotImplementedError, match="extended|lossless"):
+        decode_jpeg_gray(loss)
+    # SOF2 decodes for real since r9 — but a baseline SOS relabeled
+    # progressive is malformed (a DC scan claiming the full band)
     prog = blob.replace(b"\xff\xc0", b"\xff\xc2")
-    with pytest.raises(NotImplementedError, match="baseline"):
+    with pytest.raises(ValueError, match="spectral"):
         decode_jpeg_gray(prog)
     # truncated scan
     with pytest.raises(ValueError):
@@ -1783,3 +1788,439 @@ def test_jpeg_16bit_quant_table():
     blob, ref = _jpeg_bytes(px, q)
     assert b"\xff\xdb" + struct.pack(">H", 131) + b"\x10" in blob
     assert (decode_jpeg_gray(blob) == ref).all()
+
+
+# --------------------------------------------------------------------------
+# Progressive JPEG (r9). Test-side REAL progressive encoder: spectral
+# selection, successive approximation (DC/AC first scans at Al=1 plus
+# refinement scans to Al=0), EOB-run accumulation across blocks, ZRL
+# in both first and refinement scans, buffered correction bits — the
+# libjpeg jcphuff grammar, emitted independently and decoded by the
+# module's coefficient-accumulation engine.
+# --------------------------------------------------------------------------
+class _ProgBits:
+    def __init__(self):
+        self.bits = []
+
+    def wb(self, v, n):
+        for i in range(n - 1, -1, -1):
+            self.bits.append((v >> i) & 1)
+
+    def val(self, v, size):  # magnitude-category extra bits
+        if size:
+            enc = v if v >= 0 else v + (1 << size) - 1
+            self.wb(enc, size)
+
+    def to_bytes(self):
+        while len(self.bits) % 8:
+            self.bits.append(1)
+        raw = bytearray()
+        for i in range(0, len(self.bits), 8):
+            byte = sum(b << (7 - j) for j, b in enumerate(self.bits[i : i + 8]))
+            raw.append(byte)
+            if byte == 0xFF:
+                raw.append(0x00)
+        return bytes(raw)
+
+
+def _prog_tables():
+    """Fixed 8-bit-code tables: DC cats 0..11, AC symbols as needed."""
+    dc = {s: (8, s) for s in range(12)}
+    return dc
+
+
+def _prog_ac_table(symbols):
+    """Canonical table over the symbol set: 1-bit code for the first,
+    then the rest at ceil-width 8 (always decodable)."""
+    symbols = list(dict.fromkeys(symbols))
+    counts = [0] * 16
+    counts[7] = len(symbols)  # all codes at length 8
+    codes = _canonical_codes(counts, symbols)
+    return counts, symbols, codes
+
+
+def _jpeg_progressive_bytes(planes, samps, qids, qtables, h, w, scans):
+    """Encode quantized-coefficient planes progressively.
+
+    planes[ci]: int32 array (bh, bw, 64) of NATURAL-order quantized
+    coefficients; samps[ci] = (hs, vs); qids[ci] -> qtables[qid] (64
+    natural-order ints). scans: list of dicts {comps: [ci...], ss, se,
+    ah, al}. Returns blob. Block grids must already be MCU-padded for
+    interleaved DC scans."""
+    import struct
+
+    import numpy as np
+
+    from lens_warehouse_spark.llm.multimodal import _JPEG_ZIGZAG, _crc8  # noqa: F401
+
+    ncomp = len(planes)
+    hmax = max(s[0] for s in samps)
+    vmax = max(s[1] for s in samps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    zz = [
+        np.stack(
+            [pl.reshape(pl.shape[0], pl.shape[1], 64)[:, :, _JPEG_ZIGZAG][..., i]
+             for i in range(64)],
+            axis=-1,
+        )
+        for pl in planes
+    ]
+    # true block dims per component (non-interleaved AC rasters)
+    bdims = []
+    for hs, vs in samps:
+        cw = (w * hs + hmax - 1) // hmax
+        chh = (h * vs + vmax - 1) // vmax
+        bdims.append(((chh + 7) // 8, (cw + 7) // 8))
+
+    def cat_of(v):
+        return int(abs(v)).bit_length()
+
+    dc_codes = _prog_tables()
+    segs = []  # (scan_header_bytes, entropy_bytes, ac_table_def|None)
+    for sc in scans:
+        cis, ss, se, ah, al = sc["comps"], sc["ss"], sc["se"], sc["ah"], sc["al"]
+        wtr = _ProgBits()
+        ac_def = None
+        if ss == 0:
+            if ah == 0:
+                preds = {ci: 0 for ci in cis}
+
+                def dc_first(ci, by, bx):
+                    v = int(zz[ci][by, bx, 0]) >> al  # arithmetic shift
+                    diff = v - preds[ci]
+                    preds[ci] = v
+                    c = cat_of(diff)
+                    ln, code = dc_codes[c]
+                    wtr.wb(code, ln)
+                    wtr.val(diff, c)
+
+                unit = dc_first
+            else:
+
+                def dc_refine(ci, by, bx):
+                    wtr.wb((int(zz[ci][by, bx, 0]) >> al) & 1, 1)
+
+                unit = dc_refine
+            if len(cis) > 1:
+                for my in range(mcuy):
+                    for mx in range(mcux):
+                        for ci in cis:
+                            hs, vs = samps[ci]
+                            for dy in range(vs):
+                                for dx in range(hs):
+                                    unit(ci, my * vs + dy, mx * hs + dx)
+            else:
+                ci = cis[0]
+                bh, bw = bdims[ci]
+                for by in range(bh):
+                    for bx in range(bw):
+                        unit(ci, by, bx)
+        else:
+            ci = cis[0]
+            bh, bw = bdims[ci]
+            events = []  # per scan: list of (sym, valbits) or deferred
+            if ah == 0:
+                # AC first at al: magnitude-shifted run/size + EOB runs
+                eob_run = 0
+
+                def flush_eob():
+                    nonlocal eob_run
+                    if eob_run:
+                        nb = eob_run.bit_length() - 1
+                        events.append(("sym", nb << 4))
+                        if nb:
+                            events.append(("raw", eob_run - (1 << nb), nb))
+                        eob_run = 0
+
+                for by in range(bh):
+                    for bx in range(bw):
+                        blk = zz[ci][by, bx]
+                        run = 0
+                        emitted = False
+                        for k in range(ss, se + 1):
+                            v = int(blk[k])
+                            t = (abs(v) >> al) * (1 if v >= 0 else -1)
+                            if t == 0:
+                                run += 1
+                                continue
+                            flush_eob()
+                            while run >= 16:
+                                events.append(("sym", 0xF0))
+                                run -= 16
+                            s = cat_of(t)
+                            events.append(("sym", (run << 4) | s))
+                            events.append(("val", t, s))
+                            run = 0
+                            emitted = True
+                        if run or not emitted:
+                            eob_run += 1
+                            if eob_run == 0x7FFF:
+                                flush_eob()
+                flush_eob()
+            else:
+                # AC refinement (libjpeg jcphuff): buffered correction
+                # bits, runs count zero-history positions only
+                eob_run = 0
+                pending_bits = []
+
+                def flush_eob():
+                    nonlocal eob_run, pending_bits
+                    if eob_run:
+                        nb = eob_run.bit_length() - 1
+                        events.append(("sym", nb << 4))
+                        if nb:
+                            events.append(("raw", eob_run - (1 << nb), nb))
+                        events.extend(("raw", b, 1) for b in pending_bits)
+                        pending_bits = []
+                        eob_run = 0
+
+                for by in range(bh):
+                    for bx in range(bw):
+                        blk = zz[ci][by, bx]
+                        absv = [abs(int(blk[k])) >> al for k in range(ss, se + 1)]
+                        signs = [1 if int(blk[k]) >= 0 else -1
+                                 for k in range(ss, se + 1)]
+                        # EOB position: after the last newly-significant
+                        eobpos = 0
+                        for i, t in enumerate(absv):
+                            if t == 1:
+                                eobpos = i + 1
+                        run = 0
+                        br = []
+                        for i in range(eobpos):
+                            t = absv[i]
+                            if t == 0:
+                                run += 1
+                                continue
+                            # emit ZRLs as soon as the pending zero run
+                            # exceeds 15 — at ANY nonzero position,
+                            # corrections included (the jcphuff rule:
+                            # buffered bits must stay within the
+                            # 16-zero window the decoder walks per ZRL)
+                            while run >= 16:
+                                flush_eob()
+                                events.append(("sym", 0xF0))
+                                events.extend(("raw", b, 1) for b in br)
+                                br = []
+                                run -= 16
+                            if t > 1:  # history-nonzero: correction bit
+                                br.append(t & 1)
+                                continue
+                            # newly significant
+                            flush_eob()
+                            events.append(("sym", (run << 4) | 1))
+                            events.append(("raw", 1 if signs[i] > 0 else 0, 1))
+                            events.extend(("raw", b, 1) for b in br)
+                            br = []
+                            run = 0
+                        if run or br or eobpos <= len(absv) - 1:
+                            # correction bits after the last new coef
+                            tail = [absv[i] & 1
+                                    for i in range(eobpos, len(absv))
+                                    if absv[i] > 1]
+                            eob_run += 1
+                            pending_bits.extend(br + tail)
+                            if eob_run == 0x7FFF:
+                                flush_eob()
+                flush_eob()
+            # build a table over exactly the symbols used
+            syms = [e[1] for e in events if e[0] == "sym"]
+            counts, ranked, codes = _prog_ac_table(syms or [0x00])
+            ac_def = (counts, ranked)
+            for e in events:
+                if e[0] == "sym":
+                    ln, code = codes[e[1]]
+                    wtr.wb(code, ln)
+                elif e[0] == "val":
+                    wtr.val(e[1], e[2])
+                else:
+                    wtr.wb(e[1], e[2])
+        # SOS header
+        hdr = bytes([len(cis)])
+        for ci in cis:
+            hdr += bytes([ci + 1, (0 << 4) | 0])  # DC/AC table id 0
+        hdr += bytes([ss, se, (ah << 4) | al])
+        segs.append((hdr, wtr.to_bytes(), ac_def))
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    out = b"\xff\xd8"
+    for qid in sorted(set(qids)):
+        zq = bytes(int(qtables[qid][ni]) for ni in _JPEG_ZIGZAG)
+        out += seg(0xDB, bytes([qid]) + zq)
+    # one fixed DC table (id 0): 12 cats at length 8
+    out += seg(0xC4, b"\x00" + bytes([0] * 7 + [12] + [0] * 8) + bytes(range(12)))
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci in range(ncomp):
+        hs, vs = samps[ci]
+        sof += bytes([ci + 1, (hs << 4) | vs, qids[ci]])
+    out += seg(0xC2, sof)
+    for hdr, body, ac_def in segs:
+        if ac_def is not None:  # redefine AC table 0 before this scan
+            counts, ranked = ac_def
+            out += seg(0xC4, b"\x10" + bytes(counts) + bytes(ranked))
+        out += seg(0xDA, hdr) + body
+    out += b"\xff\xd9"
+    return out
+
+
+def _prog_ref_gray(coefs, q, h, w):
+    """Dequant + IDCT reference for (bh, bw, 64) natural-order coefs."""
+    import numpy as np
+
+    from lens_warehouse_spark.llm.multimodal import _idct_matrix
+
+    m = _idct_matrix()
+    bh, bw = coefs.shape[:2]
+    out = np.zeros((bh * 8, bw * 8), dtype=np.uint8)
+    for by in range(bh):
+        for bx in range(bw):
+            s = (coefs[by, bx] * q).reshape(8, 8).astype(np.float64)
+            out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
+                np.round(m @ s @ m.T + 128), 0, 255
+            ).astype(np.uint8)
+    return out[:h, :w]
+
+
+_PROG_LADDER_GRAY = [
+    dict(comps=[0], ss=0, se=0, ah=0, al=1),
+    dict(comps=[0], ss=1, se=5, ah=0, al=1),
+    dict(comps=[0], ss=6, se=63, ah=0, al=1),
+    dict(comps=[0], ss=0, se=0, ah=1, al=0),
+    dict(comps=[0], ss=1, se=5, ah=1, al=0),
+    dict(comps=[0], ss=6, se=63, ah=1, al=0),
+]
+
+
+def test_jpeg_progressive_gray_roundtrip():
+    """Full successive-approximation ladder over random sparse
+    coefficients: DC+AC first scans at Al=1, refinement scans to Al=0.
+    Decoded pixels must equal the dequant+IDCT of the exact
+    coefficients — any mis-accumulated bit shifts a pixel."""
+    import numpy as np
+
+    from lens_warehouse_spark.llm.multimodal import decode_jpeg_gray
+
+    rng = np.random.default_rng(3)
+    bh, bw = 3, 4
+    coefs = np.zeros((bh, bw, 64), dtype=np.int32)
+    for by in range(bh):
+        for bx in range(bw):
+            coefs[by, bx, 0] = rng.integers(-60, 61)
+            for k in rng.choice(np.arange(1, 64), size=6, replace=False):
+                coefs[by, bx, k] = rng.integers(-6, 7)
+    q = np.full(64, 16, dtype=np.int32)
+    q[0] = 8
+    h, w = bh * 8, bw * 8
+    blob = _jpeg_progressive_bytes(
+        [coefs], [(1, 1)], [0], {0: q}, h, w, _PROG_LADDER_GRAY
+    )
+    got = decode_jpeg_gray(blob)
+    assert (got == _prog_ref_gray(coefs, q, h, w)).all()
+
+
+def test_jpeg_progressive_color_420_roundtrip():
+    import numpy as np
+
+    from lens_warehouse_spark.llm.multimodal import (
+        _ycbcr_to_rgb,
+        decode_jpeg,
+    )
+
+    rng = np.random.default_rng(9)
+    h, w = 16, 32  # 1x2 MCUs at 4:2:0
+    yc = np.zeros((2, 4, 64), dtype=np.int32)
+    cb = np.zeros((1, 2, 64), dtype=np.int32)
+    cr = np.zeros((1, 2, 64), dtype=np.int32)
+    for arr in (yc, cb, cr):
+        bh, bw = arr.shape[:2]
+        for by in range(bh):
+            for bx in range(bw):
+                arr[by, bx, 0] = rng.integers(-30, 31)
+                for k in rng.choice(np.arange(1, 64), size=4, replace=False):
+                    arr[by, bx, k] = rng.integers(-5, 6)
+    qy = np.full(64, 16, dtype=np.int32)
+    qy[0] = 8
+    qc = np.full(64, 24, dtype=np.int32)
+    qc[0] = 12
+    scans = [
+        dict(comps=[0, 1, 2], ss=0, se=0, ah=0, al=1),
+        dict(comps=[0], ss=1, se=63, ah=0, al=1),
+        dict(comps=[1], ss=1, se=63, ah=0, al=1),
+        dict(comps=[2], ss=1, se=63, ah=0, al=1),
+        dict(comps=[0, 1, 2], ss=0, se=0, ah=1, al=0),
+        dict(comps=[0], ss=1, se=63, ah=1, al=0),
+        dict(comps=[1], ss=1, se=63, ah=1, al=0),
+        dict(comps=[2], ss=1, se=63, ah=1, al=0),
+    ]
+    blob = _jpeg_progressive_bytes(
+        [yc, cb, cr], [(2, 2), (1, 1), (1, 1)], [0, 1, 1],
+        {0: qy, 1: qc}, h, w, scans,
+    )
+    got = decode_jpeg(blob)
+    yp = _prog_ref_gray(yc, qy, h, w)
+    cbp = np.repeat(np.repeat(_prog_ref_gray(cb, qc, 8, 16), 2, 0), 2, 1)
+    crp = np.repeat(np.repeat(_prog_ref_gray(cr, qc, 8, 16), 2, 0), 2, 1)
+    assert (got == _ycbcr_to_rgb(yp, cbp, crp)).all()
+
+
+def test_jpeg_progressive_zrl_and_eobrun_refinement():
+    """Handcrafted stress for the refinement grammar: long zero runs
+    (>16, forcing ZRL with buffered correction bits inside the window),
+    history coefficients between runs, all-zero blocks folding into an
+    EOB run spanning blocks, and a trailing-correction-only block."""
+    import numpy as np
+
+    from lens_warehouse_spark.llm.multimodal import decode_jpeg_gray
+
+    coefs = np.zeros((1, 4, 64), dtype=np.int32)
+    # block 0: history coef (|v|>1) at k=2, 20 zeros, new ±1 at k=30,
+    # another new at k=62 after a long run
+    coefs[0, 0, 0] = 10
+    coefs[0, 0, 2] = 5
+    coefs[0, 0, 30] = 1
+    coefs[0, 0, 62] = -1
+    # block 1: all zero (EOB run member)
+    # block 2: only history coefs — correction-only block in refinement
+    coefs[0, 2, 0] = -9
+    coefs[0, 2, 5] = -4
+    coefs[0, 2, 40] = 7
+    # block 3: new coef at the very end of the band
+    coefs[0, 3, 63] = 1
+    q = np.full(64, 16, dtype=np.int32)
+    q[0] = 8
+    blob = _jpeg_progressive_bytes(
+        [coefs], [(1, 1)], [0], {0: q}, 8, 32, _PROG_LADDER_GRAY
+    )
+    got = decode_jpeg_gray(blob)
+    assert (got == _prog_ref_gray(coefs, q, 8, 32)).all()
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    bw=st.integers(1, 4),
+    bh=st.integers(1, 3),
+    density=st.integers(1, 12),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_jpeg_progressive_property(bw, bh, density, seed):
+    import numpy as np
+
+    from lens_warehouse_spark.llm.multimodal import decode_jpeg_gray
+
+    rng = np.random.default_rng(seed)
+    coefs = np.zeros((bh, bw, 64), dtype=np.int32)
+    for by in range(bh):
+        for bx in range(bw):
+            coefs[by, bx, 0] = rng.integers(-100, 101)
+            for k in rng.choice(np.arange(1, 64), size=density, replace=False):
+                coefs[by, bx, k] = rng.integers(-9, 10)
+    q = np.full(64, 16, dtype=np.int32)
+    q[0] = 4
+    h, w = bh * 8, bw * 8
+    blob = _jpeg_progressive_bytes(
+        [coefs], [(1, 1)], [0], {0: q}, h, w, _PROG_LADDER_GRAY
+    )
+    assert (decode_jpeg_gray(blob) == _prog_ref_gray(coefs, q, h, w)).all()
