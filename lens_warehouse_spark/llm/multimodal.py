@@ -121,6 +121,8 @@ def sniff_media(blob: bytes) -> tuple[str, int | None, int | None]:
         return ("jpeg", None, None)
     if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
         return ("wav", None, None)
+    if b[:4] == b"fLaC":  # r9: decode_flac handles these
+        return ("flac", None, None)
     if b[:4] == b"OggS":
         return ("ogg", None, None)
     if b[:5] == b"%PDF-":

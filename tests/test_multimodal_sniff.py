@@ -2224,3 +2224,12 @@ def test_jpeg_progressive_property(bw, bh, density, seed):
         [coefs], [(1, 1)], [0], {0: q}, h, w, _PROG_LADDER_GRAY
     )
     assert (decode_jpeg_gray(blob) == _prog_ref_gray(coefs, q, h, w)).all()
+
+
+def test_sniff_flac():
+    from lens_warehouse_spark.llm.multimodal import sniff_media
+
+    s = _smooth_samples(64, 3)
+    blob = _flac_bytes([s], 64, [("indep", [("verbatim",)])])
+    assert sniff_media(blob) == ("flac", None, None)
+    assert sniff_media(b"fLaX nope") == ("unknown", None, None)

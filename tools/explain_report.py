@@ -218,6 +218,22 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         ("no join, no corpus shuffle", "!Join"),
         ("no hash exchange (only the output sort ranges)", "!hashpartitioning"),
     ],
+    "l8o_jpeg_color_decode": [
+        ("color MCU decode runs as Arrow batches", "MapInPandas"),
+        ("no join, no corpus shuffle", "!Join"),
+        ("no hash exchange (only the output sort ranges)", "!hashpartitioning"),
+        ("column pruning to doc_id", "ReadSchema: struct<doc_id:bigint>"),
+    ],
+    "l8p_flac_decode": [
+        ("Rice/LPC decode runs as Arrow batches", "MapInPandas"),
+        ("no join, no corpus shuffle", "!Join"),
+        ("no hash exchange (only the output sort ranges)", "!hashpartitioning"),
+    ],
+    "l8q_jpeg_progressive_decode": [
+        ("multi-scan coefficient decode runs as Arrow batches", "MapInPandas"),
+        ("no join, no corpus shuffle", "!Join"),
+        ("no hash exchange (only the output sort ranges)", "!hashpartitioning"),
+    ],
     "s21_gzip_text_scan": [
         ("gzip decode runs as Arrow batches", "MapInPandas"),
         ("no join, no corpus shuffle", "!Join"),
