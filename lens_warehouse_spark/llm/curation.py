@@ -1045,14 +1045,18 @@ def l28_boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     # never collects; Arrow chunker on the probe side (measured -28% vs
     # the lambda at 100x).
     #
-    # FLOOR NOTE (r8, verdict #2) — why ~2x vs DuckDB at 1000x is the
-    # structural floor of this design, pinned by paired measurements on
-    # the same staged fingerprint (5M docs, 33,749-hash boiler set, so
-    # tier 2b is the path the 1000x run takes). r8 band: Spark-side
-    # flat at 19.9-25.2 s across two fresh runs (reps within 5% in the
-    # idle run) vs DuckDB best 7.4-9.2 s -> ratio 2.0-2.7 depending
-    # almost entirely on WHICH DuckDB rep you land (its own reps swung
-    # 7.4->13.9 s within one batch). Decomposition:
+    # FLOOR NOTE (r8 verdict #2; band re-pinned r9 under the idle
+    # gate) — why ~2x vs DuckDB at 1000x is the structural floor of
+    # this design, pinned by paired measurements on the same staged
+    # fingerprint (5M docs, 33,749-hash boiler set, so tier 2b is the
+    # path the 1000x run takes). r9 band, two gated batches: Spark
+    # best 19.5 s (inside the full-subset run) / 24.5 s (l28-only
+    # batch, colder JVM) vs DuckDB best 10.0-10.4 s -> ratio
+    # **1.87-2.45** — the first sub-2.0 reading on record, but the
+    # band still straddles 2x, so the floor note STANDS and l28 stays
+    # weak-but-pinned. (r8 band for history: Spark 19.9-25.2 s,
+    # DuckDB 7.4-13.9 s within one batch, ratio 2.0-2.7.)
+    # Decomposition:
     #   probe pass (tokenize + chunk-hash + exact df-count + collect):
     #     8.6-13.1 s;  scrub pass (re-tokenize + searchsorted + md5
     #     rebuild + checksum): ~8.2 s — i.e. EACH Spark pass is at
