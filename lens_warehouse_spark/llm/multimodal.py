@@ -3281,11 +3281,93 @@ def s21_gzip_text_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 # strips, so the offset form is the only legal one); pytest's
 # independent encoder covers big-endian, RGB and inline values.
 # ---------------------------------------------------------------------------
+def _tiff_packbits(data: bytes, expected: int) -> bytes:
+    """PackBits (TIFF compression 32773): n<128 -> n+1 literals;
+    n>128 -> next byte repeated 257-n times; n==128 -> noop."""
+    out = bytearray()
+    i = 0
+    while i < len(data) and len(out) < expected:
+        n = data[i]
+        i += 1
+        if n < 128:
+            if i + n + 1 > len(data):
+                raise ValueError("PackBits literal run overruns strip")
+            out += data[i : i + n + 1]
+            i += n + 1
+        elif n > 128:
+            if i >= len(data):
+                raise ValueError("PackBits repeat run overruns strip")
+            out += bytes([data[i]]) * (257 - n)
+            i += 1
+    return bytes(out)
+
+
+def _tiff_lzw(data: bytes) -> bytes:
+    """TIFF LZW (compression 5): MSB-first bit order (GIF is LSB),
+    fixed 8-bit symbols, ClearCode 256 / EOI 257, and the spec's
+    'early change' — the code width grows one code EARLIER than GIF
+    (when the next code to assign is 2^width - 1)."""
+    clear, eoi = 256, 257
+    out = bytearray()
+    table: list[bytes] = []
+    width = 9
+
+    def reset():
+        nonlocal table, width
+        table = [bytes([i]) for i in range(256)] + [b"", b""]
+        width = 9
+
+    reset()
+    bitpos = 0
+    total = len(data) * 8
+    prev = None
+    while bitpos + width <= total:
+        code = 0
+        for _ in range(width):
+            code = (code << 1) | (
+                (data[bitpos >> 3] >> (7 - (bitpos & 7))) & 1
+            )
+            bitpos += 1
+        if code == eoi:
+            break
+        if code == clear:
+            reset()
+            prev = None
+            continue
+        if prev is None:
+            if code >= 256:
+                raise ValueError("LZW: first code after clear not literal")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            if len(table) < 4096:
+                table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]
+            if len(table) < 4096:
+                table.append(entry)
+        else:
+            raise ValueError(f"LZW: code {code} beyond table")
+        out += entry
+        prev = entry
+        # Early change with the decoder's one-entry LAG: the encoder
+        # grows width when ITS next code to assign hits 2^w - 1; the
+        # decoder's table runs one entry behind, so it must grow at
+        # 2^w - 2 (brute-force-verified against the test encoder —
+        # both -1 and the GIF-style 0 offsets desync within a strip).
+        if len(table) == (1 << width) - 2 and width < 12:
+            width += 1
+    return bytes(out)
+
+
 def decode_tiff(blob: bytes):
     """(h, w) uint8 grayscale or (h, w, 3) uint8 RGB pixels from an
-    uncompressed 8-bit baseline TIFF (II or MM). ValueError on
-    malformed structure; NotImplementedError for compressed, tiled,
-    paletted or non-8-bit files."""
+    8-bit baseline TIFF (II or MM). Strip compressions handled for
+    real (r9): none (1), LZW (5, MSB-first early-change), Deflate
+    (8 / legacy 32946, stdlib zlib), PackBits (32773); plus the
+    horizontal-differencing predictor (tag 317 = 2) LZW/Deflate files
+    almost always pair with. ValueError on malformed structure;
+    NotImplementedError for tiled, paletted or non-8-bit files."""
     import struct
 
     import numpy as np
@@ -3330,7 +3412,7 @@ def decode_tiff(blob: bytes):
 
     w, h = one(256), one(257)
     comp = one(259, 1)
-    if comp != 1:
+    if comp not in (1, 5, 8, 32773, 32946):
         raise NotImplementedError(f"TIFF compression {comp} out of scope")
     photo = one(262)
     spp = one(277, 1)
@@ -3343,22 +3425,47 @@ def decode_tiff(blob: bytes):
         raise NotImplementedError("tiled TIFF out of scope")
     if spp not in (1, 3):
         raise NotImplementedError(f"{spp} samples per pixel")
+    predictor = one(317, 1)
+    if predictor not in (1, 2):
+        raise NotImplementedError(f"TIFF predictor {predictor}")
+    rps = one(278, h)
     offsets = tags.get(273)
     counts = tags.get(279)
     if not offsets or not counts or len(offsets) != len(counts):
         raise ValueError("missing/mismatched strip tables")
     data = bytearray()
-    for o, c in zip(offsets, counts):
+    for si, (o, c) in enumerate(zip(offsets, counts)):
         if o + c > len(b):
             raise ValueError("strip overruns file")
-        data += b[o : o + c]
+        raw = b[o : o + c]
+        rows = min(rps, h - rps * si)
+        expected = rows * w * spp
+        if comp == 1:
+            strip = raw
+        elif comp == 5:
+            strip = _tiff_lzw(raw)
+        elif comp in (8, 32946):
+            import zlib
+
+            strip = zlib.decompress(raw)
+        else:  # 32773
+            strip = _tiff_packbits(raw, expected)
+        if len(strip) < expected:
+            raise ValueError("strip decodes short")
+        data += strip[:expected]
     need = w * h * spp
     if len(data) < need:
         raise ValueError("strips shorter than w*h*spp")
     px = np.frombuffer(bytes(data), np.uint8, need)
+    if spp == 1:
+        px = px.reshape(h, w)
+    else:
+        px = px.reshape(h, w, 3)
+    if predictor == 2:  # horizontal differencing: undo by row cumsum
+        px = np.cumsum(px.astype(np.int64), axis=1).astype(np.uint8)
     if photo == 0:  # WhiteIsZero: invert to the BlackIsZero convention
         px = 255 - px
-    return px.reshape(h, w) if spp == 1 else px.reshape(h, w, 3)
+    return px
 
 
 _L8M_RPS = 4  # RowsPerStrip in the synthetic corpus
@@ -3394,13 +3501,22 @@ def _synth_tiff_exprs():
         )
 
     s = "__s"  # strip count column
+    # r9: odd doc_ids carry DEFLATE strips (compression 8) — each strip
+    # its own zlib stream (header 0x7801, one stored block, Adler-32
+    # folded in SQL over the strip's pixel formula), so the compressed
+    # path is verified end-to-end under the same oracle. A stored-
+    # deflate strip is exactly raw+11 bytes, keeping every offset
+    # closed-form. Even doc_ids stay raw (compression 1).
+    deflate = "pmod(doc_id, 2) = 1"
+    comp_val = f"(CASE WHEN {deflate} THEN 8 ELSE 1 END)"
+    pad = f"(CASE WHEN {deflate} THEN 11 ELSE 0 END)"
     ifd = "concat(" + ", ".join(
         [
             le16.format(v="9"),
             entry_short(256, "__w"),
             entry_short(257, "__h"),
             entry_short(258, "8"),
-            entry_short(259, "1"),
+            entry_short(259, comp_val),
             entry_short(262, "1"),
             entry_longs(273, s, "122"),
             entry_short(277, "1"),
@@ -3411,11 +3527,11 @@ def _synth_tiff_exprs():
     ) + ")"
     off_arr = (
         f"transform(sequence(0, {s} - 1),"
-        f" i -> 122 + 8 * {s} + 4 * __w * i)"
+        f" i -> 122 + 8 * {s} + (4 * __w + {pad}) * i)"
     )
     cnt_arr = (
         f"transform(sequence(0, {s} - 1),"
-        f" i -> __w * least({_L8M_RPS}, __h - {_L8M_RPS} * i))"
+        f" i -> __w * least({_L8M_RPS}, __h - {_L8M_RPS} * i) + {pad})"
     )
     to_le32_bin = (
         "unhex(concat_ws('', transform({arr}, v ->"
@@ -3429,17 +3545,46 @@ def _synth_tiff_exprs():
         " k -> lpad(hex(pmod(doc_id * 7 + (k % __w) * 5 + (k div __w) * 3,"
         " 256)), 2, '0'))))"
     )
+    # deflate body: per strip i, one zlib stream around a single stored
+    # block. Pixel value at strip-local index j: row = 4i + j div w,
+    # col = pmod(j, w). Adler-32 folded in SQL: A = (1 + sum v) mod
+    # 65521, B = (n + sum (n - j) * v) mod 65521 — the decoder's zlib
+    # VERIFIES it, pinning the SQL fold against Python's.
+    n_i = f"(__w * least({_L8M_RPS}, __h - {_L8M_RPS} * i))"
+    v_j = (
+        f"pmod(doc_id * 7 + pmod(j, __w) * 5"
+        f" + ({_L8M_RPS} * i + j div __w) * 3, 256)"
+    )
+    adler_a = (
+        f"pmod(1 + aggregate(sequence(0, {n_i} - 1), 0L,"
+        f" (sa, j) -> sa + {v_j}), 65521)"
+    )
+    adler_b = (
+        f"pmod({n_i} + aggregate(sequence(0, {n_i} - 1), 0L,"
+        f" (sb, j) -> sb + ({n_i} - j) * {v_j}), 65521)"
+    )
+    zstrip = (
+        f"concat(X'780101', {le16.format(v=n_i)},"
+        f" {le16.format(v=f'65535 - {n_i}')},"
+        f" substr(__px, {_L8M_RPS} * __w * i + 1, {n_i}),"
+        f" unhex(lpad(hex({adler_b} * 65536 + {adler_a}), 8, '0')))"
+    )
+    zbody = (
+        f"aggregate(transform(sequence(0, {s} - 1), i -> {zstrip}),"
+        " CAST('' AS BINARY), (acc, bv) -> concat(acc, bv))"
+    )
     tiff = (
         f"concat(X'49492A00', {le32.format(v='8')},"
         f" {ifd},"
         f" {to_le32_bin.format(arr=off_arr)},"
         f" {to_le32_bin.format(arr=cnt_arr)},"
-        f" {pixels})"
+        f" CASE WHEN {deflate} THEN {zbody} ELSE __px END)"
     )
     return {
         "w": "CAST(doc_id % 19 + 4 AS INT)",
         "h": "CAST(doc_id % 15 + 5 AS INT)",
         "strips": f"CAST(ceil(__h / {_L8M_RPS}.0) AS INT)",
+        "pixels": pixels,
         "tiff": tiff,
     }
 
@@ -3473,9 +3618,11 @@ ORDER BY doc_id
 def l8m_tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL TIFF decode under an exact oracle: SQL-synthesized
     multi-strip little-endian grayscale TIFFs (full IFD with nine tags,
-    out-of-line strip tables) -> IFD walk + strip assembly in
-    mapInPandas -> exact pixel and position-weighted sums, re-derived
-    by DuckDB from the pixel formula alone."""
+    out-of-line strip tables; odd doc_ids carry DEFLATE-compressed
+    strips as SQL-built zlib streams with SQL-folded Adler-32, r9) ->
+    IFD walk + per-strip decompression + assembly in mapInPandas ->
+    exact pixel and position-weighted sums, re-derived by DuckDB from
+    the pixel formula alone."""
     import pandas as pd
 
     e = _synth_tiff_exprs()
@@ -3487,6 +3634,7 @@ def l8m_tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(e["h"]).alias("__h"),
         )
         .withColumn("__s", F.expr(e["strips"]))
+        .withColumn("__px", F.expr(e["pixels"]))
         .select("doc_id", F.expr(e["tiff"]).alias("blob"))
     )
     out_schema = StructType(
@@ -3632,6 +3780,7 @@ def l8n_media_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(je["h"]).alias("__jh"),
         )
         .withColumn("__s", F.expr(te["strips"]))
+        .withColumn("__px", F.expr(te["pixels"]))
         .withColumn("__jnm", F.expr(_j(je["nmcus"])))
         # only JPEG rows pay the bit-packing work
         .withColumn(

@@ -1103,8 +1103,83 @@ def test_s21_gzip_multiblock_and_unicode(spark, tmp_path_factory):
 # files, RGB (3 samples, out-of-line BitsPerSample), single-strip
 # INLINE strip tables (value-in-field rule), and WhiteIsZero.
 # --------------------------------------------------------------------------
-def _tiff_bytes(px, big_endian=False, white_is_zero=False, rows_per_strip=None):
+def _tiff_packbits_encode(data):
+    """Real PackBits: repeat runs >= 3 become (257-n, byte); literals
+    chunked at 128."""
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 3:
+            out += bytes([257 - run, data[i]])
+            i += run
+            continue
+        lit = i
+        while (
+            i < n
+            and i - lit < 128
+            and not (i + 2 < n and data[i] == data[i + 1] == data[i + 2])
+        ):
+            i += 1
+        out += bytes([i - lit - 1]) + data[lit:i]
+    return bytes(out)
+
+
+def _tiff_lzw_encode(data):
+    """Real TIFF LZW: MSB-first packing, ClearCode 256 / EOI 257,
+    EARLY code-width change (grow when the next code to assign is
+    2^width - 1), clear at the 4094-entry cap."""
+    bits = []
+
+    def emit(code, width):
+        for i in range(width - 1, -1, -1):
+            bits.append((code >> i) & 1)
+
+    table = {bytes([i]): i for i in range(256)}
+    nxt, width = 258, 9
+    emit(256, 9)  # initial clear
+    cur = b""
+    for byte in data:
+        cand = cur + bytes([byte])
+        if cand in table:
+            cur = cand
+            continue
+        emit(table[cur], width)
+        table[cand] = nxt
+        nxt += 1
+        # EARLY change: width must grow as soon as the next code to
+        # EMIT could be nxt-1... spec: when nxt == 2^width - 1
+        if nxt == (1 << width) - 1 and width < 12:
+            width += 1
+        if nxt >= 4094:
+            emit(256, width)  # clear
+            table = {bytes([i]): i for i in range(256)}
+            nxt, width = 258, 9
+        cur = bytes([byte])
+    if cur:
+        emit(table[cur], width)
+    emit(257, width)  # EOI
+    while len(bits) % 8:
+        bits.append(0)
+    return bytes(
+        sum(b << (7 - j) for j, b in enumerate(bits[i : i + 8]))
+        for i in range(0, len(bits), 8)
+    )
+
+
+def _tiff_bytes(
+    px,
+    big_endian=False,
+    white_is_zero=False,
+    rows_per_strip=None,
+    compression=1,
+    predictor=1,
+):
     import struct
+    import zlib
 
     import numpy as np
 
@@ -1114,14 +1189,20 @@ def _tiff_bytes(px, big_endian=False, white_is_zero=False, rows_per_strip=None):
     rps = rows_per_strip or h
     n_strips = (h + rps - 1) // rps
     body = (255 - px) if white_is_zero else px
+    if predictor == 2:  # horizontal differencing per channel, mod 256
+        d = body.astype(np.int64).copy()
+        d[:, 1:] = d[:, 1:] - body.astype(np.int64)[:, :-1]
+        body = (d % 256).astype(np.uint8)
     entries = []  # (tag, type, count, values)
     entries.append((256, 3, 1, [w]))
     entries.append((257, 3, 1, [h]))
     entries.append((258, 3, spp, [8] * spp))
-    entries.append((259, 3, 1, [1]))
+    entries.append((259, 3, 1, [compression]))
     entries.append((262, 3, 1, [0 if white_is_zero else 1]))
     entries.append((277, 3, 1, [spp]))
     entries.append((278, 3, 1, [rps]))
+    if predictor != 1:
+        entries.append((317, 3, 1, [predictor]))
     # strip tables appended later once offsets are known
     tsize = {3: 2, 4: 4}
     tfmt = {3: "H", 4: "I"}
@@ -1142,9 +1223,26 @@ def _tiff_bytes(px, big_endian=False, white_is_zero=False, rows_per_strip=None):
         return struct.pack(e + "I", off)
 
     # strip geometry: data goes after the pool; two passes since the
-    # pool grows as we add the strip tables themselves
+    # pool grows as we add the strip tables themselves. Compressed
+    # strips are built FIRST so their real byte sizes drive the offsets.
     strip_rows = [min(rps, h - i * rps) for i in range(n_strips)]
-    strip_sizes = [r * w * spp for r in strip_rows]
+    flat_body = body.reshape(h, -1)
+    strip_blobs = []
+    row = 0
+    for r in strip_rows:
+        raw = flat_body[row : row + r].tobytes()
+        row += r
+        if compression == 1:
+            strip_blobs.append(raw)
+        elif compression == 5:
+            strip_blobs.append(_tiff_lzw_encode(raw))
+        elif compression in (8, 32946):
+            strip_blobs.append(zlib.compress(raw))
+        elif compression == 32773:
+            strip_blobs.append(_tiff_packbits_encode(raw))
+        else:
+            raise AssertionError(f"test encoder: compression {compression}")
+    strip_sizes = [len(sb) for sb in strip_blobs]
     # reserve pool space for every out-of-line value: existing entries
     # past 4 bytes (e.g. RGB BitsPerSample, 3 SHORTs) plus the strip
     # tables if their LONG arrays don't fit inline
@@ -1175,11 +1273,8 @@ def _tiff_bytes(px, big_endian=False, white_is_zero=False, rows_per_strip=None):
     assert len(out) == after_ifd
     out += pool
     assert len(out) == data_base, (len(out), data_base)
-    flat = body.reshape(h, -1)
-    row = 0
-    for r in strip_rows:
-        out += flat[row : row + r].tobytes()
-        row += r
+    for sb in strip_blobs:
+        out += sb
     return bytes(out)
 
 
@@ -1202,6 +1297,45 @@ def test_tiff_decode_variants():
     assert (decode_tiff(_tiff_bytes(gray, white_is_zero=True)) == gray).all()
 
 
+def test_tiff_compressed_strips_roundtrip():
+    """r9: the strip compressions a real archive actually contains —
+    LZW (MSB-first, EARLY width change: the off-by-one that silently
+    corrupts a GIF-style decoder), Deflate (both codes), PackBits —
+    each multi-strip (per-strip codec reset) and each also paired with
+    the horizontal-differencing predictor, gray and RGB."""
+    import numpy as np
+
+    from lens_warehouse_spark.llm.multimodal import decode_tiff
+
+    rng = np.random.default_rng(29)
+    # smooth-ish content: runs for PackBits, dictionary hits for LZW
+    base = np.add.outer(np.arange(11) * 3, np.arange(17) * 2) % 200
+    gray = (base + rng.integers(0, 3, base.shape)).astype(np.uint8)
+    rgb = np.stack([gray, gray[::-1], gray % 97], axis=-1).astype(np.uint8)
+    for comp in (5, 8, 32946, 32773):
+        for pred in (1, 2):
+            for img in (gray, rgb):
+                blob = _tiff_bytes(
+                    img, rows_per_strip=4, compression=comp, predictor=pred
+                )
+                got = decode_tiff(blob)
+                assert got.shape == img.shape, (comp, pred, img.shape)
+                assert (got == img).all(), (comp, pred, img.shape)
+    # LZW with enough data to force code-width growth past 9 bits
+    big = rng.integers(0, 256, (40, 70), dtype=np.uint8)
+    assert (decode_tiff(_tiff_bytes(big, compression=5)) == big).all()
+    # big-endian + compression + predictor together
+    assert (
+        decode_tiff(
+            _tiff_bytes(
+                gray, big_endian=True, rows_per_strip=3,
+                compression=8, predictor=2,
+            )
+        )
+        == gray
+    ).all()
+
+
 def test_tiff_decode_error_paths():
     import numpy as np
     import pytest
@@ -1214,14 +1348,16 @@ def test_tiff_decode_error_paths():
         decode_tiff(b"notatiff")
     with pytest.raises(ValueError):
         decode_tiff(bytes(good[:30]))  # truncated IFD
-    # flip Compression (tag 259) to 5 (LZW): honest NotImplementedError
+    # flip Compression (tag 259) to 7 (TIFF-embedded JPEG, genuinely
+    # unsupported — 1/5/8/32773/32946 decode for real since r9):
+    # honest NotImplementedError
     import struct
 
     n = struct.unpack_from("<H", good, 8)[0]
     for i in range(n):
         off = 10 + 12 * i
         if struct.unpack_from("<H", good, off)[0] == 259:
-            struct.pack_into("<H", good, off + 8, 5)
+            struct.pack_into("<H", good, off + 8, 7)
     with pytest.raises(NotImplementedError, match="compression"):
         decode_tiff(bytes(good))
 
