@@ -1061,14 +1061,15 @@ def l8i_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # l8e manifest-join pointer pattern, never through the driver.
 # ---------------------------------------------------------------------------
 def decode_png(blob: bytes):
-    """(h, w, ch) uint8 pixels from a non-interlaced 8-bit RGB (color
-    type 2, ch=3) or RGBA (color type 6, ch=4) PNG — stdlib-only real
-    decode (zlib inflate + filter reconstruction).
-
-    Handles both non-interlaced and Adam7-interlaced streams (r9).
-    ValueError on malformed structure or a failed CRC-32/Adler-32;
-    NotImplementedError for PNG features that need more than zlib
-    (palette, grayscale, 16-bit)."""
+    """Pixels from a PNG — stdlib-only real decode (zlib inflate +
+    filter reconstruction). Full color-type coverage (r9): 8/16-bit
+    grayscale (-> (h, w) uint8/uint16), gray+alpha (-> (h, w, 2)),
+    truecolor RGB/RGBA (-> (h, w, 3|4)), and 8-bit palette (PLTE
+    lookup -> (h, w, 3) uint8); non-interlaced and Adam7-interlaced.
+    Filtering operates on BYTES with the left neighbor bpp bytes back,
+    exactly as the spec defines for 16-bit samples. ValueError on
+    malformed structure or a failed CRC-32/Adler-32;
+    NotImplementedError only for sub-byte bit depths (1/2/4)."""
     import struct
     import zlib
 
@@ -1077,7 +1078,7 @@ def decode_png(blob: bytes):
     b = bytes(blob)
     if b[:8] != b"\x89PNG\r\n\x1a\n":
         raise ValueError("not a PNG signature")
-    pos, ihdr, idat = 8, None, []
+    pos, ihdr, idat, plte = 8, None, [], None
     while pos + 12 <= len(b):
         ln, typ = struct.unpack_from(">I4s", b, pos)
         if pos + 12 + ln > len(b):
@@ -1088,6 +1089,10 @@ def decode_png(blob: bytes):
             raise ValueError(f"CRC-32 mismatch in {typ!r} chunk")
         if typ == b"IHDR":
             ihdr = struct.unpack(">IIBBBBB", data)
+        elif typ == b"PLTE":
+            if len(data) % 3 or not data:
+                raise ValueError("PLTE length not a multiple of 3")
+            plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
         elif typ == b"IDAT":
             idat.append(data)
         elif typ == b"IEND":
@@ -1098,35 +1103,58 @@ def decode_png(blob: bytes):
     w, h, depth, ctype, comp, filt, interlace = ihdr
     if comp != 0 or filt != 0:
         raise ValueError("invalid compression/filter method fields")
-    if depth != 8 or ctype not in (2, 6) or interlace not in (0, 1):
+    ch_of = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+    depths = {0: (8, 16), 2: (8, 16), 3: (8,), 4: (8, 16), 6: (8, 16)}
+    if (
+        ctype not in ch_of
+        or depth not in depths[ctype]
+        or interlace not in (0, 1)
+    ):
         raise NotImplementedError(
             f"PNG feature beyond this decoder (depth={depth}, "
-            f"color_type={ctype}, interlace={interlace}): only "
-            f"8-bit RGB/RGBA, interlace 0/1"
+            f"color_type={ctype}, interlace={interlace}): 8/16-bit "
+            f"gray/RGB/gray+alpha/RGBA + 8-bit palette, interlace 0/1"
         )
-    ch = 3 if ctype == 2 else 4
+    if ctype == 3 and plte is None:
+        raise ValueError("paletted PNG without PLTE")
+    ch = ch_of[ctype]
+    bps = depth // 8  # bytes per sample
+    bpp = ch * bps
     raw = zlib.decompress(b"".join(idat))  # Adler-32 verified by zlib
+    out = np.zeros((h, w * bpp), dtype=np.uint8)
     if interlace == 0:
-        sub, used = _png_unfilter(raw, 0, h, w, ch)
+        sub, used = _png_unfilter(raw, 0, h, w * bpp, bpp)
         if used != len(raw):
             raise ValueError("decompressed IDAT length mismatch")
-        return sub.reshape(h, w, ch)
-    # Adam7 (r9): seven independently-filtered reduced images, each
-    # placed on its (x0, y0, dx, dy) lattice. Empty passes contribute
-    # zero bytes (no filter byte either), per the spec.
-    out = np.zeros((h, w, ch), dtype=np.uint8)
-    off = 0
-    for x0, y0, dx, dy in _PNG_ADAM7:
-        pw = (w - x0 + dx - 1) // dx
-        ph = (h - y0 + dy - 1) // dy
-        if pw <= 0 or ph <= 0:
-            continue
-        sub, used = _png_unfilter(raw, off, ph, pw, ch)
-        off += used
-        out[y0::dy, x0::dx] = sub.reshape(ph, pw, ch)
-    if off != len(raw):
-        raise ValueError("decompressed IDAT length mismatch")
-    return out
+        out = sub
+    else:
+        # Adam7: seven independently-filtered reduced images, each
+        # placed on its (x0, y0, dx, dy) lattice. Empty passes
+        # contribute zero bytes (no filter byte either), per the spec.
+        out3 = np.zeros((h, w, bpp), dtype=np.uint8)
+        off = 0
+        for x0, y0, dx, dy in _PNG_ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            sub, used = _png_unfilter(raw, off, ph, pw * bpp, bpp)
+            off += used
+            out3[y0::dy, x0::dx] = sub.reshape(ph, pw, bpp)
+        if off != len(raw):
+            raise ValueError("decompressed IDAT length mismatch")
+        out = out3.reshape(h, w * bpp)
+    if ctype == 3:  # palette indices -> RGB
+        idx = out.reshape(h, w)
+        if int(idx.max(initial=0)) >= len(plte):
+            raise ValueError("palette index beyond PLTE")
+        return plte[idx]
+    if depth == 16:  # big-endian sample pairs -> uint16
+        px16 = out.reshape(h, w, ch, 2).astype(np.uint16)
+        px = (px16[..., 0] << 8) | px16[..., 1]
+        return px.reshape(h, w) if ch == 1 else px
+    px = out.reshape(h, w, ch)
+    return px.reshape(h, w) if ch == 1 else px
 
 
 _PNG_ADAM7 = [
@@ -1135,16 +1163,16 @@ _PNG_ADAM7 = [
 ]
 
 
-def _png_unfilter(raw: bytes, off: int, h: int, w: int, ch: int):
-    """Reconstruct one (sub-)image of h scanlines from filtered bytes
-    at ``off``. Returns (uint8 (h, w*ch) array, bytes consumed).
-    Sub/Average/Paeth reconstruction is sequential in x by definition
-    (each byte depends on the RECONSTRUCTED left neighbor) — the
-    per-row Python loop is bounded by the row stride; Up/None rows
-    stay vectorized."""
+def _png_unfilter(raw: bytes, off: int, h: int, stride: int, bpp: int):
+    """Reconstruct one (sub-)image of h scanlines (each ``stride``
+    filtered bytes after the filter byte; the left-neighbor offset is
+    ``bpp`` bytes = channels x bytes-per-sample). Returns (uint8
+    (h, stride) array, bytes consumed). Sub/Average/Paeth
+    reconstruction is sequential in x by definition (each byte depends
+    on the RECONSTRUCTED left neighbor) — the per-row Python loop is
+    bounded by the row stride; Up/None rows stay vectorized."""
     import numpy as np
 
-    stride = w * ch
     if off + h * (1 + stride) > len(raw):
         raise ValueError("decompressed IDAT length mismatch")
     out = np.empty((h, stride), dtype=np.uint8)
@@ -1156,19 +1184,19 @@ def _png_unfilter(raw: bytes, off: int, h: int, w: int, ch: int):
         if ft == 0:
             pass
         elif ft == 1:  # Sub
-            for i in range(ch, stride):
-                line[i] = (int(line[i]) + int(line[i - ch])) & 0xFF
+            for i in range(bpp, stride):
+                line[i] = (int(line[i]) + int(line[i - bpp])) & 0xFF
         elif ft == 2:  # Up (vectorized: no intra-row dependency)
             line += prev
         elif ft == 3:  # Average
             for i in range(stride):
-                left = int(line[i - ch]) if i >= ch else 0
+                left = int(line[i - bpp]) if i >= bpp else 0
                 line[i] = (int(line[i]) + ((left + int(prev[i])) >> 1)) & 0xFF
         elif ft == 4:  # Paeth
             for i in range(stride):
-                a = int(line[i - ch]) if i >= ch else 0
+                a = int(line[i - bpp]) if i >= bpp else 0
                 bb = int(prev[i])
-                c = int(prev[i - ch]) if i >= ch else 0
+                c = int(prev[i - bpp]) if i >= bpp else 0
                 pa, pb, pc = abs(bb - c), abs(a - c), abs(a + bb - 2 * c)
                 pred = a if (pa <= pb and pa <= pc) else (bb if pb <= pc else c)
                 line[i] = (int(line[i]) + pred) & 0xFF
@@ -3366,8 +3394,10 @@ def decode_tiff(blob: bytes):
     real (r9): none (1), LZW (5, MSB-first early-change), Deflate
     (8 / legacy 32946, stdlib zlib), PackBits (32773); plus the
     horizontal-differencing predictor (tag 317 = 2) LZW/Deflate files
-    almost always pair with. ValueError on malformed structure;
-    NotImplementedError for tiled, paletted or non-8-bit files."""
+    almost always pair with, and 8-bit palette files (photometric 3,
+    ColorMap tag, 16-bit entries scaled to 8, r9). ValueError on
+    malformed structure; NotImplementedError for tiled or non-8-bit
+    files and JPEG-in-TIFF."""
     import struct
 
     import numpy as np
@@ -3419,8 +3449,14 @@ def decode_tiff(blob: bytes):
     bits = tags.get(258, [8])
     if set(bits) != {8}:
         raise NotImplementedError(f"non-8-bit TIFF samples {bits}")
-    if photo == 3:
-        raise NotImplementedError("paletted TIFF out of scope")
+    cmap = None
+    if photo == 3:  # paletted (r9): ColorMap = 3 x 2^bits 16-bit rows
+        if 320 not in tags:
+            raise ValueError("paletted TIFF without ColorMap")
+        cm = tags[320]
+        if len(cm) != 3 * 256:
+            raise ValueError(f"ColorMap length {len(cm)} != 768")
+        cmap = np.array(cm, dtype=np.uint16).reshape(3, 256).T
     if 322 in tags or 323 in tags:
         raise NotImplementedError("tiled TIFF out of scope")
     if spp not in (1, 3):
@@ -3465,6 +3501,8 @@ def decode_tiff(blob: bytes):
         px = np.cumsum(px.astype(np.int64), axis=1).astype(np.uint8)
     if photo == 0:  # WhiteIsZero: invert to the BlackIsZero convention
         px = 255 - px
+    if cmap is not None:  # index -> 16-bit colormap, scaled to 8-bit
+        px = (cmap[px.reshape(h, w)] >> 8).astype(np.uint8)
     return px
 
 

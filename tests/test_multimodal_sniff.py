@@ -377,50 +377,74 @@ def test_decode_y4m_error_paths():
 # zlib.compress output (dynamic-Huffman deflate, which the stored-block
 # SQL path never produces) and applies filters with its own numpy code.
 # --------------------------------------------------------------------------
-def _encode_png(px, filters=None, level=6, interlace=False):
-    """Minimal test-side PNG encoder: (h, w, ch) uint8 -> PNG bytes
-    with a chosen per-row filter list (default all-zero). With
-    ``interlace`` the image is split into the seven Adam7 passes, each
-    filtered independently (filters then apply per pass-row)."""
+def _png_mode(px, palette):
+    """(ctype, depth, bpp, byte-plane (h, w*bpp) int64) for any input:
+    uint8/uint16 gray (h,w), gray+alpha (h,w,2), RGB/RGBA (h,w,3|4),
+    or palette indices (h,w) when ``palette`` is given."""
+    import numpy as np
+
+    h, w = px.shape[:2]
+    if palette is not None:
+        return 3, 8, 1, px.reshape(h, w).astype(np.int64)
+    ch = 1 if px.ndim == 2 else px.shape[2]
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    if px.dtype == np.uint16:
+        arr = px.reshape(h, w * ch).astype(np.int64)
+        flat = np.empty((h, w * ch * 2), np.int64)
+        flat[:, 0::2] = arr >> 8
+        flat[:, 1::2] = arr & 0xFF
+        return ctype, 16, ch * 2, flat
+    return ctype, 8, ch, px.reshape(h, -1).astype(np.int64)
+
+
+def _encode_png(px, filters=None, level=6, interlace=False, palette=None):
+    """Minimal test-side PNG encoder covering every decoder mode:
+    gray / gray+alpha / RGB / RGBA at 8 or 16 bits (dtype-driven) and
+    8-bit palette (pass indices + ``palette``), with a chosen per-row
+    filter list (default all-zero). With ``interlace`` the image is
+    split into the seven Adam7 passes, each filtered independently
+    (filters then apply per pass-row)."""
     import struct
     import zlib
 
     import numpy as np
 
-    h, w, ch = px.shape
+    h, w = px.shape[:2]
+    ctype, depth, bpp, _flat = _png_mode(px, palette)
     if interlace:
-        passes = [
-            px[y0::dy, x0::dx]
-            for x0, y0, dx, dy in
-            [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
-             (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
-        ]
         body = bytearray()
         fi = 0
-        for sub in passes:
+        for x0, y0, dx, dy in [
+            (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+            (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+        ]:
+            sub = px[y0::dy, x0::dx]
             if sub.size == 0:
                 continue
             sh = sub.shape[0]
             fl = (filters or [0] * 1000)[fi : fi + sh]
             fl = list(fl) + [0] * (sh - len(fl))
             fi += sh
-            inner = _encode_png(np.ascontiguousarray(sub), fl, level=0)
+            inner = _encode_png(
+                np.ascontiguousarray(sub), fl, level=0, palette=palette
+            )
             # strip container: keep only the filtered scanline bytes
-            raw = zlib.decompress(_png_idat(inner))
-            body += raw
-        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2 if ch == 3 else 6, 0, 0, 1)
-        return _png_container(ihdr, zlib.compress(bytes(body), level))
+            body += zlib.decompress(_png_idat(inner))
+        ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, 1)
+        return _png_container(
+            ihdr, zlib.compress(bytes(body), level), palette
+        )
     filters = filters if filters is not None else [0] * h
-    stride = w * ch
-    flat = px.reshape(h, stride).astype(np.int64)
+    stride = w * bpp
+    flat = _flat
     out = bytearray()
     for y in range(h):
         ft = filters[y]
         cur = flat[y]
-        left = np.concatenate([np.zeros(ch, np.int64), cur[:-ch]])
+        left = np.concatenate([np.zeros(bpp, np.int64), cur[:-bpp]])
         up = flat[y - 1] if y else np.zeros(stride, np.int64)
         upl = (
-            np.concatenate([np.zeros(ch, np.int64), flat[y - 1][:-ch]])
+            np.concatenate([np.zeros(bpp, np.int64), flat[y - 1][:-bpp]])
             if y
             else np.zeros(stride, np.int64)
         )
@@ -440,12 +464,11 @@ def _encode_png(px, filters=None, level=6, interlace=False):
             )
         out.append(ft)
         out += ((cur - pred) % 256).astype(np.uint8).tobytes()
-    ctype = 2 if ch == 3 else 6
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
-    return _png_container(ihdr, zlib.compress(bytes(out), level))
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, 0)
+    return _png_container(ihdr, zlib.compress(bytes(out), level), palette)
 
 
-def _png_container(ihdr_payload, idat_payload):
+def _png_container(ihdr_payload, idat_payload, palette=None):
     import struct
     import zlib
 
@@ -457,9 +480,15 @@ def _png_container(ihdr_payload, idat_payload):
             + struct.pack(">I", zlib.crc32(t + d))
         )
 
+    plte = (
+        chunk(b"PLTE", palette.astype("uint8").tobytes())
+        if palette is not None
+        else b""
+    )
     return (
         b"\x89PNG\r\n\x1a\n"
         + chunk(b"IHDR", ihdr_payload)
+        + plte
         + chunk(b"IDAT", idat_payload)
         + chunk(b"IEND", b"")
     )
@@ -546,7 +575,7 @@ def test_png_error_paths():
         decode_png(bytes(blob))
     with pytest.raises(ValueError, match="signature"):
         decode_png(b"not a png at all")
-    # grayscale (color type 0) is honestly out of this decoder's scope
+    # hand-built grayscale (color type 0) decodes since r9
     import struct
     import zlib
 
@@ -564,8 +593,7 @@ def test_png_error_paths():
         + chunk(b"IDAT", zlib.compress(b"\x00\x01\x02\x00\x03\x04"))
         + chunk(b"IEND", b"")
     )
-    with pytest.raises(NotImplementedError):
-        decode_png(gray)
+    assert (decode_png(gray) == np.array([[1, 2], [3, 4]])).all()
     # truncated chunk length field
     with pytest.raises(ValueError):
         decode_png(bytes(_encode_png(px))[:20])
@@ -1177,6 +1205,7 @@ def _tiff_bytes(
     rows_per_strip=None,
     compression=1,
     predictor=1,
+    palette=None,
 ):
     import struct
     import zlib
@@ -1198,11 +1227,15 @@ def _tiff_bytes(
     entries.append((257, 3, 1, [h]))
     entries.append((258, 3, spp, [8] * spp))
     entries.append((259, 3, 1, [compression]))
-    entries.append((262, 3, 1, [0 if white_is_zero else 1]))
+    photo = 3 if palette is not None else (0 if white_is_zero else 1)
+    entries.append((262, 3, 1, [photo]))
     entries.append((277, 3, 1, [spp]))
     entries.append((278, 3, 1, [rps]))
     if predictor != 1:
         entries.append((317, 3, 1, [predictor]))
+    if palette is not None:  # ColorMap: 16-bit, all-R then all-G then all-B
+        cmap = (palette.astype(np.uint32) * 257).astype(np.uint16)
+        entries.append((320, 3, 768, list(cmap.T.reshape(-1))))
     # strip tables appended later once offsets are known
     tsize = {3: 2, 4: 4}
     tfmt = {3: "H", 4: "I"}
@@ -2369,3 +2402,76 @@ def test_sniff_flac():
     blob = _flac_bytes([s], 64, [("indep", [("verbatim",)])])
     assert sniff_media(blob) == ("flac", None, None)
     assert sniff_media(b"fLaX nope") == ("unknown", None, None)
+
+
+def test_png_all_color_types_and_depths():
+    """r9: gray / gray+alpha / 16-bit / palette PNGs decode for real,
+    with filters cycling (16-bit filtering is bytewise with the left
+    neighbor bpp bytes back — the spec subtlety a naive per-sample
+    filter gets wrong), plus interlace combinations."""
+    import numpy as np
+
+    from lens_warehouse_spark.llm.multimodal import decode_png
+
+    rng = np.random.default_rng(31)
+    fl = [0, 1, 2, 3, 4, 1, 3, 4, 2, 0, 4, 3]
+    gray = rng.integers(0, 256, (9, 7), dtype=np.uint8)
+    got = decode_png(_encode_png(gray, fl))
+    assert got.shape == (9, 7) and (got == gray).all()
+    ga = rng.integers(0, 256, (6, 5, 2), dtype=np.uint8)
+    assert (decode_png(_encode_png(ga, fl)) == ga).all()
+    g16 = rng.integers(0, 65536, (7, 4), dtype=np.uint16)
+    got = decode_png(_encode_png(g16, fl))
+    assert got.dtype == np.uint16 and (got == g16).all()
+    rgb16 = rng.integers(0, 65536, (5, 6, 3), dtype=np.uint16)
+    assert (decode_png(_encode_png(rgb16, fl)) == rgb16).all()
+    rgba16 = rng.integers(0, 65536, (4, 4, 4), dtype=np.uint16)
+    assert (decode_png(_encode_png(rgba16, fl)) == rgba16).all()
+    pal = rng.integers(0, 256, (256, 3), dtype=np.uint8)
+    idx = rng.integers(0, 256, (8, 9), dtype=np.uint8)
+    got = decode_png(_encode_png(idx, fl, palette=pal))
+    assert got.shape == (8, 9, 3) and (got == pal[idx]).all()
+    # interlaced variants of the new modes
+    assert (decode_png(_encode_png(g16, fl, interlace=True)) == g16).all()
+    got = decode_png(_encode_png(idx, fl, interlace=True, palette=pal))
+    assert (got == pal[idx]).all()
+    # palette index beyond a short PLTE: malformed, not a crash
+    import pytest
+
+    short = pal[:16]
+    idx_hi = np.full((3, 3), 200, dtype=np.uint8)
+    with pytest.raises(ValueError, match="palette index"):
+        decode_png(_encode_png(idx_hi, palette=short))
+    # sub-byte depth: honest NotImplementedError
+    blob = bytearray(_encode_png(gray))
+    import struct
+    import zlib
+
+    ihdr = bytearray(blob[16:29])
+    ihdr[8] = 4  # depth byte inside IHDR payload
+    crc = zlib.crc32(b"IHDR" + bytes(ihdr))
+    blob[16:29] = ihdr
+    blob[29:33] = struct.pack(">I", crc)
+    with pytest.raises(NotImplementedError):
+        decode_png(bytes(blob))
+
+
+def test_tiff_palette_roundtrip():
+    import numpy as np
+
+    from lens_warehouse_spark.llm.multimodal import decode_tiff
+
+    rng = np.random.default_rng(37)
+    pal = rng.integers(0, 256, (256, 3), dtype=np.uint8)
+    idx = rng.integers(0, 256, (10, 6), dtype=np.uint8)
+    # the x257 colormap scaling makes >>8 the exact inverse
+    got = decode_tiff(_tiff_bytes(idx, palette=pal))
+    assert got.shape == (10, 6, 3) and (got == pal[idx]).all()
+    # palette + compression together
+    got = decode_tiff(
+        _tiff_bytes(idx, palette=pal, compression=8, rows_per_strip=4)
+    )
+    assert (got == pal[idx]).all()
+    # big-endian palette (out-of-line SHORT array, MM byte order)
+    got = decode_tiff(_tiff_bytes(idx, palette=pal, big_endian=True))
+    assert (got == pal[idx]).all()
