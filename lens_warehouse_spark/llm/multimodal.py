@@ -548,10 +548,13 @@ def l8c_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # indexing per blob, no Python per-pixel loops.
 # ---------------------------------------------------------------------------
 def decode_pixels(blob: bytes):
-    """(h, w, 3) uint8 pixels for P6 PPM / 24-bit BI_RGB BMP payloads.
+    """(h, w, 3) uint8 pixels for any image payload this module can
+    decode: P6 PPM, BI_RGB BMP (24-bit and 8-bit paletted, r9), PNG,
+    GIF, JPEG and TIFF (gray planes stack to 3 channels; 16-bit PNG
+    downscales to its high byte for this preview path).
 
     Raises ValueError on malformed input of a recognized format and
-    NotImplementedError for formats that need a real codec."""
+    NotImplementedError for formats that need a missing codec."""
     import re
     import struct
 
@@ -583,30 +586,60 @@ def decode_pixels(blob: bytes):
         w, h = struct.unpack_from("<ii", b, 18)
         bpp = struct.unpack_from("<H", b, 28)[0]
         comp = struct.unpack_from("<I", b, 30)[0]
-        if dib < 40 or bpp != 24 or comp != 0:
+        if dib < 40 or bpp not in (8, 24) or comp != 0:
             raise NotImplementedError(
                 f"BMP variant unsupported without a codec (dib={dib}, "
                 f"bpp={bpp}, compression={comp})"
             )
         top_down = h < 0
         h = abs(h)
-        stride = (w * 3 + 3) & ~3  # rows pad to 4 bytes
-        need = off + stride * h
-        if len(b) < need:
-            raise ValueError("truncated BMP payload")
-        rows = np.frombuffer(b, dtype=np.uint8, offset=off, count=stride * h)
-        rows = rows.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+        if bpp == 8:  # r9: paletted BMP (BGRA quads after the DIB header)
+            n_colors = struct.unpack_from("<I", b, 46)[0] or 256
+            pal_off = 14 + dib
+            if pal_off + 4 * n_colors > len(b):
+                raise ValueError("truncated BMP palette")
+            pal = np.frombuffer(
+                b, np.uint8, 4 * n_colors, pal_off
+            ).reshape(n_colors, 4)[:, :3]  # BGR per entry
+            stride = (w + 3) & ~3
+            if off + stride * h > len(b):
+                raise ValueError("truncated BMP payload")
+            idx = np.frombuffer(b, np.uint8, stride * h, off)
+            idx = idx.reshape(h, stride)[:, :w]
+            if int(idx.max(initial=0)) >= n_colors:
+                raise ValueError("BMP pixel index beyond palette")
+            rows = pal[idx]
+        else:
+            stride = (w * 3 + 3) & ~3  # rows pad to 4 bytes
+            need = off + stride * h
+            if len(b) < need:
+                raise ValueError("truncated BMP payload")
+            rows = np.frombuffer(b, dtype=np.uint8, offset=off, count=stride * h)
+            rows = rows.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
         if not top_down:
             rows = rows[::-1]  # BMP stores bottom-up
         return rows[..., ::-1].copy()  # BGR -> RGB
     if b[:8] == b"\x89PNG\r\n\x1a\n":
-        # r8: PNG is a REAL decode now (stdlib zlib entropy layer —
-        # decode_png below); alpha drops here because this 3-channel
-        # path feeds the P6 resize/re-encode pipeline.
-        return decode_png(b)[..., :3]
+        # PNG is a REAL decode (stdlib zlib — decode_png below); gray
+        # planes stack to 3 channels and alpha drops because this
+        # 3-channel path feeds the P6 resize/re-encode pipeline.
+        px = decode_png(b)
+        if px.ndim == 2:
+            px = np.stack([px, px, px], axis=-1)
+        if px.dtype != np.uint8:
+            px = (px >> 8).astype(np.uint8)  # 16-bit -> 8-bit preview
+        return px[..., :3] if px.shape[2] >= 3 else np.repeat(px[..., :1], 3, 2)
     fmt, _, _ = sniff_media(b)
-    # jpeg/gif stay out of scope DELIBERATELY: their entropy layers
-    # (Huffman-coded DCT, LZW) have no stdlib decoder. PNG's does.
+    # r9: every image codec in this module routes here now — the
+    # entropy layers (Huffman DCT, LZW, Rice) are implemented above.
+    if fmt == "gif":
+        return decode_gif(b)
+    if fmt == "jpeg":
+        px = decode_jpeg(b)
+        return px if px.ndim == 3 else np.stack([px, px, px], axis=-1)
+    if fmt == "tiff":
+        px = decode_tiff(b)
+        return px if px.ndim == 3 else np.stack([px, px, px], axis=-1)
     raise NotImplementedError(f"no codec for format {fmt!r} in this environment")
 
 

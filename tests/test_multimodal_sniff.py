@@ -252,17 +252,21 @@ def test_decode_pixels_error_paths():
 
     from lens_warehouse_spark.llm.multimodal import decode_pixels
 
-    with pytest.raises(NotImplementedError):  # LZW format, no stdlib codec
-        decode_pixels(b"GIF89a" + b"\x00" * 24)
+    with pytest.raises(ValueError):  # GIF routes to the real decoder
+        decode_pixels(b"GIF89a" + b"\x00" * 24)  # (r9): garbage body
     with pytest.raises(ValueError):  # PNG decodes for real now (r8) —
         decode_pixels(b"\x89PNG\r\n\x1a\n" + b"\x00" * 24)  # garbage body
     with pytest.raises(ValueError):  # truncated PPM body
         decode_pixels(b"P6\n4 4\n255\n\x00\x00")
     with pytest.raises(ValueError):  # malformed header
         decode_pixels(b"P6garbage")
-    with pytest.raises(NotImplementedError):  # 8-bit BMP needs a palette
+    with pytest.raises(ValueError):  # flipping a 24-bit header to 8-bit
+        bad = bytearray(_bmp_bytes(_pattern(2, 2)))  # leaves no palette
+        bad[28] = 8  # room: ValueError, not a mis-decode (r9)
+        decode_pixels(bytes(bad))
+    with pytest.raises(NotImplementedError):  # RLE-compressed BMP
         bad = bytearray(_bmp_bytes(_pattern(2, 2)))
-        bad[28] = 8
+        bad[30] = 1  # BI_RLE8
         decode_pixels(bytes(bad))
     with pytest.raises(ValueError):  # truncated BMP body
         decode_pixels(_bmp_bytes(_pattern(4, 4))[:-8])
@@ -2475,3 +2479,126 @@ def test_tiff_palette_roundtrip():
     # big-endian palette (out-of-line SHORT array, MM byte order)
     got = decode_tiff(_tiff_bytes(idx, palette=pal, big_endian=True))
     assert (got == pal[idx]).all()
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    nframes=st.integers(1, 4),
+    bsz=st.sampled_from([32, 64, 96]),
+    stereo=st.booleans(),
+    seed=st.integers(0, 2**31 - 1),
+    data=st.data(),
+)
+def test_flac_property_random_plans(nframes, bsz, stereo, seed, data):
+    """Random samples through random per-frame subframe plans (all
+    predictors, rice params, partitions, stereo modes) must round-trip
+    exactly — FLAC is lossless by construction, so any bit slip is a
+    decoder bug."""
+    import numpy as np
+
+    from lens_warehouse_spark.llm.multimodal import decode_flac
+
+    rng = np.random.default_rng(seed)
+    n = nframes * bsz
+    left = np.cumsum(rng.integers(-300, 300, n)).clip(-30000, 30000)
+    chans = [left]
+    if stereo:
+        chans.append(
+            (left + np.cumsum(rng.integers(-50, 50, n))).clip(-30000, 30000)
+        )
+
+    def sub_plan():
+        kind = data.draw(
+            st.sampled_from(["constant", "verbatim", "fixed", "lpc", "escape"])
+        )
+        if kind == "constant":
+            return ("verbatim",)  # random samples are rarely constant
+        if kind == "verbatim":
+            return ("verbatim",)
+        if kind == "escape":
+            return ("fixed_escape", data.draw(st.integers(0, 4)), 18)
+        if kind == "lpc":
+            return ("lpc", [2, -1], 1, 5,
+                    data.draw(st.integers(0, 1)), [14, 14])
+        order = data.draw(st.integers(0, 4))
+        porder = data.draw(st.integers(0, 2))
+        params = [data.draw(st.integers(4, 14)) for _ in range(1 << porder)]
+        return ("fixed", order, porder, params)
+
+    plans = []
+    for _f in range(nframes):
+        if stereo:
+            ca = data.draw(
+                st.sampled_from(["indep", "left_side", "right_side", "mid_side"])
+            )
+            plans.append((ca, [sub_plan(), sub_plan()]))
+        else:
+            plans.append(("indep", [sub_plan()]))
+    rate, nch, got = decode_flac(_flac_bytes(chans, bsz, plans))
+    assert nch == len(chans)
+    for ci, c in enumerate(chans):
+        assert (got[:, ci] == c).all()
+
+
+def test_bmp_8bit_palette_roundtrip():
+    """r9: paletted BMP decodes through the BGRA color table, bottom-up
+    row order and 4-byte row padding included."""
+    import struct
+
+    import numpy as np
+
+    from lens_warehouse_spark.llm.multimodal import decode_pixels
+
+    rng = np.random.default_rng(41)
+    pal = rng.integers(0, 256, (256, 3), dtype=np.uint8)  # RGB
+    idx = rng.integers(0, 256, (6, 5), dtype=np.uint8)
+    h, w = idx.shape
+    stride = (w + 3) & ~3
+    quads = np.zeros((256, 4), np.uint8)
+    quads[:, :3] = pal[:, ::-1]  # BGR0 quads
+    rows = np.zeros((h, stride), np.uint8)
+    rows[:, :w] = idx[::-1]  # bottom-up
+    pix_off = 14 + 40 + 4 * 256
+    blob = (
+        b"BM"
+        + struct.pack("<IHHI", pix_off + stride * h, 0, 0, pix_off)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 8, 0, stride * h,
+                      2835, 2835, 256, 0)
+        + quads.tobytes()
+        + rows.tobytes()
+    )
+    got = decode_pixels(blob)
+    assert got.shape == (h, w, 3)
+    assert (got == pal[idx]).all()
+
+
+def test_decode_pixels_routes_all_codecs():
+    """r9: the generic pixel entry decodes every module codec — GIF,
+    gray and color JPEG, TIFF — not just PPM/BMP/PNG."""
+    import numpy as np
+
+    from lens_warehouse_spark.llm.multimodal import decode_pixels
+
+    rng = np.random.default_rng(43)
+    pal = rng.integers(0, 256, (256, 3), dtype=np.uint8)
+    idx = rng.integers(0, 256, (5, 7), dtype=np.uint8)
+    assert (decode_pixels(_gif_bytes(idx, pal)) == pal[idx]).all()
+    gray = rng.integers(0, 256, (9, 4), dtype=np.uint8)
+    assert (decode_pixels(_tiff_bytes(gray)) == np.stack([gray] * 3, -1)).all()
+    q = np.full(64, 64, np.int32)
+    q[0] = 8
+    blob, ref = _jpeg_bytes(
+        ((np.indices((8, 16)).sum(0) * 7) % 200 + 20).astype(np.uint8), q
+    )
+    assert (decode_pixels(blob) == np.stack([ref] * 3, -1)).all()
+    qc = np.full(64, 96, np.int32)
+    qc[0] = 16
+    cblob, cref = _jpeg_color_bytes(
+        _smooth_plane((16, 16), 1), _smooth_plane((8, 8), 2),
+        _smooth_plane((8, 8), 3), 2, 2, q, qc,
+    )
+    assert (decode_pixels(cblob) == cref).all()
+    # 16-bit PNG: high-byte preview on this 3-channel path
+    g16 = rng.integers(0, 65536, (4, 5), dtype=np.uint16)
+    got = decode_pixels(_encode_png(g16))
+    assert (got == np.stack([(g16 >> 8).astype(np.uint8)] * 3, -1)).all()
