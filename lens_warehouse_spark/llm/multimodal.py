@@ -778,10 +778,14 @@ def l8g_pixel_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # honestly out of scope, like png/jpeg on the image side.
 # ---------------------------------------------------------------------------
 def decode_audio(blob: bytes):
-    """(sample_rate, channels, int16 numpy array) from a PCM WAV blob.
+    """(sample_rate, channels, numpy sample array) from a PCM WAV blob.
+    Sample widths a real corpus contains (r9): 16-bit (-> int16),
+    8-bit unsigned (-> uint8 as stored, per the WAV convention that
+    sub-9-bit samples are offset-binary), 24-bit packed (-> int32),
+    32-bit int (-> int32) and 32-bit IEEE float (format 3 -> float32).
 
     ValueError on malformed RIFF/WAVE structure; NotImplementedError
-    for non-PCM encodings or bit depths that need a real codec."""
+    for compressed encodings (ADPCM, mu-law...) that need a codec."""
     import struct
 
     import numpy as np
@@ -801,19 +805,33 @@ def decode_audio(blob: bytes):
             audio_fmt, ch, rate, _br, _ba, bits = struct.unpack_from(
                 "<HHIIHH", body
             )
-            if audio_fmt != 1 or bits != 16:
+            if (audio_fmt, bits) not in (
+                (1, 8), (1, 16), (1, 24), (1, 32), (3, 32),
+            ):
                 raise NotImplementedError(
-                    f"non-PCM16 WAV needs a codec (fmt={audio_fmt}, bits={bits})"
+                    f"WAV encoding needs a codec (fmt={audio_fmt}, bits={bits})"
                 )
-            fmt = (rate, ch)
+            fmt = (rate, ch, audio_fmt, bits)
         elif cid == b"data":
             data = body
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if fmt is None or data is None:
         raise ValueError("missing fmt or data chunk")
-    if len(data) % 2:
-        raise ValueError("odd PCM16 data length")
-    return fmt[0], fmt[1], np.frombuffer(data, dtype="<i2")
+    rate, ch, audio_fmt, bits = fmt
+    if len(data) % (bits // 8):
+        raise ValueError(f"PCM{bits} data length not sample-aligned")
+    if audio_fmt == 3:
+        return rate, ch, np.frombuffer(data, dtype="<f4")
+    if bits == 8:
+        return rate, ch, np.frombuffer(data, dtype=np.uint8)
+    if bits == 16:
+        return rate, ch, np.frombuffer(data, dtype="<i2")
+    if bits == 32:
+        return rate, ch, np.frombuffer(data, dtype="<i4")
+    # 24-bit packed little-endian -> sign-extended int32
+    tri = np.frombuffer(data, np.uint8).reshape(-1, 3).astype(np.int32)
+    v = tri[:, 0] | (tri[:, 1] << 8) | (tri[:, 2] << 16)
+    return rate, ch, np.where(v >= 1 << 23, v - (1 << 24), v)
 
 
 _L8H_RATE = 8000

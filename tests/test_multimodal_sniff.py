@@ -2602,3 +2602,43 @@ def test_decode_pixels_routes_all_codecs():
     g16 = rng.integers(0, 65536, (4, 5), dtype=np.uint16)
     got = decode_pixels(_encode_png(g16))
     assert (got == np.stack([(g16 >> 8).astype(np.uint8)] * 3, -1)).all()
+
+
+def test_wav_sample_widths():
+    """r9: 8-bit unsigned, 24-bit packed, 32-bit int and 32-bit float
+    PCM WAVs decode exactly; compressed encodings still raise."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from lens_warehouse_spark.llm.multimodal import decode_audio
+
+    def wav(fmt_code, bits, payload, ch=1, rate=8000):
+        ba = ch * bits // 8
+        fmt = struct.pack("<HHIIHH", fmt_code, ch, rate, rate * ba, ba, bits)
+        out = b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(payload))
+        out += b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        out += b"data" + struct.pack("<I", len(payload)) + payload
+        if len(payload) % 2:
+            out += b"\x00"
+        return out
+
+    rng = np.random.default_rng(47)
+    u8 = rng.integers(0, 256, 33, dtype=np.uint8)
+    r, c, got = decode_audio(wav(1, 8, u8.tobytes()))
+    assert (r, c) == (8000, 1) and got.dtype == np.uint8 and (got == u8).all()
+    i24 = rng.integers(-(1 << 23), 1 << 23, 21).astype(np.int32)
+    raw = b"".join(
+        int(v & 0xFFFFFF).to_bytes(3, "little") for v in i24
+    )
+    _r, _c, got = decode_audio(wav(1, 24, raw))
+    assert got.dtype == np.int32 and (got == i24).all()
+    i32 = rng.integers(-(1 << 31), 1 << 31, 17).astype("<i4")
+    _r, _c, got = decode_audio(wav(1, 32, i32.tobytes()))
+    assert (got == i32).all()
+    f32 = rng.random(19).astype("<f4") * 2 - 1
+    _r, _c, got = decode_audio(wav(3, 32, f32.tobytes()))
+    assert got.dtype == np.float32 and (got == f32).all()
+    with pytest.raises(NotImplementedError):  # IMA ADPCM
+        decode_audio(wav(17, 4, b"\x00" * 8))
