@@ -1113,14 +1113,15 @@ def l8i_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 def decode_png(blob: bytes):
     """Pixels from a PNG — stdlib-only real decode (zlib inflate +
-    filter reconstruction). Full color-type coverage (r9): 8/16-bit
-    grayscale (-> (h, w) uint8/uint16), gray+alpha (-> (h, w, 2)),
-    truecolor RGB/RGBA (-> (h, w, 3|4)), and 8-bit palette (PLTE
+    filter reconstruction). Full color-type AND depth coverage (r9):
+    1/2/4/8/16-bit grayscale (-> (h, w) uint8, scaled to 8-bit for
+    sub-byte depths; uint16 for 16), gray+alpha (-> (h, w, 2)),
+    truecolor RGB/RGBA (-> (h, w, 3|4)), and 1/2/4/8-bit palette (PLTE
     lookup -> (h, w, 3) uint8); non-interlaced and Adam7-interlaced.
-    Filtering operates on BYTES with the left neighbor bpp bytes back,
-    exactly as the spec defines for 16-bit samples. ValueError on
-    malformed structure or a failed CRC-32/Adler-32;
-    NotImplementedError only for sub-byte bit depths (1/2/4)."""
+    Filtering operates on BYTES with the left neighbor bpp bytes back
+    (floor 1 for packed sub-byte rows), exactly as the spec defines.
+    ValueError on malformed structure, a failed CRC-32/Adler-32, or a
+    depth/color-type combination the spec forbids."""
     import struct
     import zlib
 
@@ -1155,23 +1156,58 @@ def decode_png(blob: bytes):
     if comp != 0 or filt != 0:
         raise ValueError("invalid compression/filter method fields")
     ch_of = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
-    depths = {0: (8, 16), 2: (8, 16), 3: (8,), 4: (8, 16), 6: (8, 16)}
+    depths = {
+        0: (1, 2, 4, 8, 16),
+        2: (8, 16),
+        3: (1, 2, 4, 8),
+        4: (8, 16),
+        6: (8, 16),
+    }
     if (
         ctype not in ch_of
         or depth not in depths[ctype]
         or interlace not in (0, 1)
     ):
-        raise NotImplementedError(
-            f"PNG feature beyond this decoder (depth={depth}, "
-            f"color_type={ctype}, interlace={interlace}): 8/16-bit "
-            f"gray/RGB/gray+alpha/RGBA + 8-bit palette, interlace 0/1"
+        raise ValueError(
+            f"invalid PNG depth/color-type combination (depth={depth}, "
+            f"color_type={ctype}, interlace={interlace})"
         )
     if ctype == 3 and plte is None:
         raise ValueError("paletted PNG without PLTE")
     ch = ch_of[ctype]
+    raw0 = zlib.decompress(b"".join(idat))  # Adler-32 verified by zlib
+    if depth < 8:  # sub-byte gray/palette (r9): MSB-first packed pixels
+        vals = np.zeros((h, w), dtype=np.uint8)
+        if interlace == 0:
+            stride = (w * depth + 7) // 8
+            sub, used = _png_unfilter(raw0, 0, h, stride, 1)
+            if used != len(raw0):
+                raise ValueError("decompressed IDAT length mismatch")
+            vals = _png_unpack_bits(sub, w, depth)
+        else:
+            off = 0
+            for x0, y0, dx, dy in _PNG_ADAM7:
+                pw = (w - x0 + dx - 1) // dx
+                ph = (h - y0 + dy - 1) // dy
+                if pw <= 0 or ph <= 0:
+                    continue
+                stride = (pw * depth + 7) // 8
+                sub, used = _png_unfilter(raw0, off, ph, stride, 1)
+                off += used
+                vals[y0::dy, x0::dx] = _png_unpack_bits(sub, pw, depth)
+            if off != len(raw0):
+                raise ValueError("decompressed IDAT length mismatch")
+        if ctype == 3:
+            if int(vals.max(initial=0)) >= len(plte):
+                raise ValueError("palette index beyond PLTE")
+            return plte[vals]
+        # gray: scale d-bit samples to 8-bit (v * 255 / (2^d - 1))
+        return (
+            vals.astype(np.uint16) * 255 // ((1 << depth) - 1)
+        ).astype(np.uint8)
     bps = depth // 8  # bytes per sample
     bpp = ch * bps
-    raw = zlib.decompress(b"".join(idat))  # Adler-32 verified by zlib
+    raw = raw0
     out = np.zeros((h, w * bpp), dtype=np.uint8)
     if interlace == 0:
         sub, used = _png_unfilter(raw, 0, h, w * bpp, bpp)
@@ -1212,6 +1248,20 @@ _PNG_ADAM7 = [
     (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
     (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
 ]
+
+
+def _png_unpack_bits(rows, w: int, depth: int):
+    """(h, stride) packed uint8 scanlines -> (h, w) d-bit sample
+    values, MSB-first within each byte (depth 1/2/4)."""
+    import numpy as np
+
+    per = 8 // depth
+    mask = (1 << depth) - 1
+    cols = [
+        (rows >> (8 - depth * (j + 1))) & mask for j in range(per)
+    ]
+    full = np.stack(cols, axis=-1).reshape(rows.shape[0], -1)
+    return full[:, :w]
 
 
 def _png_unfilter(raw: bytes, off: int, h: int, stride: int, bpp: int):

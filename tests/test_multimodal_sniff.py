@@ -381,13 +381,33 @@ def test_decode_y4m_error_paths():
 # zlib.compress output (dynamic-Huffman deflate, which the stored-block
 # SQL path never produces) and applies filters with its own numpy code.
 # --------------------------------------------------------------------------
-def _png_mode(px, palette):
-    """(ctype, depth, bpp, byte-plane (h, w*bpp) int64) for any input:
-    uint8/uint16 gray (h,w), gray+alpha (h,w,2), RGB/RGBA (h,w,3|4),
-    or palette indices (h,w) when ``palette`` is given."""
+def _png_pack_bits(vals, depth):
+    """(h, w) d-bit values -> (h, stride) packed bytes, MSB-first."""
+    import numpy as np
+
+    h, w = vals.shape
+    per = 8 // depth
+    pad = (-w) % per
+    v = np.concatenate(
+        [vals.astype(np.int64), np.zeros((h, pad), np.int64)], axis=1
+    ).reshape(h, -1, per)
+    out = np.zeros(v.shape[:2], np.int64)
+    for j in range(per):
+        out |= v[:, :, j] << (8 - depth * (j + 1))
+    return out
+
+
+def _png_mode(px, palette, depth=None):
+    """(ctype, depth, bpp, byte-plane (h, w*bpp or stride) int64) for
+    any input: uint8/uint16 gray (h,w), gray+alpha (h,w,2), RGB/RGBA
+    (h,w,3|4), palette indices (h,w) when ``palette`` is given, or
+    sub-byte packed gray/palette when ``depth`` in (1, 2, 4)."""
     import numpy as np
 
     h, w = px.shape[:2]
+    if depth in (1, 2, 4):
+        ctype = 3 if palette is not None else 0
+        return ctype, depth, 1, _png_pack_bits(px.reshape(h, w), depth)
     if palette is not None:
         return 3, 8, 1, px.reshape(h, w).astype(np.int64)
     ch = 1 if px.ndim == 2 else px.shape[2]
@@ -401,7 +421,8 @@ def _png_mode(px, palette):
     return ctype, 8, ch, px.reshape(h, -1).astype(np.int64)
 
 
-def _encode_png(px, filters=None, level=6, interlace=False, palette=None):
+def _encode_png(px, filters=None, level=6, interlace=False, palette=None,
+                depth=None):
     """Minimal test-side PNG encoder covering every decoder mode:
     gray / gray+alpha / RGB / RGBA at 8 or 16 bits (dtype-driven) and
     8-bit palette (pass indices + ``palette``), with a chosen per-row
@@ -414,7 +435,7 @@ def _encode_png(px, filters=None, level=6, interlace=False, palette=None):
     import numpy as np
 
     h, w = px.shape[:2]
-    ctype, depth, bpp, _flat = _png_mode(px, palette)
+    ctype, depth, bpp, _flat = _png_mode(px, palette, depth)
     if interlace:
         body = bytearray()
         fi = 0
@@ -430,7 +451,8 @@ def _encode_png(px, filters=None, level=6, interlace=False, palette=None):
             fl = list(fl) + [0] * (sh - len(fl))
             fi += sh
             inner = _encode_png(
-                np.ascontiguousarray(sub), fl, level=0, palette=palette
+                np.ascontiguousarray(sub), fl, level=0, palette=palette,
+                depth=depth if depth in (1, 2, 4) else None,
             )
             # strip container: keep only the filtered scanline bytes
             body += zlib.decompress(_png_idat(inner))
@@ -439,7 +461,7 @@ def _encode_png(px, filters=None, level=6, interlace=False, palette=None):
             ihdr, zlib.compress(bytes(body), level), palette
         )
     filters = filters if filters is not None else [0] * h
-    stride = w * bpp
+    stride = _flat.shape[1]  # w*bpp, or the packed sub-byte stride
     flat = _flat
     out = bytearray()
     for y in range(h):
@@ -2446,7 +2468,8 @@ def test_png_all_color_types_and_depths():
     idx_hi = np.full((3, 3), 200, dtype=np.uint8)
     with pytest.raises(ValueError, match="palette index"):
         decode_png(_encode_png(idx_hi, palette=short))
-    # sub-byte depth: honest NotImplementedError
+    # sub-byte depths decode since r9 (test_png_sub_byte_depths); an
+    # 8-bit stream RELABELED 4-bit is malformed (stride mismatch)
     blob = bytearray(_encode_png(gray))
     import struct
     import zlib
@@ -2456,7 +2479,7 @@ def test_png_all_color_types_and_depths():
     crc = zlib.crc32(b"IHDR" + bytes(ihdr))
     blob[16:29] = ihdr
     blob[29:33] = struct.pack(">I", crc)
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError, match="length mismatch|filter type"):
         decode_png(bytes(blob))
 
 
@@ -2642,3 +2665,39 @@ def test_wav_sample_widths():
     assert got.dtype == np.float32 and (got == f32).all()
     with pytest.raises(NotImplementedError):  # IMA ADPCM
         decode_audio(wav(17, 4, b"\x00" * 8))
+
+
+def test_png_sub_byte_depths():
+    """r9: 1/2/4-bit gray (scaled to 8-bit per the spec's v*255/(2^d-1))
+    and sub-byte palette PNGs decode, filters applying to the PACKED
+    bytes with a 1-byte left offset, interlaced included."""
+    import numpy as np
+
+    from lens_warehouse_spark.llm.multimodal import decode_png
+
+    rng = np.random.default_rng(53)
+    fl = [0, 1, 2, 3, 4, 2, 1, 4, 3, 0, 2, 4, 1]
+    for depth in (1, 2, 4):
+        hi = 1 << depth
+        vals = rng.integers(0, hi, (11, 13), dtype=np.uint8)
+        want = (vals.astype(np.uint16) * 255 // (hi - 1)).astype(np.uint8)
+        got = decode_png(_encode_png(vals, fl, depth=depth))
+        assert got.shape == (11, 13) and (got == want).all(), depth
+        got = decode_png(_encode_png(vals, fl, depth=depth, interlace=True))
+        assert (got == want).all(), ("interlace", depth)
+        pal = rng.integers(0, 256, (hi, 3), dtype=np.uint8)
+        got = decode_png(_encode_png(vals, fl, depth=depth, palette=pal))
+        assert (got == pal[vals]).all(), ("palette", depth)
+    # depth/color-type combination the spec forbids -> ValueError
+    import pytest
+    import struct
+    import zlib
+
+    rgb = rng.integers(0, 256, (3, 3, 3), dtype=np.uint8)
+    blob = bytearray(_encode_png(rgb))
+    ihdr = bytearray(blob[16:29])
+    ihdr[8] = 4  # 4-bit truecolor: illegal
+    blob[16:29] = ihdr
+    blob[29:33] = struct.pack(">I", zlib.crc32(b"IHDR" + bytes(ihdr)))
+    with pytest.raises(ValueError, match="depth/color-type"):
+        decode_png(bytes(blob))
