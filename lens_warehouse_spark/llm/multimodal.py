@@ -2008,8 +2008,12 @@ def decode_jpeg(blob: bytes):
             progressive = True
         elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7):
             raise NotImplementedError("non-baseline JPEG (extended/lossless)")
-        elif marker == 0xDD:
-            raise NotImplementedError("restart intervals out of scope")
+        elif marker == 0xDD:  # DRI: some encoders emit interval 0,
+            # which needs no restart support — only reject nonzero (r10)
+            if len(seg) < 2:
+                raise ValueError("short DRI segment")
+            if struct.unpack_from(">H", seg, 0)[0]:
+                raise NotImplementedError("restart intervals out of scope")
         elif marker == 0xDA:  # SOS — entropy data follows
             if frame is None:
                 raise ValueError("SOS before SOF")
@@ -2187,8 +2191,11 @@ def _decode_jpeg_progressive(b, pos, frame, qtables, dc_tables, ac_tables):
             _parse_dqt(seg, qtables)
         elif marker == 0xC4:
             _parse_dht(seg, dc_tables, ac_tables)
-        elif marker == 0xDD:
-            raise NotImplementedError("restart intervals out of scope")
+        elif marker == 0xDD:  # DRI(0) is a no-op; see baseline loop (r10)
+            if len(seg) < 2:
+                raise ValueError("short DRI segment")
+            if struct.unpack_from(">H", seg, 0)[0]:
+                raise NotImplementedError("restart intervals out of scope")
         elif marker == 0xDA:
             ns = seg[0]
             sel = [
@@ -2890,10 +2897,6 @@ _FLAC_BLOCKSIZE = {
     8: 256, 9: 512, 10: 1024, 11: 2048, 12: 4096,
     13: 8192, 14: 16384, 15: 32768,
 }
-_FLAC_RATES = {
-    1: 88200, 2: 176400, 3: 192000, 4: 8000, 5: 16000, 6: 22050,
-    7: 24000, 8: 32000, 9: 44100, 10: 48000, 11: 96000,
-}
 _FLAC_BPS = {1: 8, 2: 12, 4: 16, 5: 20, 6: 24}
 
 
@@ -2995,7 +2998,11 @@ def _flac_residual(r: _FlacBits, order: int, blocksize: int) -> list[int]:
     plen = 4 + method
     porder = r.read_bits(4)
     nparts = 1 << porder
-    if blocksize % nparts or (blocksize >> porder) <= order and porder:
+    # first partition carries (blocksize >> porder) - order residuals;
+    # validate blocksize > order UNCONDITIONALLY (r10: the old `and
+    # porder` gate let order >= blocksize through at porder 0, yielding
+    # ragged channel lengths and a confusing numpy error downstream)
+    if blocksize % nparts or (blocksize >> porder) <= order:
         raise ValueError("invalid Rice partition order")
     out: list[int] = []
     for p in range(nparts):
@@ -3094,6 +3101,8 @@ def decode_flac(blob: bytes):
     rate0, nch, bps0, _total = info
     chans: list[list[int]] = [[] for _ in range(nch)]
     while pos < len(b):
+        if pos + 2 > len(b):
+            raise ValueError("truncated frame header")
         if b[pos] != 0xFF or (b[pos + 1] >> 2) != 0x3E:
             raise ValueError(f"lost frame sync at {pos}")
         if b[pos + 1] & 0x02:
@@ -3134,7 +3143,6 @@ def decode_flac(blob: bytes):
         elif ca in (8, 9, 10):
             if nch != 2:
                 raise ValueError("stereo decorrelation in non-stereo stream")
-            side0 = 1 if ca == 9 else 0  # right/side stores side first
             s0 = _flac_subframe(r, blocksize, bps + (1 if ca == 9 else 0))
             s1 = _flac_subframe(r, blocksize, bps + (0 if ca == 9 else 1))
             if ca == 8:  # left/side: R = L - side
@@ -3434,8 +3442,10 @@ def _tiff_packbits(data: bytes, expected: int) -> bytes:
 def _tiff_lzw(data: bytes) -> bytes:
     """TIFF LZW (compression 5): MSB-first bit order (GIF is LSB),
     fixed 8-bit symbols, ClearCode 256 / EOI 257, and the spec's
-    'early change' — the code width grows one code EARLIER than GIF
-    (when the next code to assign is 2^width - 1)."""
+    'early change' — the code width grows one code EARLIER than GIF:
+    the encoder switches when its table size reaches 2^width (so code
+    511 is already written with 10 bits), hence the decoder switches
+    at table size 2^width - 1."""
     clear, eoi = 256, 257
     out = bytearray()
     table: list[bytes] = []
@@ -3480,11 +3490,14 @@ def _tiff_lzw(data: bytes) -> bytes:
         out += entry
         prev = entry
         # Early change with the decoder's one-entry LAG: the encoder
-        # grows width when ITS next code to assign hits 2^w - 1; the
-        # decoder's table runs one entry behind, so it must grow at
-        # 2^w - 2 (brute-force-verified against the test encoder —
-        # both -1 and the GIF-style 0 offsets desync within a strip).
-        if len(table) == (1 << width) - 2 and width < 12:
+        # grows width when ITS table size hits 2^w (TIFF6 p.61 /
+        # libtiff tif_lzw.c: "code 511 should be written with 10
+        # bits"); the decoder's table runs one entry behind, so it
+        # grows at 2^w - 1 (511/1023/2047) — exactly libtiff's
+        # `free_ent > nbitsmask - 1` with nbitsmask = (1<<nbits)-1.
+        # (r10 fix: was 2^w - 2, one too early — internally consistent
+        # with the old test encoder but desynced from real-world LZW.)
+        if len(table) == (1 << width) - 1 and width < 12:
             width += 1
     return bytes(out)
 

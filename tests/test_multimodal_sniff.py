@@ -1184,8 +1184,10 @@ def _tiff_packbits_encode(data):
 
 def _tiff_lzw_encode(data):
     """Real TIFF LZW: MSB-first packing, ClearCode 256 / EOI 257,
-    EARLY code-width change (grow when the next code to assign is
-    2^width - 1), clear at the 4094-entry cap."""
+    EARLY code-width change (encoder grows when its table size —
+    the next code to assign — reaches 2^width, per TIFF6 p.61 /
+    libtiff: "code 511 should be written with 10 bits"), clear at
+    the 4094-entry cap."""
     bits = []
 
     def emit(code, width):
@@ -1204,9 +1206,11 @@ def _tiff_lzw_encode(data):
         emit(table[cur], width)
         table[cand] = nxt
         nxt += 1
-        # EARLY change: width must grow as soon as the next code to
-        # EMIT could be nxt-1... spec: when nxt == 2^width - 1
-        if nxt == (1 << width) - 1 and width < 12:
+        # EARLY change (libtiff convention): once the table holds an
+        # entry with code 2^width - 1, every following code — which
+        # may BE that entry — is written in width+1 bits. nxt is the
+        # table size after the append, so grow at nxt == 2^width.
+        if nxt == (1 << width) and width < 12:
             width += 1
         if nxt >= 4094:
             emit(256, width)  # clear
@@ -1393,6 +1397,90 @@ def test_tiff_compressed_strips_roundtrip():
         )
         == gray
     ).all()
+
+
+def test_tiff_lzw_early_change_matches_real_convention():
+    """r10 (ADVICE): pin the LZW early-change offset to the REAL TIFF
+    convention — TIFF6 p.61 / libtiff: the encoder switches to 10 bits
+    when code 511 is ADDED to its table (so code 511 itself is written
+    with 10 bits); the decoder, one entry behind, switches when ITS
+    table reaches 511/1023/2047 entries. Three teeth:
+
+    1. a frozen stream (CRC-pinned so encoder drift can't silently
+       co-vary with the decoder) that crosses ALL THREE width
+       boundaries (final table size 2707 > 2048),
+    2. an independent mini-decoder written directly from the spec
+       sentence, parameterized by the growth offset — the real
+       convention (off=1) must decode; the repo's old bug (off=2)
+       and the GIF convention (off=0) must BOTH desync on the same
+       bytes, proving the fixture discriminates,
+    3. bit-position assertion: the first 10-bit read happens exactly
+       when the decoder table holds 511 entries.
+    """
+    import random
+    import zlib
+
+    from lens_warehouse_spark.llm.multimodal import _tiff_lzw
+
+    rng = random.Random(20260815)
+    data = bytes(rng.randrange(256) for _ in range(2500))
+    assert zlib.crc32(data) == 0xC0F102FC  # seeded-rng stability guard
+    enc = _tiff_lzw_encode(data)
+    # Freeze the exact encoded bytes: if the encoder's width schedule
+    # ever drifts, this CRC breaks instead of the decoder test
+    # silently passing against a matching-buggy stream.
+    assert zlib.crc32(enc) == 0x690890F9
+    assert _tiff_lzw(enc) == data
+
+    def spec_decode(blob, off):
+        """Minimal TIFF-LZW decoder from the spec text; grows width
+        when table size == 2^width - off. off=1 is the TIFF6/libtiff
+        early change; off=0 is GIF; off=2 was the pre-r10 bug."""
+        table, width, out, prev = None, 9, bytearray(), None
+        bitpos, total = 0, len(blob) * 8
+        transitions = []  # (bitpos, table_size) at each width change
+        while bitpos + width <= total:
+            code = 0
+            for _ in range(width):
+                code = (code << 1) | ((blob[bitpos >> 3] >> (7 - (bitpos & 7))) & 1)
+                bitpos += 1
+            if code == 257:
+                break
+            if code == 256:
+                table = [bytes([i]) for i in range(256)] + [b"", b""]
+                width, prev = 9, None
+                continue
+            if prev is None:
+                if code >= 256:
+                    raise ValueError("first code not literal")
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise ValueError(f"code {code} beyond table ({len(table)})")
+            out += entry
+            prev = entry
+            if len(table) == (1 << width) - off and width < 12:
+                transitions.append((bitpos, len(table)))
+                width += 1
+        return bytes(out), transitions
+
+    got, transitions = spec_decode(enc, off=1)
+    assert got == data
+    # all three boundaries crossed, at exactly 511/1023/2047 entries
+    assert [t[1] for t in transitions] == [511, 1023, 2047]
+    # the wrong conventions must fail on the same bytes — either a
+    # desync error or corrupted output; never a silent match
+    for wrong_off in (0, 2):
+        try:
+            wrong, _ = spec_decode(enc, off=wrong_off)
+            assert wrong != data, f"off={wrong_off} silently matched"
+        except ValueError:
+            pass
 
 
 def test_tiff_decode_error_paths():
@@ -1942,6 +2030,55 @@ def test_flac_crc_and_error_paths():
     # truncated stream
     with pytest.raises(ValueError):
         decode_flac(blob[:-5])
+    # r10 (ADVICE): stream cut right after a lone sync byte must be a
+    # clean ValueError, not an IndexError from b[pos + 1]
+    with pytest.raises(ValueError, match="truncated frame header"):
+        decode_flac(blob[: hdr_off + 1])
+
+
+def test_flac_residual_rejects_order_ge_blocksize_at_porder0():
+    """r10 (ADVICE): the order-vs-blocksize check must hold at
+    partition order 0 too — a malformed subframe with order >=
+    blocksize raises ValueError instead of yielding too-few residuals
+    and a ragged-channel numpy error downstream."""
+    import pytest
+
+    from lens_warehouse_spark.llm.multimodal import _flac_residual, _FlacBits
+
+    # bits: method=00, porder=0000, then a Rice parameter — the check
+    # fires before any residual is read
+    r = _FlacBits(bytes([0b00000000, 0, 0]), 0)
+    with pytest.raises(ValueError, match="partition order"):
+        _flac_residual(r, order=4, blocksize=4)
+    # boundary: blocksize == order + 1 is fine (one residual). Bits:
+    # method(2)=0 porder(4)=0 param(4)=0, then unary residual '1' at
+    # bit 10 -> quotient 0 -> residual value 0.
+    r = _FlacBits(bytes([0b00000000, 0b00100000, 0]), 0)
+    assert _flac_residual(r, order=3, blocksize=4) == [0]
+
+
+def test_jpeg_dri_zero_interval_is_noop():
+    """r10 (ADVICE): DRI with restart interval 0 (emitted by some
+    encoders) needs no restart support and must decode; a nonzero
+    interval still raises NotImplementedError."""
+    import numpy as np
+    import pytest
+
+    from lens_warehouse_spark.llm.multimodal import decode_jpeg_gray
+
+    y, x = np.indices((16, 24))
+    px = ((y * 6 + x * 3) % 200 + 20).astype(np.uint8)
+    q = np.full(64, 64, dtype=np.int32)  # coarse -> few distinct AC syms
+    q[0] = 8
+    blob, ref = _jpeg_bytes(px, q)
+
+    def with_dri(interval):
+        # inject FF DD 00 04 <interval:2> right after SOI
+        return blob[:2] + bytes([0xFF, 0xDD, 0, 4]) + interval.to_bytes(2, "big") + blob[2:]
+
+    assert (decode_jpeg_gray(with_dri(0)) == ref).all()
+    with pytest.raises(NotImplementedError, match="restart"):
+        decode_jpeg_gray(with_dri(8))
 
 
 def test_png_adam7_interlace_roundtrip():
