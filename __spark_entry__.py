@@ -233,7 +233,28 @@ def _coverage_order(names: list[str]) -> list[str]:
     # inert (no manual cleanup). r8 verdict #4: l31 was rewritten in
     # r6 but module-granularity staleness kept burying it behind wider
     # (incidental) module edits for two rounds running.
-    verdict_resample = {"l31_substring_dedup": 6}
+    # r10 (verdict #1): the r9 unified decode_pixels routing rewrote
+    # the internals of l8g/l8h/l8j/l8k/l8l/l8m/l8n (and l28's build
+    # path) AFTER their last driver rows, but oldest-stale-first
+    # ordering placed them at positions 76-95 — behind 9 rounds of
+    # accumulated incidental staleness — so they must jump the queue
+    # explicitly. a17/a18/a19 gained full oracles in r10 (were
+    # rows-only no_oracle) and must be re-sampled under the new
+    # exact contract.
+    verdict_resample = {
+        "l31_substring_dedup": 6,
+        "l8g_pixel_resize": 9,
+        "l8h_audio_decode": 9,
+        "l8j_png_decode": 9,
+        "l8k_gif_decode": 9,
+        "l8l_jpeg_decode": 9,
+        "l8m_tiff_decode": 9,
+        "l8n_media_dispatch": 9,
+        "l28_boilerplate_scrub": 9,
+        "a17_approx_percentile": 10,
+        "a18_hll_rollup": 10,
+        "a19_sketch_overlap": 10,
+    }
     priority = [
         n
         for n, rnd in verdict_resample.items()

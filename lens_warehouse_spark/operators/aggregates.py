@@ -556,31 +556,62 @@ def a16_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sketch, JVM-side, mergeable across partitions) with the accuracy knob
 # exposed. The scale counterpart of a5b's exact percentile_cont: at
 # 100 TB exact percentiles need a full sort while the GK sketch is one
-# map-side pass + tiny merges, error bounded by 1/accuracy. Rows-only
-# by design (sketch internals differ across engines); tests/
-# test_engine.py pins the rank-error bound against the exact values.
+# map-side pass + tiny merges, error bounded by 1/accuracy.
+# r10 CONTRACT CHANGE (verdict #2): the hash-compared output is now
+# fully oracle-checkable — exact percentiles (same convention as a5b)
+# plus a gk_within_eps boolean certifying every GK answer sits inside
+# the exact value bracket [v(q-eps), v(q+eps)] implied by the sketch's
+# rank-error guarantee (eps = 2/accuracy, 2x slack for interpolation).
+# The sketch still runs in the same single groupBy pass; only the
+# CONTRACT is exact. DuckDB's side emits literal TRUE, so a
+# hash-match proves both the exact values AND the in-bound property.
 # ---------------------------------------------------------------------------
-@register("a17_approx_percentile")
+_A17_QS = [0.25, 0.5, 0.75, 0.95]
+_A17_EPS = 2.0 / 10000  # 2x the GK rank-error bound at accuracy=10000
+
+
+@register(
+    "a17_approx_percentile",
+    oracle="""
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+       round(quantile_cont(l_extendedprice, 0.50), 4) AS p50,
+       round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+       round(quantile_cont(l_extendedprice, 0.95), 4) AS p95,
+       CAST(count(*) AS BIGINT) AS n,
+       TRUE AS gk_within_eps
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
 def a17_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
-    return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.percentile_approx(
-                "l_extendedprice", [0.25, 0.5, 0.75, 0.95], 10000
-            ).alias("approx_pcts"),
-            F.count(F.lit(1)).alias("n"),
-        )
-        .select(
-            "l_returnflag",
-            F.col("approx_pcts")[0].alias("p25"),
-            F.col("approx_pcts")[1].alias("p50"),
-            F.col("approx_pcts")[2].alias("p75"),
-            F.col("approx_pcts")[3].alias("p95"),
-            "n",
-        )
-        .orderBy("l_returnflag")
+    lo = [max(0.0, q - _A17_EPS) for q in _A17_QS]
+    hi = [min(1.0, q + _A17_EPS) for q in _A17_QS]
+    fracs = ", ".join(f"{x!r}D" for x in _A17_QS + lo + hi)
+    agg = li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", _A17_QS, 10000).alias("gk"),
+        F.expr(f"percentile(l_extendedprice, array({fracs}))").alias("ex"),
+        F.count(F.lit(1)).alias("n"),
     )
+    k = len(_A17_QS)
+    within = F.lit(True)
+    for i in range(k):
+        within = (
+            within
+            & (F.col("gk")[i] >= F.col("ex")[k + i])
+            & (F.col("gk")[i] <= F.col("ex")[2 * k + i])
+        )
+    return agg.select(
+        "l_returnflag",
+        F.round(F.col("ex")[0], 4).alias("p25"),
+        F.round(F.col("ex")[1], 4).alias("p50"),
+        F.round(F.col("ex")[2], 4).alias("p75"),
+        F.round(F.col("ex")[3], 4).alias("p95"),
+        "n",
+        within.alias("gk_within_eps"),
+    ).orderBy("l_returnflag")
 
 
 # ---------------------------------------------------------------------------
@@ -592,9 +623,9 @@ def a17_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # per event_type over any day range" by hll_union_agg over the tiny
 # sketch table — no rescan, no exact-distinct shuffle of raw keys.
 # a1/a2 are the exact/approx single-pass forms; this is the rollup form
-# that makes repeated distinct queries O(sketch table). Rows-only
-# (sketch estimates are engine-specific); tests/test_engine.py pins the
-# relative error vs exact countDistinct and the union==direct identity.
+# that makes repeated distinct queries O(sketch table).
+# tests/test_bucketing.py pins the relative error vs exact
+# countDistinct and the union==direct mergeability identity.
 # Reference counts subject sets exactly per query [P src/lens/api.clj];
 # sketches are the NS scale extension.
 # ---------------------------------------------------------------------------
@@ -615,39 +646,131 @@ def hll_daily_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
 # intersection only via I-E). One pass builds the 5 per-event_type
 # sketches; the pair table is a trivial self-join of 5 KB-sized rows —
 # the fact table is never rescanned per pair, vs U2's exact intersect
-# which shuffles the full key sets for every cohort pair. Rows-only
-# (estimates); tests/test_bucketing.py pins error vs exact overlap.
+# which shuffles the full key sets for every cohort pair.
+# r10 CONTRACT CHANGE (verdict #2): output is exact_overlap (exact
+# pairwise distinct-user intersection, re-derivable by DuckDB) plus an
+# ie_within_bound boolean certifying the I-E estimate sits within
+# 5% of the pair's exact union size (+5 absolute slack) — the scale
+# on which the three HLL errors compound. The sketch path is the
+# production answer at 100 TB; the exact columns are the sf-scale
+# verification contract (oracle emits literal TRUE).
 # ---------------------------------------------------------------------------
-@register("a19_sketch_overlap")
-def a19_sketch_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+def sketch_overlap_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pure sketch path: per-pair inclusion-exclusion estimates
+    from one fact-table pass + a 5x5 broadcast self-join."""
     ev = table(spark, sf_dir, "events")
     sk = ev.groupBy("event_type").agg(
         F.hll_sketch_agg("user_id", F.lit(14)).alias("sk")
     )
-    a, b = sk.alias("a"), sk.alias("b")
-    return (
-        a.join(b, F.col("a.event_type") < F.col("b.event_type"))
-        .select(
+    a, b = sk.alias("a"), F.broadcast(sk.alias("b"))
+    return a.join(b, F.col("a.event_type") < F.col("b.event_type")).select(
+        F.col("a.event_type").alias("type_a"),
+        F.col("b.event_type").alias("type_b"),
+        (
+            F.hll_sketch_estimate("a.sk")
+            + F.hll_sketch_estimate("b.sk")
+            - F.hll_sketch_estimate(F.hll_union("a.sk", "b.sk"))
+        ).alias("approx_overlap"),
+    )
+
+
+@register(
+    "a19_sketch_overlap",
+    oracle="""
+WITH d AS (SELECT DISTINCT event_type, user_id FROM events)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       CAST(count(*) AS BIGINT) AS exact_overlap,
+       TRUE AS ie_within_bound
+FROM d a JOIN d b
+  ON a.user_id = b.user_id AND a.event_type < b.event_type
+GROUP BY 1, 2
+ORDER BY 1, 2
+""",
+)
+def a19_sketch_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    est = sketch_overlap_estimates(spark, sf_dir)
+    d = (
+        table(spark, sf_dir, "events")
+        .select("event_type", "user_id")
+        .distinct()
+    )
+    sz = d.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    a, b = d.alias("a"), d.alias("b")
+    exact = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
             F.col("a.event_type").alias("type_a"),
             F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("exact_overlap"))
+        .join(F.broadcast(sz.withColumnRenamed("n", "n_a")),
+              F.col("type_a") == F.col("event_type"))
+        .drop("event_type")
+        .join(F.broadcast(sz.withColumnRenamed("n", "n_b")),
+              F.col("type_b") == F.col("event_type"))
+        .drop("event_type")
+    )
+    union_sz = F.col("n_a") + F.col("n_b") - F.col("exact_overlap")
+    return (
+        exact.join(F.broadcast(est), ["type_a", "type_b"])
+        .select(
+            "type_a",
+            "type_b",
+            "exact_overlap",
             (
-                F.hll_sketch_estimate("a.sk")
-                + F.hll_sketch_estimate("b.sk")
-                - F.hll_sketch_estimate(F.hll_union("a.sk", "b.sk"))
-            ).alias("approx_overlap"),
+                F.abs(F.col("approx_overlap") - F.col("exact_overlap"))
+                <= 0.05 * union_sz + 5
+            ).alias("ie_within_bound"),
         )
         .orderBy("type_a", "type_b")
     )
 
 
-@register("a18_hll_rollup")
+# r10 CONTRACT CHANGE (verdict #2): a18's hash-compared output is now
+# exact_users (countDistinct, re-derivable by DuckDB) + n_days + a
+# sketch_within_rsd boolean certifying the rollup-union estimate sits
+# within 3% of exact (lgConfigK=14 -> ~0.8% RSE; 3% is the same
+# determinism-safe bound tests/test_bucketing.py has pinned since r3).
+# The sketch rollup (the thing that matters at 100 TB) still runs
+# unchanged; the exact pass is the sf-scale verification contract.
+@register(
+    "a18_hll_rollup",
+    oracle="""
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+       CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+       TRUE AS sketch_within_rsd
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
 def a18_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketches = hll_daily_sketches(spark, sf_dir)
+    roll = sketches.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    exact = (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("exact_users"))
+    )
     return (
-        sketches.groupBy("event_type")
-        .agg(
-            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
-            F.count(F.lit(1)).alias("n_days"),
+        exact.join(F.broadcast(roll), "event_type")
+        .select(
+            "event_type",
+            "exact_users",
+            "n_days",
+            (
+                F.abs(F.col("approx_users") - F.col("exact_users"))
+                / F.col("exact_users")
+                <= 0.03
+            ).alias("sketch_within_rsd"),
         )
         .orderBy("event_type")
     )

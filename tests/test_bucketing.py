@@ -92,10 +92,26 @@ def test_hll_rollup_union_accuracy(spark):
     from pyspark.sql import functions as F
 
     from lens_warehouse_spark.catalog import table
-    from lens_warehouse_spark.operators.aggregates import a18_hll_rollup
+    from lens_warehouse_spark.operators.aggregates import (
+        a18_hll_rollup,
+        hll_daily_sketches,
+    )
 
     sf = "/root/testdata/sf0.01"
-    got = {r.event_type: r.approx_users for r in a18_hll_rollup(spark, sf).collect()}
+    # r10: a18's public output is exact + sketch_within_rsd (full
+    # oracle); the query must certify every group in-bound...
+    q = a18_hll_rollup(spark, sf).collect()
+    assert len(q) == 5 and all(r["sketch_within_rsd"] for r in q)
+    # ...and this test keeps pinning the RAW rollup estimate.
+    got = {
+        r.event_type: r.approx_users
+        for r in hll_daily_sketches(spark, sf)
+        .groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users")
+        )
+        .collect()
+    }
     exact = {
         r.event_type: r.n
         for r in table(spark, sf, "events")
@@ -128,12 +144,20 @@ def test_sketch_overlap_within_bound(spark):
     from pyspark.sql import functions as F
 
     from lens_warehouse_spark.catalog import table
-    from lens_warehouse_spark.operators.aggregates import a19_sketch_overlap
+    from lens_warehouse_spark.operators.aggregates import (
+        a19_sketch_overlap,
+        sketch_overlap_estimates,
+    )
 
     sf = "/root/testdata/sf0.01"
+    # r10: a19's public output is exact + ie_within_bound (full
+    # oracle); the query must certify every pair in-bound...
+    q = a19_sketch_overlap(spark, sf).collect()
+    assert len(q) == 10 and all(r["ie_within_bound"] for r in q)
+    # ...and this test keeps pinning the RAW I-E estimates.
     got = {
         (r.type_a, r.type_b): r.approx_overlap
-        for r in a19_sketch_overlap(spark, sf).collect()
+        for r in sketch_overlap_estimates(spark, sf).collect()
     }
     ev = table(spark, sf, "events").select("event_type", "user_id").distinct()
     a, b = ev.alias("a"), ev.alias("b")

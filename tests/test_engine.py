@@ -110,8 +110,30 @@ def test_approx_percentile_within_rank_error(spark):
     from pyspark.sql import functions as F
 
     sf = "/root/testdata/sf0.01"
-    approx = {r["l_returnflag"]: r for r in a17_approx_percentile(spark, sf).collect()}
     li = table(spark, sf, "lineitem")
+    # r10: a17's public output is exact + gk_within_eps (full oracle);
+    # the query itself must certify every group in-bound...
+    q = a17_approx_percentile(spark, sf).collect()
+    assert len(q) == 3 and all(r["gk_within_eps"] for r in q)
+    # ...and this test keeps pinning the RAW sketch's rank error
+    # against exact ranks, independent of the query's value brackets.
+    approx = {
+        r["l_returnflag"]: r
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.percentile_approx(
+                "l_extendedprice", [0.25, 0.5, 0.75, 0.95], 10000
+            ).alias("pa")
+        )
+        .select(
+            "l_returnflag",
+            F.col("pa")[0].alias("p25"),
+            F.col("pa")[1].alias("p50"),
+            F.col("pa")[2].alias("p75"),
+            F.col("pa")[3].alias("p95"),
+        )
+        .collect()
+    }
     exact = {
         r["l_returnflag"]: r
         for r in li.groupBy("l_returnflag")
