@@ -1046,16 +1046,37 @@ def l28_boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the lambda at 100x).
     #
     # FLOOR NOTE (r8 verdict #2; band re-pinned r9 under the idle
-    # gate) — why ~2x vs DuckDB at 1000x is the structural floor of
-    # this design, pinned by paired measurements on the same staged
-    # fingerprint (5M docs, 33,749-hash boiler set, so tier 2b is the
-    # path the 1000x run takes). r9 band, two gated batches: Spark
-    # best 19.5 s (inside the full-subset run) / 24.5 s (l28-only
-    # batch, colder JVM) vs DuckDB best 10.0-10.4 s -> ratio
-    # **1.87-2.45** — the first sub-2.0 reading on record, but the
-    # band still straddles 2x, so the floor note STANDS and l28 stays
-    # weak-but-pinned. (r8 band for history: Spark 19.9-25.2 s,
-    # DuckDB 7.4-13.9 s within one batch, ratio 2.0-2.7.)
+    # gate; CLOSED PERMANENTLY r10) — why ~2x vs DuckDB at 1000x is
+    # the structural floor of this design, pinned by paired
+    # measurements on the same staged fingerprint (5M docs,
+    # 33,749-hash boiler set, so tier 2b is the path the 1000x run
+    # takes). r9 band, two gated batches: Spark best 19.5 s (inside
+    # the full-subset run) / 24.5 s (l28-only batch, colder JVM) vs
+    # DuckDB best 10.0-10.4 s -> ratio **1.87-2.45** — the first
+    # sub-2.0 reading on record, but the band still straddles 2x.
+    # (r8 band for history: Spark 19.9-25.2 s, DuckDB 7.4-13.9 s
+    # within one batch, ratio 2.0-2.7.)
+    #
+    # r10 (verdict #3, the ONE more structural attempt — it LOST):
+    # persist the smallest cross-pass reuse unit. The literal
+    # suggestion (doc_id, __th) cannot feed the md5 rebuild (needs
+    # chunk TEXT) without a corpus join back to a re-scan, so the
+    # smallest unit serving BOTH passes is DuckDB's own materialized
+    # chunks CTE: (doc_id, __c chunk strings, __ch chunk hashes),
+    # MEMORY_AND_DISK, probe explodes __ch off it, scrub filters +
+    # md5's __c off it — zero re-tokenize, zero join, checksum-equal
+    # output (tools/ab_l28_persist.py). Paired interleaved at 1000x,
+    # idle-gated: current [21.99, 18.52, 23.00] vs persist
+    # [27.43, 20.59, 24.98] s — the variant loses ~11% at best-of
+    # and GCLocker allocation retries reappear (the milder cousin of
+    # the rejected token-array persist's thrash). The block-manager
+    # round-trip of ~text-sized chunk arrays costs more than the
+    # re-tokenize it saves; with 32 cores re-scanning at full
+    # parallelism, recompute beats materialize. l28 is hereby
+    # weak-but-pinned PERMANENTLY (band 1.87-2.45 straddling 2x);
+    # do not spend further rounds on it — every persist granularity
+    # (tokens r7, chunks r10) and every plan shape (tiers 1-3,
+    # single-pass shuffle, literal/UDF membership) is now measured.
     # Decomposition:
     #   probe pass (tokenize + chunk-hash + exact df-count + collect):
     #     8.6-13.1 s;  scrub pass (re-tokenize + searchsorted + md5
