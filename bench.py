@@ -78,6 +78,45 @@ HEADLINE = [
 STREAMS = int(os.environ.get("SPARK_GRAFT_BENCH_STREAMS", "16"))
 
 
+def _prev_gated_bench() -> tuple[str | None, dict[str, float]]:
+    """Per-query power timings from the most recent PRIOR round's
+    idle-gated BENCH artifact (r9 verdict #5: gated same-code power
+    readings still spanned 8.2-10.4 s; a per-query ratio vs the last
+    gated round separates 'one query regressed' from 'uniform machine
+    drift' — >1.5x movers are flagged, an empty list means uniform).
+    Non-gated rounds are skipped: comparing against a contaminated
+    baseline would flag phantom movers. The driver wraps the JSON line
+    under a 'parsed' key; accept both shapes."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    best: tuple[int, str, dict[str, float]] | None = None
+    for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as fh:
+                doc = json.load(fh)
+        except Exception:
+            continue
+        payload = doc.get("parsed") if isinstance(doc.get("parsed"), dict) else doc
+        if not isinstance(payload, dict):
+            continue
+        if payload.get("contention_gate") != "idle":
+            continue
+        qs = payload.get("queries")
+        if not isinstance(qs, dict) or not qs:
+            continue
+        if best is None or rnd > best[0]:
+            best = (rnd, os.path.basename(path), qs)
+    if best is None:
+        return None, {}
+    return best[1], best[2]
+
+
 def _duckdb_sequential(sf_dir: str, names: list[str]) -> tuple[float, int]:
     """DuckDB sequential best-of-3 total over the oracle-backed subset of
     ``names`` — the second framing of the 2x bound (r8 verdict #9: both
@@ -139,7 +178,11 @@ def main() -> None:
     from tools.volume_bench import wait_for_idle
 
     gate = wait_for_idle()
-    load1_at_start, load5_at_start, _ = os.getloadavg()
+    # All three loadavg horizons AT GATE-PASS (r9 verdict #5): the 1m
+    # gate can pass while a 5m/15m tail from a prior heavy phase is
+    # still decaying — the 10.35 s-class residual power readings need
+    # to be attributable post-hoc.
+    load1_at_start, load5_at_start, load15_at_start = os.getloadavg()
     # POWER run: isolated per-query timings.
     timings: dict[str, float] = {}
     failed: list[str] = []
@@ -232,6 +275,18 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001 - headline metric must survive
             print(f"volume_scaling failed: {exc!r}", file=sys.stderr)
 
+    # Per-query drift vs the last idle-gated round (r9 verdict #5).
+    prev_name, prev_q = _prev_gated_bench()
+    ratio_vs_prev: dict[str, float] = {}
+    regressed: list[str] = []
+    for name, sec in timings.items():
+        p = prev_q.get(name)
+        if isinstance(p, (int, float)) and p > 0:
+            r = round(sec / p, 2)
+            ratio_vs_prev[name] = r
+            if r > 1.5:
+                regressed.append(name)
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
         sf_val: float | str = float(sf)
@@ -256,6 +311,7 @@ def main() -> None:
         # field. loadavg >~1 at start means ratios are suspect.
         "loadavg_1m_at_start": round(load1_at_start, 2),
         "loadavg_5m_at_start": round(load5_at_start, 2),
+        "loadavg_15m_at_start": round(load15_at_start, 2),
         "throughput_median5": round(sorted(batch_reps)[2], 3),
         "throughput_reps": [round(r, 3) for r in batch_reps],
         # Both framings of the 2x bound, machine-readable (r8 verdict
@@ -276,6 +332,13 @@ def main() -> None:
                 round(sorted(batch_reps)[2] / duck_seq, 2) if duck_seq else None
             ),
         },
+        # Drift detector (r9 verdict #5): per-query power ratio vs the
+        # previous idle-gated round. regressed = names moving >1.5x —
+        # EMPTY means any total drift is uniform, i.e. machine state,
+        # not a code regression in one plan.
+        "drift_baseline": prev_name,
+        "ratio_vs_prev": ratio_vs_prev,
+        "regressed": regressed,
         **gate,
         # r9: the note keys off the GATE, not the raw 5m average — the
         # load sample now happens after our own warmup, so a 5m>1
