@@ -121,6 +121,14 @@ def sniff_media(blob: bytes) -> tuple[str, int | None, int | None]:
         return ("jpeg", None, None)
     if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
         return ("wav", None, None)
+    if b[:10] == b"YUV4MPEG2 ":  # r10: y4m joins the dispatch surface
+        import re as _re
+
+        wm = _re.search(rb"\bW(\d+)", b[:128])
+        hm = _re.search(rb"\bH(\d+)", b[:128])
+        if wm and hm:
+            return ("y4m", int(wm.group(1)), int(hm.group(1)))
+        return ("y4m", None, None)
     if b[:4] == b"fLaC":  # r9: decode_flac handles these
         return ("flac", None, None)
     if b[:4] == b"OggS":
@@ -1175,7 +1183,19 @@ def decode_png(blob: bytes):
     if ctype == 3 and plte is None:
         raise ValueError("paletted PNG without PLTE")
     ch = ch_of[ctype]
-    raw0 = zlib.decompress(b"".join(idat))  # Adler-32 verified by zlib
+    # r10 robustness: chunk CRCs stop blind bit-rot, but an AUTHORED
+    # file with valid CRCs can still declare huge dimensions over a
+    # tiny (or bomb) zstream. Deflate expands at most ~1032:1, so a
+    # header-implied raw size beyond that bound can't be legitimate —
+    # reject before decompressing/allocating gigabytes in a Spark task.
+    idat_len = sum(len(x) for x in idat)
+    implied = h * ((w * depth * ch + 7) // 8 + 1) * (2 if interlace else 1)
+    if implied > 1032 * idat_len + 65536:
+        raise ValueError("PNG dimensions implausible for IDAT size")
+    try:
+        raw0 = zlib.decompress(b"".join(idat))  # Adler-32 verified by zlib
+    except zlib.error as exc:  # CRC-valid but broken zstream (authored)
+        raise ValueError(f"bad IDAT zstream: {exc}") from exc
     if depth < 8:  # sub-byte gray/palette (r9): MSB-first packed pixels
         vals = np.zeros((h, w), dtype=np.uint8)
         if interlace == 0:
@@ -1922,12 +1942,42 @@ def _parse_dqt(seg: bytes, qtables: dict) -> None:
 def _parse_dht(seg: bytes, dc_tables: dict, ac_tables: dict) -> None:
     i = 0
     while i < len(seg):
+        if i + 17 > len(seg):  # r10 fuzz: short DHT crashed _huffman_table
+            raise ValueError("truncated DHT segment")
         tc, th = seg[i] >> 4, seg[i] & 0x0F
         counts = list(seg[i + 1 : i + 17])
         n = sum(counts)
         syms = seg[i + 17 : i + 17 + n]
+        if len(syms) < n:
+            raise ValueError("truncated DHT symbol list")
         (dc_tables if tc == 0 else ac_tables)[th] = _huffman_table(counts, syms)
         i += 17 + n
+
+
+def _parse_sof(seg: bytes) -> tuple[int, int, list]:
+    """Shared SOF0/SOF2 frame-header parse with the length guards the
+    r10 fuzz sweep demanded (a truncated SOF crashed with struct.error
+    / IndexError instead of the ValueError the dispatch layer catches).
+    Returns (h, w, [(component id, hs, vs, tq), ...])."""
+    import struct
+
+    if len(seg) < 6:
+        raise ValueError("truncated SOF segment")
+    prec, h, w, ncomp = struct.unpack_from(">BHHB", seg, 0)
+    if prec != 8:
+        raise NotImplementedError(f"{prec}-bit precision")
+    if ncomp not in (1, 3):
+        raise NotImplementedError(f"{ncomp}-component JPEG (CMYK?)")
+    if len(seg) < 6 + 3 * ncomp:
+        raise ValueError("truncated SOF component list")
+    if h == 0 or w == 0:
+        raise ValueError("zero JPEG frame dimension")
+    comps = [
+        (seg[6 + 3 * ci], seg[7 + 3 * ci] >> 4,
+         seg[7 + 3 * ci] & 0x0F, seg[8 + 3 * ci])
+        for ci in range(ncomp)
+    ]
+    return h, w, comps
 
 
 def decode_jpeg_gray(blob: bytes):
@@ -1981,30 +2031,9 @@ def decode_jpeg(blob: bytes):
         elif marker == 0xC4:  # DHT
             _parse_dht(seg, dc_tables, ac_tables)
         elif marker == 0xC0:  # SOF0 baseline
-            prec, h, w, ncomp = struct.unpack_from(">BHHB", seg, 0)
-            if prec != 8:
-                raise NotImplementedError(f"{prec}-bit precision")
-            if ncomp not in (1, 3):
-                raise NotImplementedError(f"{ncomp}-component JPEG (CMYK?)")
-            # component spec triplets from seg[6]: id, sampling, tq
-            comps = [
-                (seg[6 + 3 * ci], seg[7 + 3 * ci] >> 4,
-                 seg[7 + 3 * ci] & 0x0F, seg[8 + 3 * ci])
-                for ci in range(ncomp)
-            ]
-            frame = (h, w, comps)
+            frame = _parse_sof(seg)  # (h, w, comp spec triplets)
         elif marker == 0xC2:  # SOF2 progressive (r9)
-            prec, h, w, ncomp = struct.unpack_from(">BHHB", seg, 0)
-            if prec != 8:
-                raise NotImplementedError(f"{prec}-bit precision")
-            if ncomp not in (1, 3):
-                raise NotImplementedError(f"{ncomp}-component JPEG (CMYK?)")
-            comps = [
-                (seg[6 + 3 * ci], seg[7 + 3 * ci] >> 4,
-                 seg[7 + 3 * ci] & 0x0F, seg[8 + 3 * ci])
-                for ci in range(ncomp)
-            ]
-            frame = (h, w, comps)
+            frame = _parse_sof(seg)
             progressive = True
         elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7):
             raise NotImplementedError("non-baseline JPEG (extended/lossless)")
@@ -2022,7 +2051,11 @@ def decode_jpeg(blob: bytes):
                     b, pos, frame, qtables, dc_tables, ac_tables
                 )
             h, w, comps = frame
+            if not seg:
+                raise ValueError("truncated SOS header")
             ns = seg[0]
+            if ns < 1 or ns > 4 or len(seg) < 4 + 2 * ns:
+                raise ValueError("truncated SOS header")  # r10 fuzz guard
             if ns != len(comps):
                 raise NotImplementedError(
                     "multi-scan JPEG (partial-component scan)"
@@ -2064,7 +2097,11 @@ def _decode_block(r, q, dc_t, ac_t, pred, m):
 
     zz = np.zeros(64, dtype=np.int32)
     cat = r.read_symbol(dc_t)
-    pred += _extend(r.read_bits(cat), cat)
+    if cat > 15:  # r10 fuzz: a corrupt DHT can map to any symbol byte,
+        raise ValueError("invalid DC category")  # and read_bits(200)
+    pred += _extend(r.read_bits(cat), cat)  # would overflow int32 below
+    if pred.bit_length() > 24:  # valid 8-bit DC stays within +/-2047
+        raise ValueError("DC predictor diverged")
     zz[0] = pred
     i = 1
     while i < 64:
@@ -2111,6 +2148,13 @@ def _decode_scan(scan, h, w, specs):
             raise NotImplementedError("fractional sampling ratio")
     mcux = (w + 8 * hmax - 1) // (8 * hmax)
     mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    # r10 fuzz guard: every block costs >= 2 entropy bits (DC code +
+    # EOB), so a frame whose block count exceeds 4 bits-per-byte x the
+    # scan length is structurally impossible — reject BEFORE allocating
+    # plane buffers a corrupt 65535x65535 SOF would size at gigabytes.
+    total_blocks = mcux * mcuy * sum(hs * vs for hs, vs, *_ in specs)
+    if total_blocks > 4 * max(len(scan), 1):
+        raise ValueError("entropy data too short for frame dimensions")
     planes = [
         np.zeros((mcuy * vs * 8, mcux * hs * 8), dtype=np.uint8)
         for hs, vs, *_ in specs
@@ -2167,6 +2211,13 @@ def _decode_jpeg_progressive(b, pos, frame, qtables, dc_tables, ac_tables):
             raise NotImplementedError("fractional sampling ratio")
     mcux = (w + 8 * hmax - 1) // (8 * hmax)
     mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    # r10 fuzz guard (see _decode_scan): a complete first DC scan costs
+    # >= 1 bit per block, so the grid can't exceed 8 bits-per-byte x the
+    # remaining stream — reject before sizing gigabyte coef buffers
+    # from a corrupt SOF2.
+    total_blocks = mcux * mcuy * sum(c[1] * c[2] for c in comps)
+    if total_blocks > 8 * max(len(b) - pos, 1):
+        raise ValueError("entropy data too short for frame dimensions")
     ncomp = len(comps)
     coef = []
     bdims = []  # true (non-interleaved) block grid per component
@@ -2197,7 +2248,11 @@ def _decode_jpeg_progressive(b, pos, frame, qtables, dc_tables, ac_tables):
             if struct.unpack_from(">H", seg, 0)[0]:
                 raise NotImplementedError("restart intervals out of scope")
         elif marker == 0xDA:
+            if not seg:
+                raise ValueError("truncated SOS header")
             ns = seg[0]
+            if ns < 1 or ns > 4 or len(seg) < 4 + 2 * ns:
+                raise ValueError("truncated SOS header")  # r10 fuzz guard
             sel = [
                 (seg[1 + 2 * si], seg[2 + 2 * si] >> 4, seg[2 + 2 * si] & 0x0F)
                 for si in range(ns)
@@ -2316,7 +2371,13 @@ def _jpeg_progressive_scan(
 def _jpeg_dc_unit(r, cbuf, by, bx, dc_t, pred, ah, al):
     if ah == 0:  # first scan: category-coded diff of (dc >> al)
         cat = r.read_symbol(dc_t)
+        if cat > 15:  # r10 fuzz guards; see _decode_block
+            raise ValueError("invalid DC category")
         pred += _extend(r.read_bits(cat), cat)
+        # valid 8-bit DC stays within +/-2047 and Al <= 13 (24 bits
+        # shifted); reject anything the int32 coef buffer can't hold
+        if pred.bit_length() + al > 30:
+            raise ValueError("DC predictor diverged")
         cbuf[by, bx, 0] = pred << al
     else:  # refinement: one magnitude bit
         if r.read_bits(1):
@@ -3545,7 +3606,8 @@ def decode_tiff(blob: bytes):
             if voff + total > len(b):
                 raise ValueError(f"tag {tag} value overruns file")
             vals = struct.unpack_from(e + type_fmt[typ] * cnt, b, voff)
-        tags[tag] = list(vals)
+        if vals:  # r10 fuzz: a cnt=0 entry must read as missing, not
+            tags[tag] = list(vals)  # crash one() with an empty list
 
     def one(tag, default=None):
         if tag in tags:
@@ -3597,7 +3659,10 @@ def decode_tiff(blob: bytes):
         elif comp in (8, 32946):
             import zlib
 
-            strip = zlib.decompress(raw)
+            try:
+                strip = zlib.decompress(raw)
+            except zlib.error as exc:  # r10 fuzz: not a ValueError
+                raise ValueError(f"bad deflate strip: {exc}") from exc
         else:  # 32773
             strip = _tiff_packbits(raw, expected)
         if len(strip) < expected:
@@ -3825,6 +3890,46 @@ def l8m_tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(decode_batch, out_schema).orderBy("doc_id")
 
 
+def dispatch_media(blob: bytes) -> tuple[str, int, int]:
+    """Sniff-and-route one blob to its real decoder; the per-row core
+    of l8n and the robustness boundary for heterogeneous corpora.
+
+    Returns (fmt, n_units, val_sum): decoded pixel/sample count and
+    value sum for every format this module decodes (ppm/bmp/png/gif/
+    jpeg/tiff pixels, wav/flac samples, y4m lumas). Unknown magics
+    degrade to ("unknown", 0, 0) via ``sniff_media``; a blob whose
+    magic sniffs but whose body fails its decoder degrades to
+    ("corrupt", 0, 0) — a 100 TB bucket always carries truncated and
+    bit-rotted rows, and one such row must not kill the Spark task
+    hosting the batch (r10 fuzz sweep pins this: tools/
+    fuzz_multimodal.py + tests/test_multimodal_sniff.py)."""
+    import numpy as np
+
+    fmt, _, _ = sniff_media(blob)
+    try:
+        if fmt in ("ppm", "bmp", "png", "gif"):
+            px = decode_pixels(blob)
+            return (fmt, int(px.size), int(px.reshape(-1).astype(np.int64).sum()))
+        if fmt == "jpeg":  # native shape: gray stays (h, w) — decode_pixels
+            px = decode_jpeg(blob)  # would triple gray units by stacking
+            return (fmt, int(px.size), int(px.reshape(-1).astype(np.int64).sum()))
+        if fmt == "tiff":
+            px = decode_tiff(blob)
+            return (fmt, int(px.size), int(px.reshape(-1).astype(np.int64).sum()))
+        if fmt == "wav":
+            _rate, _ch, smp = decode_audio(blob)
+            return (fmt, int(smp.size), int(smp.astype(np.int64).sum()))
+        if fmt == "flac":
+            _rate, _nch, smp = decode_flac(blob)
+            return (fmt, int(smp.size), int(smp.reshape(-1).astype(np.int64).sum()))
+        if fmt == "y4m":
+            _w, _h, frames = decode_y4m(blob)
+            return (fmt, int(frames.size), int(frames.reshape(-1).astype(np.int64).sum()))
+    except (ValueError, NotImplementedError):
+        return ("corrupt", 0, 0)
+    return (fmt, 0, 0)  # sniffable but not decodable here (ogg/pdf/...)
+
+
 # ---------------------------------------------------------------------------
 # L8n: mixed-format media dispatch — the heterogeneous-corpus shape a
 # real 100 TB media bucket has. No single-format query exercises the
@@ -3962,32 +4067,13 @@ def l8n_media_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def dispatch_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import numpy as np
-
         for pdf in batches:
             fmts, nus, sums = [], [], []
             for blob in pdf["blob"]:
-                fmt, _, _ = sniff_media(blob)
-                if fmt == "ppm":
-                    px = decode_pixels(blob)
-                    nus.append(px.size)
-                    sums.append(int(px.astype(np.int64).sum()))
-                elif fmt == "wav":
-                    _rate, _ch, smp = decode_audio(blob)
-                    nus.append(smp.size)
-                    sums.append(int(smp.astype(np.int64).sum()))
-                elif fmt == "tiff":
-                    px = decode_tiff(blob)
-                    nus.append(px.size)
-                    sums.append(int(px.reshape(-1).astype(np.int64).sum()))
-                elif fmt == "jpeg":
-                    px = decode_jpeg(blob)
-                    nus.append(px.size)
-                    sums.append(int(px.reshape(-1).astype(np.int64).sum()))
-                else:  # a real bucket has garbage rows: degrade, don't die
-                    nus.append(0)
-                    sums.append(0)
+                fmt, nu, vs = dispatch_media(blob)
                 fmts.append(fmt)
+                nus.append(nu)
+                sums.append(vs)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].astype("int64"),

@@ -186,9 +186,15 @@ def test_engine_analytics_surface(spark):
     dau = lw.rolling_dau().collect()
     assert all(r.dau7 > 0 for r in dau)
     assert lw.incremental_dedup().columns == ["admit_doc_id", "content_hash"]
-    assert lw.distinct_rollup().columns == ["event_type", "approx_users", "n_days"]
+    assert lw.distinct_rollup().columns == [
+        "event_type", "exact_users", "n_days", "sketch_within_rsd",
+    ]
     ov = lw.cohort_overlap().collect()
-    assert len(ov) == 10 and all(r.approx_overlap >= 0 for r in ov)
+    # r10: a19's public output is exact_overlap + ie_within_bound (the
+    # inclusion-exclusion estimate is certified, not hash-compared)
+    assert len(ov) == 10 and all(
+        r.exact_overlap >= 0 and r.ie_within_bound for r in ov
+    )
     assert lw.epoch_shuffle().columns == ["doc_id", "epoch_pos"]
     assert lw.budget_select().columns == ["doc_id", "n_tok", "quality", "cum_tok"]
     assert lw.hard_negatives().columns == ["anchor_id", "neg_id", "rn", "cos"]

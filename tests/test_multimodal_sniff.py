@@ -2838,3 +2838,175 @@ def test_png_sub_byte_depths():
     blob[29:33] = struct.pack(">I", zlib.crc32(b"IHDR" + bytes(ihdr)))
     with pytest.raises(ValueError, match="depth/color-type"):
         decode_png(bytes(blob))
+
+
+# ---------------------------------------------------------------------------
+# r10 fuzz sweep (verdict #7): valid blobs of EVERY decodable format,
+# mutated by truncation / bit flips / byte deletion / insertion /
+# dimension-field maxing, must either decode or degrade to ValueError /
+# NotImplementedError — and the dispatch layer (sniff_media,
+# decode_image, dispatch_media) must never raise AT ALL, because one
+# bit-rotted row in a 100 TB bucket must not kill the mapInPandas task
+# hosting its batch. tools/fuzz_multimodal.py runs the same generator
+# standalone (RLIMIT_AS + SIGALRM guarded) at much higher volume; the
+# r10 clean run covered 253,500 cases after fixing the escapes it
+# found (JPEG SOF/SOS/DHT truncation IndexErrors, DC-category int32
+# overflows, allocate-before-validate on corrupt frame dimensions,
+# TIFF cnt=0 tags, zlib.error leaks).
+# ---------------------------------------------------------------------------
+def build_fuzz_seeds() -> dict[str, bytes]:
+    """One known-good blob per format family, built with this file's
+    independent encoders (not the decoders' own inverses)."""
+    import gzip
+
+    import numpy as np
+
+    from lens_warehouse_spark.llm.multimodal import encode_ppm
+
+    rng = np.random.default_rng(0xF022)
+    px = _pattern(9, 7)
+    seeds: dict[str, bytes] = {"ppm": encode_ppm(px), "bmp": _bmp_bytes(px)}
+    seeds["wav"] = _wav_bytes(list(range(-300, 300, 7)), extra_chunk=True)
+    seeds["y4m"] = _y4m_bytes((np.arange(2 * 8 * 6).reshape(2, 8, 6) % 256))
+    seeds["png"] = _encode_png(px, filters=[1, 2, 3, 4, 0, 1, 2, 3, 4])
+    gif_idx = rng.integers(0, 256, (8, 6), dtype=np.uint8)
+    gif_pal = rng.integers(0, 256, (256, 3), dtype=np.uint8)
+    seeds["gif"] = _gif_bytes(gif_idx, gif_pal, extension=True)
+    q = np.full(64, 64, np.int32)
+    q[0] = 8
+    gray = ((np.indices((16, 24)).sum(0) * 5) % 200 + 20).astype(np.uint8)
+    seeds["jpeg_gray"] = _jpeg_bytes(gray, q)[0]
+    qc = np.full(64, 96, np.int32)
+    qc[0] = 16
+    seeds["jpeg_color"] = _jpeg_color_bytes(
+        _smooth_plane((16, 32), 11),
+        _smooth_plane((8, 16), 12),
+        _smooth_plane((8, 16), 13),
+        2, 2, q, qc,
+    )[0]
+    coefs = np.zeros((2, 3, 64), dtype=np.int32)
+    coefs[..., 0] = rng.integers(-60, 61, (2, 3))
+    coefs[..., 5] = rng.integers(-6, 7, (2, 3))
+    seeds["jpeg_prog"] = _jpeg_progressive_bytes(
+        [coefs], [(1, 1)], [0], {0: q}, 16, 24, _PROG_LADDER_GRAY
+    )
+    tgray = rng.integers(0, 256, (7, 5), dtype=np.uint8)
+    seeds["tiff"] = _tiff_bytes(tgray, big_endian=True, rows_per_strip=3)
+    seeds["tiff_lzw"] = _tiff_bytes(tgray, compression=5, predictor=2)
+    s = _smooth_samples(320, 7)
+    seeds["flac"] = _flac_bytes(
+        [s], 64, [("indep", [("fixed", 2, 2, [7, 8, 9, 10])])] * 5
+    )
+    seeds["gzip"] = gzip.compress(b"the quick brown fox " * 40)
+    return seeds
+
+
+def mutate_blob(rng, b: bytes) -> tuple[str, bytes]:
+    """One random structural mutation of a valid blob."""
+    import numpy as np
+
+    ba = bytearray(b)
+    n = len(ba)
+    op = ("truncate", "flip", "delete", "insert", "window", "maxdims",
+          "zero")[int(rng.integers(7))]
+    if op == "truncate":
+        return op, bytes(ba[: int(rng.integers(n))])
+    if op == "flip":
+        for _ in range(int(rng.integers(1, 9))):
+            i = int(rng.integers(n))
+            ba[i] ^= 1 << int(rng.integers(8))
+    elif op == "delete":
+        i = int(rng.integers(n))
+        del ba[i : i + int(rng.integers(1, 5))]
+    elif op == "insert":
+        i = int(rng.integers(n + 1))
+        ba[i:i] = rng.integers(0, 256, int(rng.integers(1, 5)), np.uint8).tobytes()
+    elif op == "window":
+        i = int(rng.integers(n))
+        k = min(4, n - i)
+        ba[i : i + k] = rng.integers(0, 256, k, np.uint8).tobytes()
+    elif op == "maxdims":
+        # 0xFF runs land on dimension/count fields often enough to probe
+        # allocate-before-validate bugs (65535-ish widths, strip counts)
+        i = int(rng.integers(n))
+        k = min(int(rng.integers(2, 9)), n - i)
+        ba[i : i + k] = b"\xff" * k
+    elif op == "zero":
+        i = int(rng.integers(n))
+        k = min(8, n - i)
+        ba[i : i + k] = b"\x00" * k
+    return op, bytes(ba)
+
+
+_FUZZ_SEED_CACHE: dict[str, bytes] = {}
+
+
+@settings(max_examples=300, deadline=None)
+@given(seed=st.integers(0, 2**32 - 1), data=st.data())
+def test_fuzz_mutated_blobs_degrade(seed, data):
+    import time
+
+    import numpy as np
+
+    from lens_warehouse_spark.llm.multimodal import (
+        decode_audio,
+        decode_flac,
+        decode_gif,
+        decode_jpeg,
+        decode_jpeg_gray,
+        decode_pixels,
+        decode_png,
+        decode_tiff,
+        decode_y4m,
+        dispatch_media,
+    )
+
+    if not _FUZZ_SEED_CACHE:
+        _FUZZ_SEED_CACHE.update(build_fuzz_seeds())
+    fmt = data.draw(st.sampled_from(sorted(_FUZZ_SEED_CACHE)))
+    rng = np.random.default_rng(seed)
+    op, blob = mutate_blob(rng, _FUZZ_SEED_CACHE[fmt])
+
+    # the dispatch layer NEVER raises — garbage degrades to a row
+    t0 = time.monotonic()
+    assert isinstance(sniff_media(blob), tuple)
+    got = dispatch_media(blob)
+    assert isinstance(got, tuple) and len(got) == 3, (fmt, op)
+    assert isinstance(decode_image(blob), tuple)
+
+    # every decoder either returns or raises the two catchable types
+    for fn in (decode_pixels, decode_audio, decode_y4m, decode_png,
+               decode_gif, decode_jpeg, decode_jpeg_gray, decode_tiff,
+               decode_flac):
+        try:
+            fn(blob)
+        except (ValueError, NotImplementedError):
+            pass
+    # bounded: the whole battery on a small mutant stays well under a
+    # second; a quadratic blowup or spin shows up here long before CI
+    assert time.monotonic() - t0 < 5.0, (fmt, op)
+
+
+def test_dispatch_media_routes_and_degrades():
+    """Deterministic companion to the fuzz sweep: every VALID seed
+    routes to its decoder (nonzero units for decodable formats), and
+    two canonical corruption shapes degrade without raising."""
+    from lens_warehouse_spark.llm.multimodal import dispatch_media
+
+    seeds = _FUZZ_SEED_CACHE or build_fuzz_seeds()
+    want_fmt = {
+        "ppm": "ppm", "bmp": "bmp", "wav": "wav", "y4m": "y4m",
+        "png": "png", "gif": "gif", "jpeg_gray": "jpeg",
+        "jpeg_color": "jpeg", "jpeg_prog": "jpeg", "tiff": "tiff",
+        "tiff_lzw": "tiff", "flac": "flac",
+    }
+    for key, fmt in want_fmt.items():
+        got_fmt, n_units, _ = dispatch_media(seeds[key])
+        assert got_fmt == fmt, (key, got_fmt)
+        assert n_units > 0, (key, n_units)
+    # gzip sniffs as unknown media (it's not a media container)
+    assert dispatch_media(seeds["gzip"])[0] == "unknown"
+    # sniffable magic + corrupt body -> ("corrupt", 0, 0), no raise
+    assert dispatch_media(seeds["png"][:40]) == ("corrupt", 0, 0)
+    assert dispatch_media(seeds["tiff"][:16]) == ("corrupt", 0, 0)
+    assert dispatch_media(b"\x00\x01garbage") == ("unknown", 0, 0)
