@@ -3409,6 +3409,25 @@ def _synth_gzip_exprs():
     return {"text_bytes": "CAST(text AS BINARY)", "gzip": gz}
 
 
+def gunzip_stats(blob: bytes) -> tuple[int, int, str | None]:
+    """(n_bytes, n_tokens, text_md5) for one gzip member; the per-row
+    core of s21. Corrupt members — truncated archives, bad CRC/ISIZE
+    trailers, broken deflate streams, non-UTF-8 payloads — degrade to
+    (0, 0, None) instead of raising: real gzip corpora rot, and one
+    bad member must not kill the task ingesting its batch (same
+    corrupt-row doctrine as dispatch_media; see SCALE.md)."""
+    import gzip
+    import hashlib
+    import zlib
+
+    try:
+        text = gzip.decompress(bytes(blob))  # CRC+ISIZE verified
+        n_tokens = len(text.decode("utf-8").split(" "))
+    except (OSError, EOFError, zlib.error, UnicodeDecodeError):
+        return (0, 0, None)
+    return (len(text), n_tokens, hashlib.md5(text).hexdigest())
+
+
 @register(
     "s21_gzip_text_scan",
     oracle="""
@@ -3444,16 +3463,13 @@ def s21_gzip_text_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import gzip
-        import hashlib
-
         for pdf in batches:
             nb, nt, md = [], [], []
             for blob in pdf["blob"]:
-                text = gzip.decompress(bytes(blob))  # CRC+ISIZE verified
-                nb.append(len(text))
-                nt.append(len(text.decode("utf-8").split(" ")))
-                md.append(hashlib.md5(text).hexdigest())
+                b, t, m = gunzip_stats(blob)
+                nb.append(b)
+                nt.append(t)
+                md.append(m)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].astype("int64"),

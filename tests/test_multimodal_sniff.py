@@ -2898,6 +2898,53 @@ def build_fuzz_seeds() -> dict[str, bytes]:
         [s], 64, [("indep", [("fixed", 2, 2, [7, 8, 9, 10])])] * 5
     )
     seeds["gzip"] = gzip.compress(b"the quick brown fox " * 40)
+    # --- variant-path seeds (r10): reach the decoder branches the base
+    # corpus doesn't — palette tables, interlace walks, sub-byte
+    # unpacking, wide samples, stereo decorrelation, PackBits/deflate
+    # strips. Each variant has a guard surface of its own to fuzz.
+    idx = rng.integers(0, 256, (7, 6), dtype=np.uint8)
+    pal = rng.integers(0, 256, (256, 3), dtype=np.uint8)
+    seeds["png_pal"] = _encode_png(idx, palette=pal)
+    seeds["png_adam7"] = _encode_png(px, interlace=True)
+    seeds["png_g16"] = _encode_png(
+        rng.integers(0, 65536, (6, 5), dtype=np.uint16)
+    )
+    seeds["png_sub"] = _encode_png(
+        rng.integers(0, 4, (9, 11), dtype=np.uint8), depth=2
+    )
+    seeds["gif_ilace"] = _gif_bytes(
+        idx, pal, interlace=True,
+        local_palette=rng.integers(0, 256, (256, 3), dtype=np.uint8),
+    )
+    seeds["tiff_pal"] = _tiff_bytes(idx, palette=pal)
+    seeds["tiff_pb"] = _tiff_bytes(tgray, compression=32773)
+    seeds["tiff_rgbz"] = _tiff_bytes(
+        rng.integers(0, 256, (6, 4, 3), dtype=np.uint8), compression=8
+    )
+    import struct as _st
+
+    def _wav_wide(fmt_code, bits, payload):
+        ba = bits // 8
+        fmt = _st.pack("<HHIIHH", fmt_code, 1, 8000, 8000 * ba, ba, bits)
+        out = b"RIFF" + _st.pack("<I", 4 + 8 + len(fmt) + 8 + len(payload))
+        out += b"WAVE" + b"fmt " + _st.pack("<I", len(fmt)) + fmt
+        return out + b"data" + _st.pack("<I", len(payload)) + payload
+
+    seeds["wav_f32"] = _wav_wide(
+        3, 32, (rng.random(40).astype("<f4") * 2 - 1).tobytes()
+    )
+    seeds["wav_24"] = _wav_wide(
+        1, 24,
+        b"".join(
+            int(v & 0xFFFFFF).to_bytes(3, "little")
+            for v in rng.integers(-(1 << 23), 1 << 23, 30)
+        ),
+    )
+    left = _smooth_samples(128, 3)
+    seeds["flac_ms"] = _flac_bytes(
+        [left, left + 7], 64,
+        [("mid_side", [("fixed", 1, 0, [9]), ("fixed", 2, 1, [8, 9])])] * 2,
+    )
     return seeds
 
 
@@ -2959,6 +3006,7 @@ def test_fuzz_mutated_blobs_degrade(seed, data):
         decode_tiff,
         decode_y4m,
         dispatch_media,
+        gunzip_stats,
     )
 
     if not _FUZZ_SEED_CACHE:
@@ -2973,6 +3021,7 @@ def test_fuzz_mutated_blobs_degrade(seed, data):
     got = dispatch_media(blob)
     assert isinstance(got, tuple) and len(got) == 3, (fmt, op)
     assert isinstance(decode_image(blob), tuple)
+    assert isinstance(gunzip_stats(blob), tuple)  # s21's degrade layer
 
     # every decoder either returns or raises the two catchable types
     for fn in (decode_pixels, decode_audio, decode_y4m, decode_png,
@@ -2999,6 +3048,10 @@ def test_dispatch_media_routes_and_degrades():
         "png": "png", "gif": "gif", "jpeg_gray": "jpeg",
         "jpeg_color": "jpeg", "jpeg_prog": "jpeg", "tiff": "tiff",
         "tiff_lzw": "tiff", "flac": "flac",
+        "png_pal": "png", "png_adam7": "png", "png_g16": "png",
+        "png_sub": "png", "gif_ilace": "gif", "tiff_pal": "tiff",
+        "tiff_pb": "tiff", "tiff_rgbz": "tiff", "wav_f32": "wav",
+        "wav_24": "wav", "flac_ms": "flac",
     }
     for key, fmt in want_fmt.items():
         got_fmt, n_units, _ = dispatch_media(seeds[key])
@@ -3010,3 +3063,15 @@ def test_dispatch_media_routes_and_degrades():
     assert dispatch_media(seeds["png"][:40]) == ("corrupt", 0, 0)
     assert dispatch_media(seeds["tiff"][:16]) == ("corrupt", 0, 0)
     assert dispatch_media(b"\x00\x01garbage") == ("unknown", 0, 0)
+    # s21's per-member core: valid member -> exact stats; truncated,
+    # trailer-flipped and non-gzip members degrade to (0, 0, None)
+    from lens_warehouse_spark.llm.multimodal import gunzip_stats
+
+    plain = b"the quick brown fox " * 40
+    nb, nt, md = gunzip_stats(seeds["gzip"])
+    assert (nb, nt) == (len(plain), len(plain.decode().split(" "))) and md
+    assert gunzip_stats(seeds["gzip"][:25]) == (0, 0, None)
+    bad = bytearray(seeds["gzip"])
+    bad[-5] ^= 0xFF  # ISIZE trailer
+    assert gunzip_stats(bytes(bad)) == (0, 0, None)
+    assert gunzip_stats(b"not gzip at all") == (0, 0, None)

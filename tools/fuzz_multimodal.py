@@ -56,18 +56,7 @@ from test_multimodal_sniff import mutate_blob as mutate  # noqa: E402
 def decoder_matrix():
     """(name, callable, may_raise_allowed) triples covering every decode
     entry point a Spark task hosts, plus the never-raise dispatch layer."""
-    import gzip
-    import zlib
-
     from lens_warehouse_spark.llm import multimodal as M
-
-    def gzip_guarded(b):
-        # s21 semantics: corpus gzip is engine-synthesized (always
-        # valid); here we only require stdlib failures are bounded.
-        try:
-            gzip.decompress(b)
-        except (OSError, EOFError, zlib.error):
-            pass
 
     return [
         ("sniff_media", M.sniff_media, False),
@@ -82,7 +71,7 @@ def decoder_matrix():
         ("decode_jpeg_gray", M.decode_jpeg_gray, True),
         ("decode_tiff", M.decode_tiff, True),
         ("decode_flac", M.decode_flac, True),
-        ("gzip", gzip_guarded, False),
+        ("gunzip_stats", M.gunzip_stats, False),  # s21's degrade layer
     ]
 
 
