@@ -1188,8 +1188,21 @@ def decode_png(blob: bytes):
     # tiny (or bomb) zstream. Deflate expands at most ~1032:1, so a
     # header-implied raw size beyond that bound can't be legitimate —
     # reject before decompressing/allocating gigabytes in a Spark task.
+    # The implied size is EXACT (per-pass for Adam7: empty passes store
+    # no rows), so the bound can never false-positive a legitimate
+    # file, however compressible.
     idat_len = sum(len(x) for x in idat)
-    implied = h * ((w * depth * ch + 7) // 8 + 1) * (2 if interlace else 1)
+    bits = depth * ch
+    if interlace:
+        implied = sum(
+            rows_p * (1 + (cols_p * bits + 7) // 8)
+            for x0, y0, dx, dy in _PNG_ADAM7
+            for cols_p in ((w - x0 + dx - 1) // dx,)
+            for rows_p in ((h - y0 + dy - 1) // dy,)
+            if cols_p > 0 and rows_p > 0
+        )
+    else:
+        implied = h * (1 + (w * bits + 7) // 8)
     if implied > 1032 * idat_len + 65536:
         raise ValueError("PNG dimensions implausible for IDAT size")
     try:

@@ -559,12 +559,14 @@ def a16_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # map-side pass + tiny merges, error bounded by 1/accuracy.
 # r10 CONTRACT CHANGE (verdict #2): the hash-compared output is now
 # fully oracle-checkable — exact percentiles (same convention as a5b)
-# plus a gk_within_eps boolean certifying every GK answer sits inside
-# the exact value bracket [v(q-eps), v(q+eps)] implied by the sketch's
-# rank-error guarantee (eps = 2/accuracy, 2x slack for interpolation).
-# The sketch still runs in the same single groupBy pass; only the
-# CONTRACT is exact. DuckDB's side emits literal TRUE, so a
-# hash-match proves both the exact values AND the in-bound property.
+# plus a gk_within_eps boolean certifying every GK answer's exact RANK
+# sits inside [floor((q-eps)n)-1, ceil((q+eps)n)+1] (eps = 2/accuracy;
+# the +/-1 is integer-rank slack, load-bearing at small n where the
+# eps window spans <1 rank). The sketch still runs in the same single
+# groupBy pass; certification adds one broadcast-join conditional-sum
+# pass (a VERIFICATION artifact — at 100 TB you persist the sketch and
+# skip it). DuckDB's side emits literal TRUE, so a hash-match proves
+# both the exact values AND the in-bound property.
 # ---------------------------------------------------------------------------
 _A17_QS = [0.25, 0.5, 0.75, 0.95]
 _A17_EPS = 2.0 / 10000  # 2x the GK rank-error bound at accuracy=10000
@@ -586,32 +588,63 @@ ORDER BY l_returnflag
 """,
 )
 def a17_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = table(spark, sf_dir, "lineitem")
-    lo = [max(0.0, q - _A17_EPS) for q in _A17_QS]
-    hi = [min(1.0, q + _A17_EPS) for q in _A17_QS]
-    fracs = ", ".join(f"{x!r}D" for x in _A17_QS + lo + hi)
+    # Certification is RANK-based — the guarantee GK actually makes.
+    # (The first r10 form bracketed gk between interpolated exact
+    # percentiles at q +/- eps; at sf0.001 a group has ~2k rows, the
+    # +/- eps window spans <1 rank, the bracket collapses to the
+    # interpolated point, and the certification False-failed on values
+    # GK legitimately returned. Caught by the cross-SF parity sweep.)
+    # Pass 2 ranks each GK answer with one broadcast join + conditional
+    # sums (map-side partials, 3 groups x 8 counters — no row blowup):
+    # gkv is certified iff its value-rank interval [lt+1, le] meets
+    # [floor((q-eps)n), ceil((q+eps)n)] with a +/-1 integer-rank slack.
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    fracs = ", ".join(f"{x!r}D" for x in _A17_QS)
     agg = li.groupBy("l_returnflag").agg(
         F.percentile_approx("l_extendedprice", _A17_QS, 10000).alias("gk"),
         F.expr(f"percentile(l_extendedprice, array({fracs}))").alias("ex"),
         F.count(F.lit(1)).alias("n"),
     )
     k = len(_A17_QS)
+    joined = li.join(F.broadcast(agg.select("l_returnflag", "gk")), "l_returnflag")
+    cert = joined.groupBy("l_returnflag").agg(
+        *(
+            F.sum(
+                (F.col("l_extendedprice") < F.col("gk")[i]).cast("long")
+            ).alias(f"lt{i}")
+            for i in range(k)
+        ),
+        *(
+            F.sum(
+                (F.col("l_extendedprice") <= F.col("gk")[i]).cast("long")
+            ).alias(f"le{i}")
+            for i in range(k)
+        ),
+    )
     within = F.lit(True)
-    for i in range(k):
+    for i, q in enumerate(_A17_QS):
+        lo_rank = F.floor(F.lit(q - _A17_EPS) * F.col("n")) - 1
+        hi_rank = F.ceil(F.lit(q + _A17_EPS) * F.col("n")) + 1
         within = (
             within
-            & (F.col("gk")[i] >= F.col("ex")[k + i])
-            & (F.col("gk")[i] <= F.col("ex")[2 * k + i])
+            & (F.col(f"le{i}") >= lo_rank)
+            & (F.col(f"lt{i}") + 1 <= hi_rank)
         )
-    return agg.select(
-        "l_returnflag",
-        F.round(F.col("ex")[0], 4).alias("p25"),
-        F.round(F.col("ex")[1], 4).alias("p50"),
-        F.round(F.col("ex")[2], 4).alias("p75"),
-        F.round(F.col("ex")[3], 4).alias("p95"),
-        "n",
-        within.alias("gk_within_eps"),
-    ).orderBy("l_returnflag")
+    return (
+        agg.join(cert, "l_returnflag")
+        .select(
+            "l_returnflag",
+            F.round(F.col("ex")[0], 4).alias("p25"),
+            F.round(F.col("ex")[1], 4).alias("p50"),
+            F.round(F.col("ex")[2], 4).alias("p75"),
+            F.round(F.col("ex")[3], 4).alias("p95"),
+            "n",
+            within.alias("gk_within_eps"),
+        )
+        .orderBy("l_returnflag")
+    )
 
 
 # ---------------------------------------------------------------------------

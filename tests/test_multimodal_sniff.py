@@ -3075,3 +3075,36 @@ def test_dispatch_media_routes_and_degrades():
     bad[-5] ^= 0xFF  # ISIZE trailer
     assert gunzip_stats(bytes(bad)) == (0, 0, None)
     assert gunzip_stats(b"not gzip at all") == (0, 0, None)
+
+
+def test_png_bomb_guard_exact_implied_size():
+    """r10: the pre-decompress plausibility bound must (a) reject an
+    authored bomb — valid chunk CRCs, huge IHDR, tiny zstream — and
+    (b) NEVER false-positive a legitimate file, even a maximally
+    compressible large interlaced one (the exact per-pass implied size
+    is what makes (b) hold; a 2x interlace fudge factor failed it)."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from lens_warehouse_spark.llm.multimodal import decode_png
+
+    # (a) authored bomb: 30000x30000 8-bit gray (900 MB raw) over a
+    # 1 KB zstream; CRCs are valid so only the bound can stop it
+    ihdr = struct.pack(">IIBBBBB", 30000, 30000, 8, 0, 0, 0, 0)
+    bomb = _png_container(ihdr, zlib.compress(b"\x00" * 1024))
+    with pytest.raises(ValueError, match="implausible"):
+        decode_png(bomb)
+
+    # (b) legitimate worst case: large constant interlaced gray —
+    # deflate ratio approaches its 1032:1 ceiling, implied size is in
+    # the tens of MB, and the file must still decode
+    big = np.zeros((2048, 2048), dtype=np.uint8)
+    blob = _encode_png(big, interlace=True, level=9)
+    got = decode_png(blob)
+    assert got.shape == (2048, 2048) and not got.any()
+    # same property non-interlaced
+    got = decode_png(_encode_png(big, level=9))
+    assert got.shape == (2048, 2048) and not got.any()
