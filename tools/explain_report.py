@@ -255,8 +255,15 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         ("no shuffle on the orders side", "!Exchange hashpartitioning(o_orderkey"),
         ("bucketed scan", "SelectedBucketsCount"),
     ],
+    "a17_approx_percentile": [
+        ("GK sketch + exact percentiles in one agg pass", "ObjectHashAggregate"),
+        ("rank-certification pass joins broadcast", "BroadcastHashJoin"),
+        ("no cartesian product", "!CartesianProduct"),
+        ("no python anywhere", "!BatchEvalPython"),
+    ],
     "a18_hll_rollup": [
         ("sketch partials combine map-side", "ObjectHashAggregate"),
+        ("exact pass joins the KB-sized rollup broadcast", "BroadcastHashJoin"),
         ("no python anywhere", "!BatchEvalPython"),
     ],
     "a19_sketch_overlap": [
