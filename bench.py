@@ -91,12 +91,27 @@ def _prev_gated_bench() -> tuple[str | None, dict[str, float]]:
     import re
 
     here = os.path.dirname(os.path.abspath(__file__))
+    # Exclude the in-progress round's own artifact (r10 review): once
+    # the driver writes BENCH_r{N}.json, a same-round re-run comparing
+    # against it would read ratio ~1.0 for anything that regressed
+    # earlier in round N — masking exactly the drift this detector
+    # exists to flag. PROGRESS.jsonl's last line carries the round.
+    current_round = None
+    try:
+        with open(os.path.join(here, "PROGRESS.jsonl")) as fh:
+            lines = [ln for ln in fh if ln.strip()]
+        if lines:
+            current_round = json.loads(lines[-1]).get("round")
+    except Exception:
+        pass  # no progress file: fall back to newest-gated-artifact
     best: tuple[int, str, dict[str, float]] | None = None
     for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
         m = re.search(r"_r(\d+)\.json$", path)
         if not m:
             continue
         rnd = int(m.group(1))
+        if isinstance(current_round, int) and rnd >= current_round:
+            continue
         try:
             with open(path) as fh:
                 doc = json.load(fh)

@@ -1540,9 +1540,15 @@ def l8j_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 # oracle again never builds a blob: it derives pixel sums straight
 # from the palette + index formulas.
 # ---------------------------------------------------------------------------
-def lzw_decode(data: bytes, min_code_size: int) -> bytes:
+def lzw_decode(data: bytes, min_code_size: int, limit: int | None = None) -> bytes:
     """Full GIF-flavor LZW decode (variable code width, clear/end
-    codes, 12-bit cap). ValueError on a corrupt stream."""
+    codes, 12-bit cap). ValueError on a corrupt stream.
+
+    ``limit`` stops the decode once that many output bytes exist —
+    the caller knows w*h, and without a cap an AUTHORED clear-free
+    stream emits up to ~2730x its input (4096-entry strings per code;
+    GIF has no CRC to stop it), the LZW-bomb analog of the PNG/TIFF
+    deflate bounds (r10 review)."""
     clear = 1 << min_code_size
     end = clear + 1
     code_size = min_code_size + 1
@@ -1587,6 +1593,8 @@ def lzw_decode(data: bytes, min_code_size: int) -> bytes:
             raise ValueError(f"LZW: code {code} beyond table")
         out += entry
         prev = entry
+        if limit is not None and len(out) >= limit:
+            break  # caller has all the pixels it asked for
         # GIF rule: width grows when the NEXT code to assign no longer
         # fits, capped at 12 bits (then the encoder must emit a clear)
         if len(table) == (1 << code_size) and code_size < 12:
@@ -1641,6 +1649,8 @@ def decode_gif(blob: bytes):
             pos += n * 3
         if ct is None:
             raise ValueError("no color table")
+        if pos >= len(b):  # r10 fuzz (crc32-reseeded stream found it):
+            raise ValueError("truncated before LZW min code size")
         min_code_size = b[pos]
         pos += 1
         data = bytearray()
@@ -1649,7 +1659,9 @@ def decode_gif(blob: bytes):
             data += b[pos + 1 : pos + 1 + ln]
             pos += 1 + ln
         pos += 1  # sub-block terminator
-        idx = np.frombuffer(lzw_decode(bytes(data), min_code_size), np.uint8)
+        idx = np.frombuffer(
+            lzw_decode(bytes(data), min_code_size, limit=w * h), np.uint8
+        )
         if idx.size < w * h:
             raise ValueError("LZW output shorter than w*h")
         idx = idx[: w * h]
@@ -2168,6 +2180,8 @@ def _decode_scan(scan, h, w, specs):
     total_blocks = mcux * mcuy * sum(hs * vs for hs, vs, *_ in specs)
     if total_blocks > 4 * max(len(scan), 1):
         raise ValueError("entropy data too short for frame dimensions")
+    if total_blocks > (1 << 22):  # ~268 Mpx: beyond this preview path
+        raise NotImplementedError("JPEG beyond 2^22 blocks out of scope")
     planes = [
         np.zeros((mcuy * vs * 8, mcux * hs * 8), dtype=np.uint8)
         for hs, vs, *_ in specs
@@ -2231,6 +2245,14 @@ def _decode_jpeg_progressive(b, pos, frame, qtables, dc_tables, ac_tables):
     total_blocks = mcux * mcuy * sum(c[1] * c[2] for c in comps)
     if total_blocks > 8 * max(len(b) - pos, 1):
         raise ValueError("entropy data too short for frame dimensions")
+    # r10 review: the data bound alone still admits coef buffers up to
+    # 2048x the blob (256 B of int32 per block); an absolute cap keeps
+    # the worst-case allocation at 256 MB. 2^20 blocks = 67 Mpx gray —
+    # beyond any progressive JPEG this preview path should chew on.
+    if total_blocks > (1 << 20):
+        raise NotImplementedError(
+            "progressive JPEG beyond 2^20 blocks out of scope"
+        )
     ncomp = len(comps)
     coef = []
     bdims = []  # true (non-interleaved) block grid per component
@@ -3422,21 +3444,39 @@ def _synth_gzip_exprs():
     return {"text_bytes": "CAST(text AS BINARY)", "gzip": gz}
 
 
+_S21_MAX_TEXT = 256 << 20  # one doc's text can't legitimately exceed 256 MiB
+
+
 def gunzip_stats(blob: bytes) -> tuple[int, int, str | None]:
-    """(n_bytes, n_tokens, text_md5) for one gzip member; the per-row
-    core of s21. Corrupt members — truncated archives, bad CRC/ISIZE
-    trailers, broken deflate streams, non-UTF-8 payloads — degrade to
-    (0, 0, None) instead of raising: real gzip corpora rot, and one
-    bad member must not kill the task ingesting its batch (same
-    corrupt-row doctrine as dispatch_media; see SCALE.md)."""
-    import gzip
+    """(n_bytes, n_tokens, text_md5) for one gzip payload (one or more
+    concatenated members); the per-row core of s21. Corrupt payloads —
+    truncated archives, bad CRC/ISIZE trailers, broken deflate
+    streams, non-UTF-8 text, and decompression bombs past
+    ``_S21_MAX_TEXT`` — degrade to (0, 0, None) instead of raising:
+    real gzip corpora rot, and one bad member must not kill the task
+    ingesting its batch (same corrupt-row doctrine as dispatch_media;
+    see SCALE.md). Decompression is output-capped member by member
+    (r10 review: ``gzip.decompress`` has no cap, so a few-MB authored
+    bomb inflated to multi-GB before any catchable error fired)."""
     import hashlib
     import zlib
 
+    data = bytes(blob)
+    if not data:
+        return (0, 0, None)
+    out = bytearray()
     try:
-        text = gzip.decompress(bytes(blob))  # CRC+ISIZE verified
+        while data:
+            d = zlib.decompressobj(31)  # gzip wrapper: CRC-32 + ISIZE
+            out += d.decompress(data, _S21_MAX_TEXT + 1 - len(out))
+            if len(out) > _S21_MAX_TEXT:
+                return (0, 0, None)  # bomb: degrade, don't inflate
+            if not d.eof:
+                return (0, 0, None)  # truncated member
+            data = d.unused_data
+        text = bytes(out)
         n_tokens = len(text.decode("utf-8").split(" "))
-    except (OSError, EOFError, zlib.error, UnicodeDecodeError):
+    except (zlib.error, UnicodeDecodeError):
         return (0, 0, None)
     return (len(text), n_tokens, hashlib.md5(text).hexdigest())
 
@@ -3529,13 +3569,15 @@ def _tiff_packbits(data: bytes, expected: int) -> bytes:
     return bytes(out)
 
 
-def _tiff_lzw(data: bytes) -> bytes:
+def _tiff_lzw(data: bytes, limit: int | None = None) -> bytes:
     """TIFF LZW (compression 5): MSB-first bit order (GIF is LSB),
     fixed 8-bit symbols, ClearCode 256 / EOI 257, and the spec's
     'early change' — the code width grows one code EARLIER than GIF:
     the encoder switches when its table size reaches 2^width (so code
     511 is already written with 10 bits), hence the decoder switches
-    at table size 2^width - 1."""
+    at table size 2^width - 1. ``limit`` caps output bytes like
+    lzw_decode's (r10: LZW-bomb guard — decode_tiff knows the strip's
+    expected size up front)."""
     clear, eoi = 256, 257
     out = bytearray()
     table: list[bytes] = []
@@ -3579,6 +3621,8 @@ def _tiff_lzw(data: bytes) -> bytes:
             raise ValueError(f"LZW: code {code} beyond table")
         out += entry
         prev = entry
+        if limit is not None and len(out) >= limit:
+            break  # strip's expected byte count reached
         # Early change with the decoder's one-entry LAG: the encoder
         # grows width when ITS table size hits 2^w (TIFF6 p.61 /
         # libtiff tif_lzw.c: "code 511 should be written with 10
@@ -3681,15 +3725,24 @@ def decode_tiff(blob: bytes):
         raw = b[o : o + c]
         rows = min(rps, h - rps * si)
         expected = rows * w * spp
+        # r10 review: TIFF has no chunk CRCs, so the deflate/LZW bomb
+        # guards both directions — a header-implied strip size beyond
+        # deflate's ~1032:1 ceiling can't be legitimate (huge-dims,
+        # tiny-data), and the decompressors are output-capped at
+        # `expected` (small-dims, bomb-data: a 10 MB zeros-stream must
+        # not inflate to 10 GB inside a Spark task).
+        if expected > 1032 * len(raw) + 4096:
+            raise ValueError("strip dimensions implausible for data size")
+        cap = max(expected, 1)  # zlib treats max_length=0 as unlimited
         if comp == 1:
             strip = raw
         elif comp == 5:
-            strip = _tiff_lzw(raw)
+            strip = _tiff_lzw(raw, limit=cap)
         elif comp in (8, 32946):
             import zlib
 
             try:
-                strip = zlib.decompress(raw)
+                strip = zlib.decompressobj().decompress(raw, cap)
             except zlib.error as exc:  # r10 fuzz: not a ValueError
                 raise ValueError(f"bad deflate strip: {exc}") from exc
         else:  # 32773

@@ -607,6 +607,12 @@ def a17_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"percentile(l_extendedprice, array({fracs}))").alias("ex"),
         F.count(F.lit(1)).alias("n"),
     )
+    # agg feeds TWO consumers (the broadcast cert branch and the final
+    # join's left side) whose pruned subtrees don't exchange-reuse —
+    # unpinned, the full lineitem aggregation ran twice (r10 review).
+    from lens_warehouse_spark.operators._helpers import pin
+
+    agg = pin("a17.agg", agg)
     k = len(_A17_QS)
     joined = li.join(F.broadcast(agg.select("l_returnflag", "gk")), "l_returnflag")
     cert = joined.groupBy("l_returnflag").agg(

@@ -3108,3 +3108,58 @@ def test_png_bomb_guard_exact_implied_size():
     # same property non-interlaced
     got = decode_png(_encode_png(big, level=9))
     assert got.shape == (2048, 2048) and not got.any()
+
+
+def test_decompression_bombs_degrade_not_inflate():
+    """r10 review: output-capped decompression everywhere the expected
+    size is known. Each authored bomb here would inflate 3-6 orders of
+    magnitude past its file size if the decoder trusted the stream;
+    instead the format layer raises ValueError (caught by
+    dispatch_media) or, for gzip, gunzip_stats degrades."""
+    import gzip
+    import zlib
+
+    import numpy as np
+
+    from lens_warehouse_spark.llm.multimodal import (
+        _tiff_lzw,
+        gunzip_stats,
+        lzw_decode,
+    )
+
+    # gzip bomb: a <2 MB VALID member holding >256 MiB of zeros must
+    # degrade at the output cap, not inflate before failing
+    member = gzip.compress(b"\x00" * ((256 << 20) + 64), 9)
+    assert len(member) < (2 << 20)
+    assert gunzip_stats(member) == (0, 0, None)  # over _S21_MAX_TEXT
+    # and a small valid member still decodes exactly
+    assert gunzip_stats(gzip.compress(b"ok ok"))[0] == 5
+
+    # TIFF huge-dims/tiny-data: a deflate strip cannot legitimately
+    # inflate past 1032:1, so a 8000x8000 header over a 100-byte strip
+    # trips the implausibility pre-check (TIFF has no CRC to rely on)
+    import struct
+
+    big_hdr = bytearray(_tiff_bytes(np.zeros((4, 4), np.uint8), compression=8))
+    # tag 256 (width) value field: II layout, first IFD entry at 10
+    w_off = big_hdr.find(struct.pack("<HHI", 256, 3, 1))
+    h_off = big_hdr.find(struct.pack("<HHI", 257, 3, 1))
+    assert w_off > 0 and h_off > 0
+    struct.pack_into("<I", big_hdr, w_off + 8, 8000)
+    struct.pack_into("<I", big_hdr, h_off + 8, 8000)
+    import pytest
+
+    from lens_warehouse_spark.llm.multimodal import decode_tiff
+
+    with pytest.raises(ValueError, match="implausible|short|overruns"):
+        decode_tiff(bytes(big_hdr))
+
+    # LZW bombs (GIF and TIFF flavors): a stream that would emit tens
+    # of MB returns promptly once `limit` bytes exist — one in-flight
+    # entry (<=4096 B) of overshoot at most
+    enc = _lzw_encode(bytes(range(256)) * 4096, 8)
+    out = lzw_decode(enc, 8, limit=1024)
+    assert 1024 <= len(out) < 1024 + 4096
+    tenc = _tiff_lzw_encode(b"\x00" * (1 << 20))
+    tout = _tiff_lzw(tenc, limit=1024)
+    assert 1024 <= len(tout) < 1024 + 4096
