@@ -291,16 +291,30 @@ def main() -> None:
             print(f"volume_scaling failed: {exc!r}", file=sys.stderr)
 
     # Per-query drift vs the last idle-gated round (r9 verdict #5).
+    # Regression flags are MEDIAN-NORMALIZED (r10): a warm-cache /
+    # load-tail run elevates every query uniformly (a gated post-test
+    # run read 1.13-1.58x across the board with one query over the raw
+    # 1.5 threshold), and flagging those reads as a code regression is
+    # exactly the misattribution this detector exists to prevent. A
+    # real single-query regression stands out from the run's own
+    # median; uniform drift flags nothing and is visible in
+    # drift_median itself.
     prev_name, prev_q = _prev_gated_bench()
     ratio_vs_prev: dict[str, float] = {}
     regressed: list[str] = []
+    drift_median = None
     for name, sec in timings.items():
         p = prev_q.get(name)
         if isinstance(p, (int, float)) and p > 0:
-            r = round(sec / p, 2)
-            ratio_vs_prev[name] = r
-            if r > 1.5:
-                regressed.append(name)
+            ratio_vs_prev[name] = round(sec / p, 2)
+    if ratio_vs_prev:
+        import statistics
+
+        drift_median = round(statistics.median(ratio_vs_prev.values()), 2)
+        regressed = [
+            n for n, r in ratio_vs_prev.items()
+            if r / max(drift_median, 0.01) > 1.5
+        ]
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
@@ -348,10 +362,13 @@ def main() -> None:
             ),
         },
         # Drift detector (r9 verdict #5): per-query power ratio vs the
-        # previous idle-gated round. regressed = names moving >1.5x —
-        # EMPTY means any total drift is uniform, i.e. machine state,
-        # not a code regression in one plan.
+        # previous idle-gated round. regressed = names moving >1.5x
+        # RELATIVE TO THIS RUN'S MEDIAN ratio (r10) — EMPTY means any
+        # total drift is uniform, i.e. machine state, not a code
+        # regression in one plan; drift_median carries the uniform
+        # component for attribution.
         "drift_baseline": prev_name,
+        "drift_median": drift_median,
         "ratio_vs_prev": ratio_vs_prev,
         "regressed": regressed,
         **gate,
