@@ -182,6 +182,25 @@ def main() -> None:
         from tools.volume_bench import warm_plans
 
         warm_plans(spark, HEADLINE, warm_dir)
+    # Warmup v2 (r11): the container's JDK moved to 17.0.20 and its
+    # C2 ramp got much longer — a 25-rep probe of q1 at sf0.1 read
+    # 0.76/0.61/0.64 s on reps 2-4 (where best-of-3 used to sit) but
+    # only reached its 0.38 s plateau around rep 8+; the sf0.001
+    # passes alone no longer carry the hot paths to steady state, so
+    # best-of-3 was recording compile ramp, not the engine (r11's
+    # first gated run: uniform drift 1.75-1.98x, regressed=[], DuckDB
+    # flat — a JVM/measurement artifact, not a plan change). Three
+    # additional untimed passes at the TARGET SF put the timed reps
+    # at executions 6-8 of each hot plan. Page-cache state is
+    # unchanged by this: the power phase's own rep 1 already warmed
+    # the sf0.1 files in every prior round.
+    WARM_TARGET_PASSES = 3
+    for _wp in range(WARM_TARGET_PASSES):
+        for _wname in HEADLINE:
+            try:
+                registry.QUERIES[_wname](spark, sf_dir).count()
+            except Exception:  # noqa: BLE001 - power loop reports failures
+                pass
 
     # Idle gate (r8 verdict #1): BENCH_r08 recorded a loadavg-8.5 start
     # and its 30-70% apparent regression was machine state, not code —
@@ -192,7 +211,11 @@ def main() -> None:
     # warmup also drains our own warmup load tail.
     from tools.volume_bench import wait_for_idle
 
-    gate = wait_for_idle()
+    # r10 verdict #2: gate on the 5m average too (< 3.0, bounded 15
+    # min) — the 1m-only gate admitted runs whose 5m/15m still carried
+    # the session's own test sweep, and r10's longitudinal point read
+    # 1.4x elevated purely from that tail.
+    gate = wait_for_idle(threshold_5m=3.0, timeout_s=900.0)
     # All three loadavg horizons AT GATE-PASS (r9 verdict #5): the 1m
     # gate can pass while a 5m/15m tail from a prior heavy phase is
     # still decaying — the 10.35 s-class residual power readings need
@@ -235,6 +258,15 @@ def main() -> None:
     # prior BENCH_r* used), and ``throughput_median5`` is the readable
     # number — median over all five absorbs the stragglers that one
     # lucky rep hides.
+    # Warmup v2 (r11): the concurrent path has its own JIT ramp on top
+    # of the sequential one (FAIR-scheduler queues, parallel codegen —
+    # the first gated r11 run's five timed reps read 11.2/8.0/6.6/7.2/
+    # 5.4 s, still descending at rep 5). Two untimed batch reps first
+    # so the five timed reps measure steady state, as the power loop
+    # now does.
+    for _rep in range(2):
+        with ThreadPoolExecutor(max_workers=STREAMS) as pool:
+            list(pool.map(run_one, live))
     batch_reps: list[float] = []
     for _rep in range(5):
         spark.catalog.clearCache()
@@ -315,6 +347,13 @@ def main() -> None:
             n for n, r in ratio_vs_prev.items()
             if r / max(drift_median, 0.01) > 1.5
         ]
+    # Advisor r10: median-normalization makes a genuine ALL-queries
+    # regression (e.g. in the shared scan helper) invisible to
+    # ``regressed`` — it looks exactly like machine drift. Surface it
+    # mechanically: uniform_drift flags a run whose median ratio itself
+    # exceeds 1.3x the last gated round. With the 5m gate above, a
+    # flagged run on unchanged plans means investigate the shared path.
+    uniform_drift = bool(drift_median is not None and drift_median > 1.3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
@@ -367,8 +406,16 @@ def main() -> None:
         # total drift is uniform, i.e. machine state, not a code
         # regression in one plan; drift_median carries the uniform
         # component for attribution.
+        # Warmup protocol version travels in the artifact so the
+        # longitudinal series carries the r11 change annotation: v2 =
+        # +3 untimed target-SF power passes and +2 untimed concurrent
+        # batch reps before the timed regions (JDK 17.0.20's longer C2
+        # ramp; steady state unchanged, so pre-r11 points — which were
+        # already steady under v1 warmup — stay comparable).
+        "warmup_protocol": "v2",
         "drift_baseline": prev_name,
         "drift_median": drift_median,
+        "uniform_drift": uniform_drift,
         "ratio_vs_prev": ratio_vs_prev,
         "regressed": regressed,
         **gate,
@@ -383,6 +430,23 @@ def main() -> None:
             "power/VOLUME series"
         ),
     }
+    # Parse-proofing (r10 verdict #1): BENCH_r10.json recorded
+    # parsed:null because the driver's fixed-size tail capture clipped
+    # the head of the stdout JSON line. Two defenses: console progress
+    # is now off at the session level (session.py), and the identical
+    # JSON is ALSO written to BENCH_LOCAL.json in the repo — a
+    # redundant, clip-proof copy the next round commits alongside the
+    # driver's artifact so the longitudinal series can always be
+    # reconstructed.
+    local_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
+    )
+    try:
+        with open(local_path, "w") as fh:
+            json.dump(out, fh, indent=1)
+            fh.write("\n")
+    except Exception as exc:  # noqa: BLE001 - stdout line must still print
+        print(f"BENCH_LOCAL.json write failed: {exc!r}", file=sys.stderr)
     # Compact headline JSON as the FINAL stdout line (driver contract).
     sys.stdout.flush()
     print(json.dumps(out))

@@ -49,5 +49,11 @@ def get_spark(
         # pool weights matter. Don't re-try without a real cluster.
         .config("spark.scheduler.mode", "FAIR")
         .config("spark.ui.enabled", "false")
+        # No console progress bars: the driver's bench capture keeps a
+        # bounded tail of the process output, and verbose progress
+        # rendering pushed round 10's one-line JSON headline past it
+        # (BENCH_r10.json parsed:null). Progress bars carry no signal
+        # in headless runs; off everywhere, not only for bench.
+        .config("spark.ui.showConsoleProgress", "false")
         .getOrCreate()
     )

@@ -156,7 +156,10 @@ def content_fingerprint(sf_dir: str) -> str:
 
 
 def wait_for_idle(
-    threshold: float = 2.0, timeout_s: float = 600.0, step_s: float = 15.0
+    threshold: float = 2.0,
+    timeout_s: float = 600.0,
+    step_s: float = 15.0,
+    threshold_5m: float | None = None,
 ) -> dict:
     """Bounded idle-wait before a timed phase (r8 verdict #1): BENCH_r08
     and VOLUME.json both recorded loadavg-8.5+ starts that read as
@@ -167,16 +170,32 @@ def wait_for_idle(
     machine-readable gate record for it. The wait also drains our own
     prior phases' load (warmup / a preceding timed phase): the 1m
     average decays with a ~1-minute time constant once we sleep, so
-    even a load-16 start clears in ~2.5 min, well inside the bound."""
+    even a load-16 start clears in ~2.5 min, well inside the bound.
+
+    ``threshold_5m`` (r10 verdict #2): the 1m-only gate kept admitting
+    runs whose 5-minute average still carried the session's own test
+    sweep — both the r10 driver run (1m 1.73, 5m 4.8) and the judge's
+    re-run passed the gate yet read 1.4x elevated, and the drift
+    detector then had to explain a uniform tail post-hoc. When set,
+    the gate also waits (same bounded loop) for the 5m average to
+    drop below it; the 5m average decays with a ~5-minute constant,
+    so the caller should pass a longer ``timeout_s``."""
     t0 = time.time()
-    load1 = os.getloadavg()[0]
-    while load1 >= threshold and (time.time() - t0) < timeout_s:
+
+    def _hot() -> bool:
+        load1, load5 = os.getloadavg()[:2]
+        return load1 >= threshold or (
+            threshold_5m is not None and load5 >= threshold_5m
+        )
+
+    while _hot() and (time.time() - t0) < timeout_s:
         time.sleep(step_s)
-        load1 = os.getloadavg()[0]
+    load1, load5 = os.getloadavg()[:2]
     return {
-        "contention_gate": "idle" if load1 < threshold else "timed_out",
+        "contention_gate": "idle" if not _hot() else "timed_out",
         "gate_waited_sec": round(time.time() - t0, 1),
         "gate_loadavg_1m": round(load1, 2),
+        "gate_loadavg_5m": round(load5, 2),
     }
 
 
