@@ -7,20 +7,35 @@ the ``blob_path`` pointer column is what flows through the engine —
 decode/feature-extract stages read bytes inside ``mapInPandas`` workers
 so media bytes never pass through the driver.
 
-Codec honesty, by format: the UNCOMPRESSED formats are decoded for
-real — ``decode_pixels`` parses P6 PPM and 24-bit BI_RGB BMP to
-(h, w, 3) uint8 numpy arrays and ``resize_pixels`` is a vectorized
-nearest-neighbor resample, all oracle-verified at the pixel level
-(``l8g_pixel_resize``: the DuckDB oracle re-derives the resampled
-pixel sums from index arithmetic alone). PNG is ALSO a real decode
-(r8, ``decode_png`` / ``l8j_png_decode``): its entropy layer is
-RFC-1950 zlib, which is stdlib — chunk walk + CRC-32 verify, inflate,
-and full five-filter scanline reconstruction, pixel-exact under the
-oracle. Only formats whose entropy coding has no stdlib decoder stay
-DELIBERATELY out of scope (jpeg's Huffman DCT, gif's LZW, mp3/ogg,
-h264/vp9) — for those, ``decode_image``/``resize_image`` stay
-header-sniff stubs while the Spark-side plumbing (schema, Arrow batch
-shape, partitioning, generator-style mapInPandas) is identical.
+Codec honesty, by format: these are REAL first-principles spec
+decoders (built across r7–r10), all oracle-verified at the
+pixel/sample level —
+- PPM (P6) and BMP (24-bit BI_RGB): ``decode_pixels`` →
+  (h, w, 3) uint8; ``resize_pixels`` vectorized nearest-neighbor
+  (``l8g_pixel_resize`` re-derives resampled pixel sums in SQL).
+- PNG: ``decode_png`` — chunk walk + CRC-32, stdlib-zlib inflate
+  (pass-bound), full five-filter scanline reconstruction (l8j).
+- GIF: ``decode_gif`` — hand-written LZW with output cap, interlace,
+  local/global palettes, frame compositing (l8k).
+- JPEG: ``decode_jpeg`` — baseline AND progressive Huffman DCT from
+  the spec: marker walk, Huffman tables, dequant, IDCT, 4:2:0/4:2:2
+  chroma upsampling, YCbCr→RGB (l8l grayscale, l8o color, l8q
+  progressive); absolute block caps against adversarial dims.
+- TIFF: ``decode_tiff`` — strip-based, uncompressed/PackBits/LZW/
+  Deflate, predictor 2, palette + WhiteIsZero, per-codec expansion
+  ceilings + output-capped inflate (l8m). Tiled TIFF and
+  JPEG-in-TIFF raise NotImplementedError honestly.
+- WAV (PCM + IEEE float): ``decode_audio`` (l8h); FLAC:
+  ``decode_flac`` — fixed + LPC prediction, Rice residuals (l8p).
+- Y4M: ``decode_y4m`` frame sampling (l8i); gzip members
+  output-capped at 256 MiB (s21); ``dispatch_media`` sniff-routes
+  heterogeneous corpora and degrades garbage to corrupt/unknown
+  instead of raising (l8n; 780k-blob fuzz campaign, r10).
+Still DELIBERATELY out of scope — formats whose entropy layer would
+mean reimplementing a full A/V codec: mp3/ogg audio, h264/vp9 video
+(plus tiled TIFF above). For those the plumbing (schema, Arrow batch
+shape, partitioning, generator-style mapInPandas) is identical and
+the decode step raises or sniffs headers only.
 """
 
 from __future__ import annotations
@@ -1659,6 +1674,11 @@ def decode_gif(blob: bytes):
             data += b[pos + 1 : pos + 1 + ln]
             pos += 1 + ln
         pos += 1  # sub-block terminator
+        # Bomb-guard tradeoff (advisor r11): `limit` makes lzw_decode
+        # STOP once w*h bytes exist, so corruption in trailing entropy
+        # data past that point decodes silently where r9 rejected it.
+        # Accepted: the cap is what bounds memory on adversarial rows,
+        # and the first w*h bytes are still fully validated.
         idx = np.frombuffer(
             lzw_decode(bytes(data), min_code_size, limit=w * h), np.uint8
         )
@@ -3725,13 +3745,19 @@ def decode_tiff(blob: bytes):
         raw = b[o : o + c]
         rows = min(rps, h - rps * si)
         expected = rows * w * spp
-        # r10 review: TIFF has no chunk CRCs, so the deflate/LZW bomb
-        # guards both directions — a header-implied strip size beyond
-        # deflate's ~1032:1 ceiling can't be legitimate (huge-dims,
+        # r10 review: TIFF has no chunk CRCs, so the bomb guard runs
+        # both directions — a header-implied strip size beyond the
+        # codec's expansion ceiling can't be legitimate (huge-dims,
         # tiny-data), and the decompressors are output-capped at
         # `expected` (small-dims, bomb-data: a 10 MB zeros-stream must
-        # not inflate to 10 GB inside a Spark task).
-        if expected > 1032 * len(raw) + 4096:
+        # not inflate to 10 GB inside a Spark task). Advisor r11: the
+        # ceiling is PER-CODEC — deflate tops out at 1032:1, but LZW
+        # with 12-bit codes over a 4094-entry table legitimately
+        # reaches ~2730:1 in theory (a 2048x2048 constant-gray LZW
+        # TIFF measures ~1050:1 and was being rejected as implausible),
+        # and PackBits at best 128:1; uncompressed strips never expand.
+        ceiling = {1: 1, 5: 2730, 32773: 128}.get(comp, 1032)
+        if expected > ceiling * len(raw) + 4096:
             raise ValueError("strip dimensions implausible for data size")
         cap = max(expected, 1)  # zlib treats max_length=0 as unlimited
         if comp == 1:
@@ -4000,9 +4026,17 @@ def dispatch_media(blob: bytes) -> tuple[str, int, int]:
             return (fmt, int(px.size), int(px.reshape(-1).astype(np.int64).sum()))
         if fmt == "wav":
             _rate, _ch, smp = decode_audio(blob)
+            # Advisor r11: IEEE-float WAVs (valid container) may carry
+            # NaN/Inf — the int64 cast is then undefined (platform
+            # INT64_MIN garbage in val_sum). Degrade to corrupt like
+            # any other undecodable body.
+            if smp.dtype.kind == "f" and not np.isfinite(smp).all():
+                return ("corrupt", 0, 0)
             return (fmt, int(smp.size), int(smp.astype(np.int64).sum()))
         if fmt == "flac":
             _rate, _nch, smp = decode_flac(blob)
+            if smp.dtype.kind == "f" and not np.isfinite(smp).all():
+                return ("corrupt", 0, 0)
             return (fmt, int(smp.size), int(smp.reshape(-1).astype(np.int64).sum()))
         if fmt == "y4m":
             _w, _h, frames = decode_y4m(blob)

@@ -3163,3 +3163,68 @@ def test_decompression_bombs_degrade_not_inflate():
     tenc = _tiff_lzw_encode(b"\x00" * (1 << 20))
     tout = _tiff_lzw(tenc, limit=1024)
     assert 1024 <= len(tout) < 1024 + 4096
+
+
+def test_tiff_lzw_high_ratio_strip_accepted():
+    """Advisor r11: the strip plausibility pre-check applied deflate's
+    1032:1 expansion ceiling to ALL codecs, so a LEGITIMATE
+    high-ratio LZW TIFF (constant-gray 2048x2048 measures ~1050:1
+    with the 12-bit/4094-entry table) was rejected as implausible and
+    dispatch_media silently misclassified it as corrupt. Ceilings are
+    per-codec now (deflate 1032, LZW 2730, PackBits 128,
+    uncompressed 1)."""
+    import numpy as np
+
+    from lens_warehouse_spark.llm.multimodal import decode_tiff, dispatch_media
+
+    px = np.full((2048, 2048), 77, np.uint8)
+    blob = _tiff_bytes(px, compression=5)
+    # precondition: the single strip really is past the old per-strip
+    # 1032:1 bound (expected > 1032 * len(raw_strip) + 4096)
+    strip = _tiff_lzw_encode(px.tobytes())
+    assert px.size > 1032 * len(strip) + 4096
+    got = decode_tiff(blob)
+    assert got.shape == (2048, 2048) and (got == 77).all()
+    assert dispatch_media(blob) == ("tiff", px.size, 77 * px.size)
+    # the huge-dims/tiny-data direction still trips per-codec: an
+    # uncompressed strip may never expand at all
+    import struct
+
+    hdr = bytearray(_tiff_bytes(np.zeros((4, 4), np.uint8), compression=1))
+    w_off = hdr.find(struct.pack("<HHI", 256, 3, 1))
+    h_off = hdr.find(struct.pack("<HHI", 257, 3, 1))
+    struct.pack_into("<I", hdr, w_off + 8, 4000)
+    struct.pack_into("<I", hdr, h_off + 8, 4000)
+    import pytest
+
+    with pytest.raises(ValueError, match="implausible|short|overruns"):
+        decode_tiff(bytes(hdr))
+
+
+def test_wav_float_nonfinite_degrades():
+    """Advisor r11: an IEEE-float WAV (valid container) carrying
+    NaN/Inf hit an undefined float->int64 cast in dispatch_media —
+    RuntimeWarning plus platform-dependent INT64_MIN garbage in
+    val_sum. Non-finite samples now degrade to corrupt; finite float
+    WAVs keep summing exactly."""
+    import struct
+    import warnings
+
+    import numpy as np
+
+    from lens_warehouse_spark.llm.multimodal import dispatch_media
+
+    def wav_f32(payload):
+        fmt = struct.pack("<HHIIHH", 3, 1, 8000, 8000 * 4, 4, 32)
+        out = b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(payload))
+        out += b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        out += b"data" + struct.pack("<I", len(payload)) + payload
+        return out
+
+    bad = np.array([0.5, np.nan, 1.0, -np.inf], dtype="<f4")
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # the old path raised RuntimeWarning
+        assert dispatch_media(wav_f32(bad.tobytes())) == ("corrupt", 0, 0)
+    ok = np.array([1.25, -2.5, 3.0], dtype="<f4")
+    # int64 cast truncates toward zero: 1 - 2 + 3
+    assert dispatch_media(wav_f32(ok.tobytes())) == ("wav", 3, 2)
