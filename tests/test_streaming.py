@@ -16,7 +16,11 @@ SF = "/root/testdata/sf0.001"
 def test_stream_tumbling_equals_batch_up_to_watermark(spark):
     """Append-mode semantics: the stream emits exactly the batch windows
     whose end precedes the final watermark (max event time - 1h); later
-    windows are withheld as 'still open'."""
+    windows are withheld as 'still open'. r11 certified contract: t4
+    now emits the batch-closed set + equals_batch, so the assertions
+    are (a) every row's equals_batch is TRUE (stream==batch verified
+    in-engine) and (b) the emitted rows are exactly the closed subset
+    of the batch windows."""
     from lens_warehouse_spark.catalog import table
     from lens_warehouse_spark.operators._helpers import as_ts
 
@@ -24,10 +28,9 @@ def test_stream_tumbling_equals_batch_up_to_watermark(spark):
         (r.win_start_ms, r.event_type): r.n
         for r in registry.QUERIES["t1_tumbling_window"](spark, SF).collect()
     }
-    stream = {
-        (r.win_start_ms, r.event_type): r.n
-        for r in registry.QUERIES["t4_stream_tumbling_watermark"](spark, SF).collect()
-    }
+    rows = registry.QUERIES["t4_stream_tumbling_watermark"](spark, SF).collect()
+    assert rows and all(r.equals_batch for r in rows)
+    stream = {(r.win_start_ms, r.event_type): r.n for r in rows}
     max_ms = (
         table(spark, SF, "events")
         .agg(F.max(F.unix_millis(as_ts("ts"))).alias("m"))
@@ -44,8 +47,9 @@ def test_stream_dedup_matches_distinct(spark):
     from lens_warehouse_spark.catalog import table
 
     n_distinct = table(spark, SF, "events").select("event_id").distinct().count()
-    n_stream = registry.QUERIES["t5_stream_dedup"](spark, SF).count()
-    assert n_stream == n_distinct
+    rows = registry.QUERIES["t5_stream_dedup"](spark, SF).collect()
+    assert len(rows) == n_distinct
+    assert all(r.equals_batch for r in rows)  # r11 certified contract
 
 
 def test_stateful_stats_match_batch_agg(spark):
@@ -58,9 +62,10 @@ def test_stateful_stats_match_batch_agg(spark):
         .agg(F.count(F.lit(1)).alias("n"), F.max("value").alias("mx"))
         .collect()
     }
+    t7_rows = registry.QUERIES["t7_stateful_user_stats"](spark, SF).collect()
+    assert t7_rows and all(r.equals_batch for r in t7_rows)  # r11 contract
     stream = {
-        r.user_id: (r.n_events, round(r.max_value, 6))
-        for r in registry.QUERIES["t7_stateful_user_stats"](spark, SF).collect()
+        r.user_id: (r.n_events, round(r.max_value, 6)) for r in t7_rows
     }
     assert stream == batch
 
@@ -72,20 +77,22 @@ def test_stream_static_join_covers_all_events(spark):
     joined = registry.QUERIES["t6_stream_static_join"](spark, SF)
     assert joined.count() == n_events  # every event_type has a category
     assert joined.filter(F.col("category").isNull()).count() == 0
+    # r11 certified contract: stream join == batch join, in-engine
+    assert joined.filter(~F.col("equals_batch")).count() == 0
 
 
 def test_stream_session_window_subset_of_batch(spark):
     """Streamed sessions (closed by watermark) must appear identically in
-    the batch session computation."""
+    the batch session computation. r11 certified contract: t9 emits the
+    batch-closed session set + equals_batch — every flag TRUE means the
+    stream emitted exactly that set (count guard included)."""
     batch = {
         (r.user_id, r.session_start_ms): r.n_events
         for r in registry.QUERIES["t3_session_window"](spark, SF).collect()
     }
-    stream = {
-        (r.user_id, r.session_start_ms): r.n_events
-        for r in registry.QUERIES["t9_stream_session_window"](spark, SF).collect()
-    }
-    assert stream  # something was emitted
+    rows = registry.QUERIES["t9_stream_session_window"](spark, SF).collect()
+    assert rows and all(r.equals_batch for r in rows)
+    stream = {(r.user_id, r.session_start_ms): r.n_events for r in rows}
     for key, n in stream.items():
         assert batch.get(key) == n
 
@@ -127,10 +134,9 @@ def test_stream_stream_join_equals_batch(spark):
     replayed input, availableNow)."""
     from lens_warehouse_spark.catalog import table
 
-    got = {
-        (r.user_id, r.click_id, r.buy_id)
-        for r in registry.QUERIES["t12_stream_stream_join"](spark, SF).collect()
-    }
+    t12_rows = registry.QUERIES["t12_stream_stream_join"](spark, SF).collect()
+    assert t12_rows and all(r.equals_batch for r in t12_rows)  # r11 contract
+    got = {(r.user_id, r.click_id, r.buy_id) for r in t12_rows}
     ev = table(spark, SF, "events")
     clicks = ev.filter(F.col("event_type") == "click").select(
         F.col("user_id").alias("c_user"),
@@ -163,10 +169,9 @@ def test_trending_topk_equals_batch(spark):
     from lens_warehouse_spark.catalog import table
     from lens_warehouse_spark.operators._helpers import as_ts
 
-    got = {
-        (r.win_start_ms, r.user_id, r.n, r.rk)
-        for r in registry.QUERIES["t13_stream_trending_topk"](spark, SF).collect()
-    }
+    t13_rows = registry.QUERIES["t13_stream_trending_topk"](spark, SF).collect()
+    assert t13_rows and all(r.equals_batch for r in t13_rows)  # r11 contract
+    got = {(r.win_start_ms, r.user_id, r.n, r.rk) for r in t13_rows}
     ev = table(spark, SF, "events")
     counts = (
         ev.groupBy(F.window("ts", "6 hours").alias("w"), "user_id")
@@ -245,6 +250,7 @@ def test_stream_anomaly_equals_batch_t19(spark):
 
     batch = QUERIES["t19_anomaly_zscore"](spark, SF).toPandas()
     stream = QUERIES["t20_stream_anomaly_zscore"](spark, SF).toPandas()
+    assert len(stream) > 0 and stream["equals_batch"].all()  # r11 contract
     # append mode emits only watermark-CLOSED windows: the final 6h
     # bucket stays open (watermark = max_ts - 1h < its end), so batch
     # rows for it have no stream counterpart — same contract as
