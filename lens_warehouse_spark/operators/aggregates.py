@@ -45,11 +45,35 @@ def a1_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 # A2: approximate count-distinct (HLL++) — the 100 TB path. No SQL oracle
 # (engines' sketches differ); sanity property tested in tests/ instead.
 # ---------------------------------------------------------------------------
-@register("a2_approx_count_distinct")
+_A2_ORACLE = """
+SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_customers,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       TRUE AS approx_within_rsd
+FROM orders
+"""
+
+
+# Certified (r11, the equals-batch pattern's error-bound cousin): the
+# HLL++ estimate itself is engine-specific and can't appear in a DuckDB
+# oracle, so the query emits the EXACT distinct count plus an in-engine
+# boolean asserting |approx - exact| / exact <= 0.06 (3x the requested
+# rsd 0.02 — a ~3-sigma bound on a deterministic sketch). The plan
+# still exercises approx_count_distinct; an estimator regression flips
+# the flag and hash-fails. Was rows-only since r1.
+@register("a2_approx_count_distinct", oracle=_A2_ORACLE)
 def a2_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return table(spark, sf_dir, "orders").agg(
+    agg = table(spark, sf_dir, "orders").agg(
         F.approx_count_distinct("o_custkey", 0.02).alias("approx_customers"),
+        F.count_distinct(F.col("o_custkey")).alias("exact_customers"),
         F.count(F.lit(1)).alias("n_orders"),
+    )
+    err = F.abs(
+        F.col("approx_customers") - F.col("exact_customers")
+    ) / F.col("exact_customers")
+    return agg.select(
+        "exact_customers",
+        "n_orders",
+        (err <= 0.06).alias("approx_within_rsd"),
     )
 
 
@@ -1216,11 +1240,36 @@ def exact_quantile_boundaries(
 # and the rolling union touches only |days| sketches — the frame is the
 # bounded day series, never raw events. Mergeability is the point:
 # day sketches are computed once and reused by every window that
-# covers them (and by a18's coarser rollups). Rows-only by design
-# (estimates are sketch-impl-specific); tests/test_sketches.py bounds
-# the error against w9's exact counts.
+# covers them (and by a18's coarser rollups). Certified (r11, was
+# rows-only): the estimates are sketch-impl-specific, so the query
+# emits the EXACT trailing-7-row distinct counts (same row-frame
+# semantics as the sketch window) plus an in-engine boolean asserting
+# every estimate lands within 5% of exact (default lgK=12 sketch,
+# rsd ~1.6%; 5% is ~3 sigma) — the oracle re-derives the exact counts
+# and literal TRUE. tests/test_sketches.py keeps the per-day bound.
+# The exact side is the certification epilogue, severable at scale;
+# the sketch pipeline remains the production path.
 # ---------------------------------------------------------------------------
-@register("a25_windowed_hll")
+_A25_ORACLE = """
+WITH ud AS (
+  SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events
+), days AS (
+  SELECT day, row_number() OVER (ORDER BY day) AS rn
+  FROM (SELECT DISTINCT day FROM ud)
+), pairs AS (
+  SELECT d2.day AS day, ud.user_id
+  FROM days d1
+  JOIN days d2 ON d2.rn BETWEEN d1.rn AND d1.rn + 6
+  JOIN ud ON ud.day = d1.day
+)
+SELECT epoch_ms(day) AS day_ms,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS dau7_exact,
+       TRUE AS within_bound
+FROM pairs GROUP BY day ORDER BY day_ms
+"""
+
+
+@register("a25_windowed_hll", oracle=_A25_ORACLE)
 def a25_windowed_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
@@ -1234,12 +1283,46 @@ def a25_windowed_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the frame is the bounded day series (one row per day), so the
     # unpartitioned ordered window is O(|days|), like u8's month series
     w = Window.orderBy("day").rowsBetween(-6, 0)
+    est = daily.select(
+        "day",
+        F.hll_sketch_estimate(F.hll_union_agg("sk").over(w))
+        .cast("long")
+        .alias("dau7_estimate"),
+    )
+    # exact twin with the SAME trailing-7-ROW frame over the day
+    # series: rank the day series, band-join rank windows, distinct
+    # per covered day — all on the bounded day/user-day domain.
+    ud = (
+        table(spark, sf_dir, "events")
+        .select(F.date_trunc("day", as_ts("ts")).alias("day"), "user_id")
+        .distinct()
+    )
+    days = ud.select("day").distinct().withColumn(
+        "rn", F.row_number().over(Window.orderBy("day"))
+    )
+    d1, d2 = days.alias("d1"), days.alias("d2")
+    cover = d1.join(
+        F.broadcast(d2),
+        (F.col("d2.rn") >= F.col("d1.rn"))
+        & (F.col("d2.rn") <= F.col("d1.rn") + 6),
+    ).select(F.col("d1.day").alias("src_day"), F.col("d2.day").alias("day"))
+    exact = (
+        ud.withColumnRenamed("day", "src_day")
+        .join(F.broadcast(cover), "src_day")
+        .groupBy("day")
+        .agg(F.count_distinct("user_id").alias("dau7_exact"))
+    )
+    bound = (
+        F.abs(F.col("dau7_estimate") - F.col("dau7_exact"))
+        / F.col("dau7_exact")
+        <= 0.05
+    )
     return (
-        daily.select(
+        est.join(exact, "day")
+        .select(
             F.unix_millis("day").alias("day_ms"),
-            F.hll_sketch_estimate(F.hll_union_agg("sk").over(w))
-            .cast("long")
-            .alias("dau7_estimate"),
+            "dau7_exact",
+            bound.alias("within_bound"),
         )
         .orderBy("day_ms")
     )

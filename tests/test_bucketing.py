@@ -181,25 +181,28 @@ def test_sketch_overlap_within_bound(spark):
 
 
 def test_windowed_hll_tracks_exact_rolling_dau(spark):
-    """a25's sketched 7-day rolling DAU must track w9's exact counts
-    within HLL error (lgk=12 -> ~1.6% relative; allow 5%)."""
+    """a25's sketched 7-day rolling DAU must track the exact counts
+    within HLL error (lgk=12 -> ~1.6% relative; allow 5%). r11: the
+    bound now travels IN the query as within_bound (certified
+    contract), and the emitted exact column must equal w9's exact
+    rolling DAU row-for-row (two independent exact machineries:
+    a25's day-series band join vs w9's fan-out explode — the day
+    series is dense in the synthetic feed, so row-frame and calendar
+    trailing-7 coincide)."""
     from lens_warehouse_spark import registry
     from lens_warehouse_spark.registry import QUERIES
 
     registry.load_all()
     sf = "/root/testdata/sf0.001"
-    est = [
-        r["dau7_estimate"]
-        for r in QUERIES["a25_windowed_hll"](spark, sf)
-        .orderBy("day_ms")
-        .collect()
-    ]
+    rows = (
+        QUERIES["a25_windowed_hll"](spark, sf).orderBy("day_ms").collect()
+    )
+    assert rows and all(r["within_bound"] for r in rows)
     exact = [
         r["dau7"]
         for r in QUERIES["w9_sliding_distinct"](spark, sf)
         .orderBy("day_idx")
         .collect()
     ]
-    assert est and len(est) == len(exact)  # same day series, both ordered
-    for e, x in zip(est, exact):
-        assert abs(e - x) <= max(2, 0.05 * x), (e, x)
+    assert len(rows) == len(exact)  # same day series, both ordered
+    assert [r["dau7_exact"] for r in rows] == exact
