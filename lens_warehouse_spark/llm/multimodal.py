@@ -56,6 +56,16 @@ from pyspark.sql.types import (
 from lens_warehouse_spark.catalog import table
 from lens_warehouse_spark.registry import register
 
+# r11 decompression-bomb doctrine, part 2: the r10 output caps are all
+# RELATIVE (codec expansion ceiling x payload size), which still lets a
+# large authored payload claim a multi-GB decode (100 MB of deflate at
+# 1032:1 is 100 GB). One absolute bound on decoded size closes the
+# class across every compressed codec here (TIFF strips, PNG IDAT, GIF
+# frames, FLAC samples), mirroring the gzip path's _S21_MAX_TEXT: no
+# legitimate corpus asset decodes past 256 MiB, and a Spark task must
+# never allocate unbounded memory for one row.
+_MAX_DECODED_BYTES = 256 << 20
+
 
 def sniff_media(blob: bytes) -> tuple[str, int | None, int | None]:
     """Pure-Python magic-byte sniff: (format, width, height).
@@ -1220,8 +1230,19 @@ def decode_png(blob: bytes):
         implied = h * (1 + (w * bits + 7) // 8)
     if implied > 1032 * idat_len + 65536:
         raise ValueError("PNG dimensions implausible for IDAT size")
+    if implied > _MAX_DECODED_BYTES:  # r11 absolute bomb cap
+        raise ValueError("PNG decoded size exceeds cap")
     try:
-        raw0 = zlib.decompress(b"".join(idat))  # Adler-32 verified by zlib
+        # Output-capped at implied+1 (r11): the relative check above
+        # bounds what the HEADER may claim, but the zstream itself
+        # could still inflate past it — cap the materialization and
+        # let the length checks below reject the overrun.
+        d = zlib.decompressobj()
+        raw0 = d.decompress(b"".join(idat), implied + 1)
+        if d.unconsumed_tail:
+            raise ValueError("IDAT inflates past implied size")
+        if not d.eof:  # truncated zstream: v1's zlib.decompress raised
+            raise ValueError("incomplete IDAT zstream")
     except zlib.error as exc:  # CRC-valid but broken zstream (authored)
         raise ValueError(f"bad IDAT zstream: {exc}") from exc
     if depth < 8:  # sub-byte gray/palette (r9): MSB-first packed pixels
@@ -1653,6 +1674,8 @@ def decode_gif(blob: bytes):
         if pos + 10 > len(b):
             raise ValueError("truncated image descriptor")
         _x, _y, w, h = struct.unpack_from("<HHHH", b, pos + 1)
+        if w * h * 3 > _MAX_DECODED_BYTES:  # r11 absolute bomb cap
+            raise ValueError("GIF decoded size exceeds cap")
         iflags = b[pos + 9]
         pos += 10
         ct = gct
@@ -3278,6 +3301,12 @@ def decode_flac(blob: bytes):
             raise ValueError("frame CRC-16 mismatch")
         for ci in range(nch):
             chans[ci].extend(subs[ci])
+        # r11 absolute cap: a crafted stream of constant subframes
+        # expands ~30000:1 (65535 samples from ~10 bytes/frame) — no
+        # relative bound catches that, so cap total decoded bytes
+        # like every other codec here.
+        if len(chans[0]) * nch * 8 > _MAX_DECODED_BYTES:
+            raise ValueError("FLAC decoded size exceeds cap")
         pos = r.pos
     return rate0, nch, np.array(chans, dtype=np.int64).T
 
@@ -3734,6 +3763,8 @@ def decode_tiff(blob: bytes):
     if predictor not in (1, 2):
         raise NotImplementedError(f"TIFF predictor {predictor}")
     rps = one(278, h)
+    if w * h * spp > _MAX_DECODED_BYTES:  # r11 absolute bomb cap
+        raise ValueError("TIFF decoded size exceeds cap")
     offsets = tags.get(273)
     counts = tags.get(279)
     if not offsets or not counts or len(offsets) != len(counts):

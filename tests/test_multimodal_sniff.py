@@ -2616,7 +2616,9 @@ def test_png_all_color_types_and_depths():
     crc = zlib.crc32(b"IHDR" + bytes(ihdr))
     blob[16:29] = ihdr
     blob[29:33] = struct.pack(">I", crc)
-    with pytest.raises(ValueError, match="length mismatch|filter type"):
+    with pytest.raises(
+        ValueError, match="length mismatch|filter type|inflates past"
+    ):
         decode_png(bytes(blob))
 
 
@@ -3228,3 +3230,42 @@ def test_wav_float_nonfinite_degrades():
     ok = np.array([1.25, -2.5, 3.0], dtype="<f4")
     # int64 cast truncates toward zero: 1 - 2 + 3
     assert dispatch_media(wav_f32(ok.tobytes())) == ("wav", 3, 2)
+
+
+def test_absolute_decoded_size_caps(monkeypatch):
+    """r11 bomb doctrine part 2: the r10 caps are RELATIVE (expansion
+    ceiling x payload), so a large authored payload can still claim a
+    multi-GB decode. One absolute bound (_MAX_DECODED_BYTES) now
+    applies across TIFF/PNG/GIF/FLAC. Tested by shrinking the cap so
+    small legitimate blobs trip it — same code path a real bomb hits —
+    then restoring it to confirm the same blobs decode."""
+    import numpy as np
+    import pytest
+
+    from lens_warehouse_spark.llm import multimodal as mm
+
+    px = np.full((64, 64), 9, np.uint8)
+    tiff = _tiff_bytes(px, compression=1)
+    png = _encode_png(np.dstack([px] * 3))
+    pal = np.stack([np.arange(256)] * 3, axis=1).astype(np.uint8)
+    gif = _gif_bytes(px, pal)
+    smp = np.zeros(4096, dtype=np.int64)
+    flac = _flac_bytes([smp], 256, [("indep", [("constant",)])] * 16)
+
+    # all decode fine under the real 256 MiB cap
+    assert mm.decode_tiff(tiff).shape == (64, 64)
+    assert mm.decode_png(png).shape == (64, 64, 3)
+    assert mm.decode_gif(gif).shape == (64, 64, 3)  # palette-mapped RGB
+    assert mm.decode_flac(flac)[2].shape[0] == 4096
+
+    monkeypatch.setattr(mm, "_MAX_DECODED_BYTES", 2048)
+    with pytest.raises(ValueError, match="exceeds cap"):
+        mm.decode_tiff(tiff)
+    with pytest.raises(ValueError, match="exceeds cap"):
+        mm.decode_png(png)
+    with pytest.raises(ValueError, match="exceeds cap"):
+        mm.decode_gif(gif)
+    with pytest.raises(ValueError, match="exceeds cap"):
+        mm.decode_flac(flac)
+    # dispatch degrades, never raises
+    assert mm.dispatch_media(tiff) == ("corrupt", 0, 0)
