@@ -304,12 +304,38 @@ def volume_scaling_report(spark, base_sf_dir: str, mult: int = 10) -> dict:
     # measure the machine as the timed phases will see it, and waiting
     # after staging also drains the staging job's own 1m-load tail.
     scaled_dir = ensure_scaled_dir(base_sf_dir, mult, spark=spark)
+
+    # Warmup v2 (r11, same JDK-17.0.20 finding as bench.py): the C2
+    # ramp at VOLUME scale no longer completes inside best-of-3 — an
+    # isolated t3 probe at 300x read checksum reps 14.7/6.3/5.4/5.0/
+    # 5.4/5.0 s while the in-harness reps (t3 running 7th in the
+    # shared session) recorded 15.7/20.8/22.7 s and never left the
+    # ramp, a 4x phantom vs the 5 s steady state. One untimed
+    # checksum pass of the subset at EACH measured dir puts the timed
+    # reps at steady state; the page-cache warmth it adds was already
+    # there for every rep>1 under the old protocol, and DuckDB's side
+    # (measured after Spark's) inherits the same file warmth as
+    # before.
+    from pyspark.sql import functions as F
+
+    for warm_sf in (base_sf_dir, scaled_dir):
+        for name in VOLUME_SUBSET:
+            try:
+                df = registry.QUERIES[name](spark, warm_sf)
+                h = F.xxhash64(*[F.col(c) for c in df.columns]).cast(
+                    "decimal(38,0)"
+                )
+                df.agg(F.count(F.lit(1)), F.sum(h)).collect()
+            except Exception:  # noqa: BLE001 - warmup is best-effort
+                pass
+
     gate = wait_for_idle()
     load1, load5, _ = os.getloadavg()
     base = _point(spark, base_sf_dir)
     scaled = _point(spark, scaled_dir)
     return {
         "mult": mult,
+        "warmup_protocol": "v2",
         "staged_fingerprint": content_fingerprint(scaled_dir),
         "machine": {
             "cpus": os.cpu_count(),
