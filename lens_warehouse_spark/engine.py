@@ -537,10 +537,12 @@ class LensWarehouse:
         return l34_inverted_index(self.spark, self.sf_dir)
 
     def centrality(self) -> DataFrame:
-        """PageRank over the within-cell kNN similarity graph (l35)."""
-        from lens_warehouse_spark.llm.vector import l35_pagerank_centrality
+        """PageRank over the within-cell kNN similarity graph — the full
+        rank surface (l35's registered form is the certified contract;
+        users want the ranks)."""
+        from lens_warehouse_spark.llm.vector import pagerank_ranks
 
-        return l35_pagerank_centrality(self.spark, self.sf_dir)
+        return pagerank_ranks(self.spark, self.sf_dir)
 
     def mixture_weights(self) -> DataFrame:
         """Temperature-scaled domain sampling weights (l36)."""

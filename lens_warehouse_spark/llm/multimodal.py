@@ -4060,13 +4060,22 @@ def dispatch_media(blob: bytes) -> tuple[str, int, int]:
             # Advisor r11: IEEE-float WAVs (valid container) may carry
             # NaN/Inf — the int64 cast is then undefined (platform
             # INT64_MIN garbage in val_sum). Degrade to corrupt like
-            # any other undecodable body.
-            if smp.dtype.kind == "f" and not np.isfinite(smp).all():
+            # any other undecodable body. r11 fuzz follow-up: a FINITE
+            # float outside int64 range (1e300 is a perfectly valid
+            # IEEE sample byte pattern) hits the same undefined cast —
+            # bound by 2^31, far above any real PCM encoding's range.
+            if smp.dtype.kind == "f" and not (
+                np.isfinite(smp).all()
+                and (smp.size == 0 or np.abs(smp).max() <= 2**31)
+            ):
                 return ("corrupt", 0, 0)
             return (fmt, int(smp.size), int(smp.astype(np.int64).sum()))
         if fmt == "flac":
             _rate, _nch, smp = decode_flac(blob)
-            if smp.dtype.kind == "f" and not np.isfinite(smp).all():
+            if smp.dtype.kind == "f" and not (
+                np.isfinite(smp).all()
+                and (smp.size == 0 or np.abs(smp).max() <= 2**31)
+            ):
                 return ("corrupt", 0, 0)
             return (fmt, int(smp.size), int(smp.reshape(-1).astype(np.int64).sum()))
         if fmt == "y4m":

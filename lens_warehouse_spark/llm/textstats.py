@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from lens_warehouse_spark.catalog import table
-from lens_warehouse_spark.operators._helpers import md5_bucket
+from lens_warehouse_spark.operators._helpers import md5_bucket, pin
 from lens_warehouse_spark.registry import register
 
 def _toks():
@@ -737,11 +737,97 @@ def pack_documents(docs: DataFrame, capacity: int = SEQ_CAPACITY, n_shards: int 
     )
 
 
-@register("l15_sequence_packing")
+_L15_ORACLE = """
+WITH sized AS (
+  SELECT doc_id,
+         CAST(least(len(string_split(text, ' ')), 128) AS BIGINT) AS n_tokens,
+         CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) % 8 AS INT) AS shard
+  FROM documents
+)
+SELECT shard, doc_id, n_tokens,
+       TRUE AS capacity_ok, TRUE AS contiguous_ok,
+       TRUE AS packed_once_ok, TRUE AS halffull_ok
+FROM sized
+ORDER BY doc_id
+"""
+
+
+# Certified contract (r11 — the a2/l35 pattern): the bin assignment
+# (seq_id, offset) is shard-local first-fit, inherently sequential and
+# not SQL-expressible, so it cannot be hash-matched — but every input
+# to it and every property of it can. The query emits the oracle-exact
+# columns (shard from the shared md5 bucket idiom, n_tokens from the
+# shared token-count recipe — DuckDB recomputes both) plus four
+# integer-exact certificates over the packing itself:
+#   capacity_ok    per row: 0 <= offset and offset + n_tokens <= 128;
+#   contiguous_ok  per row: docs tile each sequence gaplessly
+#                  (offset == previous offset + previous n_tokens,
+#                  first doc at 0) — with capacity_ok this implies the
+#                  per-sequence sum bound;
+#   packed_once_ok global: every document packed exactly once;
+#   halffull_ok    per shard: at most ONE sequence is <= half full —
+#                  the classical first-fit guarantee (two half-empty
+#                  bins contradict "didn't fit"), which bounds the
+#                  packing within 2x optimal.
+# All arithmetic is integer, so the contract has no float boundary to
+# flip. A packing bug — an overfull bin, a gap, a dropped or duplicated
+# doc, a degenerate one-doc-per-bin packing — flips a boolean and
+# hash-fails. Full (seq_id, offset) surface stays on pack_documents
+# (facade + tests/test_packing.py). Was rows-only r2-r10.
+@register("l15_sequence_packing", oracle=_L15_ORACLE)
 def l15_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only (bin assignment is shard-local); invariants tested."""
-    return pack_documents(table(spark, sf_dir, "documents")).orderBy(
-        "shard", "seq_id", "offset"
+    cap = SEQ_CAPACITY
+    docs = table(spark, sf_dir, "documents")
+    # packed feeds the row checks, the per-sequence fills, and the
+    # global conservation count — pin so first-fit runs once.
+    packed = pin("l15.packed", pack_documents(docs))
+
+    wseq = Window.partitionBy("shard", "seq_id").orderBy("offset")
+    rows = packed.withColumn(
+        "_prev_end", F.lag(F.col("offset") + F.col("n_tokens")).over(wseq)
+    )
+
+    fills = packed.groupBy("shard", "seq_id").agg(
+        F.sum("n_tokens").alias("_fill")
+    )
+    halffull = fills.groupBy("shard").agg(
+        (
+            F.sum((F.col("_fill") * 2 <= cap).cast("int")) <= F.lit(1)
+        ).alias("halffull_ok")
+    )
+
+    conserved = (
+        packed.agg(
+            F.count(F.lit(1)).alias("_np"),
+            F.countDistinct("doc_id").alias("_nd"),
+        )
+        .crossJoin(F.broadcast(docs.agg(F.count(F.lit(1)).alias("_n"))))
+        .select(
+            (
+                (F.col("_np") == F.col("_nd")) & (F.col("_np") == F.col("_n"))
+            ).alias("packed_once_ok")
+        )
+    )
+
+    return (
+        rows.join(F.broadcast(halffull), "shard")  # 8 rows
+        .crossJoin(F.broadcast(conserved))  # 1 row
+        .select(
+            "shard",
+            "doc_id",
+            "n_tokens",
+            (
+                (F.col("offset") >= 0)
+                & (F.col("offset") + F.col("n_tokens") <= cap)
+                & (F.col("n_tokens") >= 1)
+            ).alias("capacity_ok"),
+            F.coalesce(
+                F.col("offset") == F.col("_prev_end"), F.col("offset") == 0
+            ).alias("contiguous_ok"),
+            "packed_once_ok",
+            "halffull_ok",
+        )
+        .orderBy("doc_id")
     )
 
 

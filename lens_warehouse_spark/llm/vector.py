@@ -1115,9 +1115,27 @@ def l32b_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 # cells) leak their mass — standard damped PageRank without dangling
 # redistribution; the invariants tests account for it.
 #
-# Rows-only: rank values are fixed-point float iterates (no SQL oracle);
-# tests/test_pagerank.py pins mass bounds, monotone convergence,
-# determinism, and that every rank >= the teleport floor.
+# Certified contract (r11 — the a2/a17 pattern applied to the iterative
+# tier): the rank VALUES are fixed-point float iterates whose partial-
+# aggregation order is engine-specific, so they cannot appear in a
+# DuckDB oracle — but everything AROUND them can. The registered query
+# emits the oracle-exact graph columns (cell_id from the IVF argmax,
+# out/in-degree from the deterministic round-6 kNN edge list — DuckDB
+# recomputes the entire graph construction and hash-matches it) plus
+# three in-engine mathematical certificates over the iteration:
+#   floor_ok       per node: rank >= (1-d) exactly (rank is
+#                  (1-d) + d*mass with mass a float sum of nonnegatives,
+#                  and x + nonneg rounds to >= x in IEEE754);
+#   contraction_ok global: ||r16 - r15||_1 <= d^15 * ||r1 - r0||_1 —
+#                  the Banach bound for the damped map (column-
+#                  substochastic contribution matrix => L1 Lipschitz
+#                  d), with 1e-6 relative float slack;
+#   mass_ok        global: 0.15*N <= sum(rank) <= N — dangling leaks
+#                  shrink mass, never create it.
+# A wrong edge list, a broken iteration, or a diverging estimator flips
+# a column DuckDB checks or a certificate boolean and hash-fails. The
+# full rank surface stays available as ``pagerank_ranks`` (facade +
+# tests/test_pagerank.py invariants). Was rows-only r4-r10.
 # ---------------------------------------------------------------------------
 _PR_K = 3
 _PR_DAMP = 0.85
@@ -1183,8 +1201,12 @@ def pagerank(
     return ranks
 
 
-@register("l35_pagerank_centrality")
-def l35_pagerank_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+def pagerank_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full rank surface: (vec_id, cell_id, rank, cell_rank).
+
+    Unregistered (float fixed-point iterates are not oracle-safe);
+    the engine facade and tests/test_pagerank.py consume this, while
+    the registered l35 query carries the certified contract below."""
     emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     codebook = emb.filter(F.col("vec_id") < N_CELLS).select(
         F.col("vec_id").alias("cell_id"), F.col("embedding").alias("centroid")
@@ -1202,5 +1224,142 @@ def l35_pagerank_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(ranks, "vec_id")
         .withColumn("cell_rank", F.row_number().over(w).cast("long"))
         .select("vec_id", "cell_id", F.round("rank", 6).alias("rank"), "cell_rank")
+        .orderBy("vec_id")
+    )
+
+
+_L35_ORACLE = f"""
+WITH codebook AS (
+  SELECT vec_id AS cell_id, embedding AS centroid FROM embeddings WHERE vec_id < {N_CELLS}
+), assigned AS (
+  SELECT vec_id, embedding, cell_id FROM (
+    SELECT e.vec_id, e.embedding, c.cell_id,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY round({_DOT_SQL.format(a='e.embedding', b='c.centroid')}, 6) DESC, c.cell_id
+           ) AS rn
+    FROM embeddings e CROSS JOIN codebook c
+  ) WHERE rn = 1
+), edges AS (
+  SELECT src, dst FROM (
+    SELECT a.vec_id AS src, b.vec_id AS dst,
+           row_number() OVER (
+             PARTITION BY a.vec_id
+             ORDER BY round({_DOT_SQL.format(a='a.embedding', b='b.embedding')}, 6) DESC, b.vec_id
+           ) AS rn
+    FROM assigned a JOIN assigned b
+      ON a.cell_id = b.cell_id AND a.vec_id <> b.vec_id
+  ) WHERE rn <= {_PR_K}
+), outd AS (
+  SELECT src, CAST(count(*) AS BIGINT) AS n FROM edges GROUP BY src
+), ind AS (
+  SELECT dst, CAST(count(*) AS BIGINT) AS n FROM edges GROUP BY dst
+)
+SELECT a.vec_id, a.cell_id,
+       COALESCE(o.n, 0) AS out_deg,
+       COALESCE(i.n, 0) AS in_deg,
+       TRUE AS floor_ok,
+       TRUE AS contraction_ok,
+       TRUE AS mass_ok
+FROM assigned a
+LEFT JOIN outd o ON o.src = a.vec_id
+LEFT JOIN ind i ON i.dst = a.vec_id
+ORDER BY a.vec_id
+"""
+
+
+@register("l35_pagerank_centrality", oracle=_L35_ORACLE)
+def l35_pagerank_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    codebook = emb.filter(F.col("vec_id") < N_CELLS).select(
+        F.col("vec_id").alias("cell_id"), F.col("embedding").alias("centroid")
+    )
+    assigned = pin("l35.ivf_assigned", _ivf_assign(emb, codebook))
+    nodes = assigned.select("vec_id")
+    # Pin the edge list: it feeds the degree joins, every power-iteration
+    # step (via `ed`), and the certificate passes.
+    edges = pin("l35.edges", knn_edges(assigned))
+    out_deg = edges.groupBy(F.col("src").alias("vec_id")).agg(
+        F.count(F.lit(1)).alias("out_deg")
+    )
+    in_deg = edges.groupBy(F.col("dst").alias("vec_id")).agg(
+        F.count(F.lit(1)).alias("in_deg")
+    )
+
+    # Power iteration, keeping the iterates the certificates need:
+    # r1 (first step from the all-ones vector), r15 (the result), r16
+    # (one verification step — severable at scale, like a17's
+    # certification join).
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    ed = edges.join(deg, "src").localCheckpoint()
+    ranks = nodes.select("vec_id", F.lit(1.0).alias("rank")).localCheckpoint()
+    iterates: dict[int, DataFrame] = {0: ranks}
+    for i in range(1, _PR_ITERS + 2):
+        contrib = (
+            ed.join(ranks, ed.src == ranks.vec_id)
+            .select("dst", (F.col("rank") / F.col("deg")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("mass"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes.vec_id == contrib.dst, "left")
+            .select(
+                "vec_id",
+                (
+                    F.lit(1.0 - _PR_DAMP)
+                    + F.lit(_PR_DAMP) * F.coalesce("mass", F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+        if i in (1, _PR_ITERS, _PR_ITERS + 1):
+            iterates[i] = ranks
+
+    r15 = iterates[_PR_ITERS]
+    # ||r1 - r0||_1 (r0 is all ones) and ||r16 - r15||_1.
+    d0 = iterates[1].agg(
+        F.sum(F.abs(F.col("rank") - F.lit(1.0))).alias("d0")
+    )
+    dlast = (
+        iterates[_PR_ITERS + 1]
+        .select("vec_id", F.col("rank").alias("r_next"))
+        .join(r15, "vec_id")
+        .agg(F.sum(F.abs(F.col("r_next") - F.col("rank"))).alias("dlast"))
+    )
+    mass = r15.agg(
+        F.sum("rank").alias("m"), F.count(F.lit(1)).alias("n")
+    )
+    certs = (
+        d0.crossJoin(dlast)
+        .crossJoin(mass)
+        .select(
+            (
+                F.col("dlast")
+                <= F.col("d0") * F.lit(_PR_DAMP**_PR_ITERS * (1 + 1e-6))
+                + F.lit(1e-9)
+            ).alias("contraction_ok"),
+            (
+                (F.col("m") <= F.col("n") * F.lit(1 + 1e-9))
+                & (F.col("m") >= F.col("n") * F.lit((1 - _PR_DAMP) * (1 - 1e-9)))
+            ).alias("mass_ok"),
+        )
+    )
+    return (
+        # Degree frames are corpus-sized (one row per node) — keyed
+        # shuffle joins, never broadcast; only the 1-row cert frame is.
+        assigned.select("vec_id", "cell_id")
+        .join(out_deg, "vec_id", "left")
+        .join(in_deg, "vec_id", "left")
+        .join(r15, "vec_id")
+        .crossJoin(F.broadcast(certs))
+        .select(
+            "vec_id",
+            "cell_id",
+            F.coalesce("out_deg", F.lit(0)).cast("long").alias("out_deg"),
+            F.coalesce("in_deg", F.lit(0)).cast("long").alias("in_deg"),
+            (F.col("rank") >= F.lit(1.0 - _PR_DAMP)).alias("floor_ok"),
+            "contraction_ok",
+            "mass_ok",
+        )
         .orderBy("vec_id")
     )

@@ -3227,6 +3227,11 @@ def test_wav_float_nonfinite_degrades():
     with warnings.catch_warnings():
         warnings.simplefilter("error")  # the old path raised RuntimeWarning
         assert dispatch_media(wav_f32(bad.tobytes())) == ("corrupt", 0, 0)
+        # r11 fuzz follow-up: FINITE floats beyond int64 range (1e30 is
+        # a valid IEEE byte pattern) hit the same undefined cast — the
+        # 2^31 plausibility bound degrades them too.
+        huge = np.array([0.5, 1e30, -1.0], dtype="<f4")
+        assert dispatch_media(wav_f32(huge.tobytes())) == ("corrupt", 0, 0)
     ok = np.array([1.25, -2.5, 3.0], dtype="<f4")
     # int64 cast truncates toward zero: 1 - 2 + 3
     assert dispatch_media(wav_f32(ok.tobytes())) == ("wav", 3, 2)

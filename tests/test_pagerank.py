@@ -1,17 +1,30 @@
-"""Invariants for l35 PageRank centrality (rows-only by design)."""
+"""Invariants for l35 PageRank centrality.
+
+r11: the registered l35 query is now a certified contract (oracle-exact
+graph columns + floor/contraction/mass certificates); the full rank
+surface moved to ``pagerank_ranks`` and keeps its original invariants
+here. The certificate booleans are additionally pinned TRUE at the
+smoke SF so a certificate regression fails fast in-suite, not only at
+driver time.
+"""
 
 from __future__ import annotations
 
 import pytest
 from pyspark.sql import functions as F
 
-from lens_warehouse_spark.llm.vector import knn_edges, pagerank
+from lens_warehouse_spark.llm.vector import knn_edges, pagerank, pagerank_ranks
 from lens_warehouse_spark.registry import QUERIES
 from tests.conftest import SF_SMOKE
 
 
 @pytest.fixture(scope="module")
 def pr(spark):
+    return pagerank_ranks(spark, SF_SMOKE).toPandas()
+
+
+@pytest.fixture(scope="module")
+def cert(spark):
     return QUERIES["l35_pagerank_centrality"](spark, SF_SMOKE).toPandas()
 
 
@@ -23,7 +36,7 @@ def test_rank_floor_and_mass(pr):
 
 
 def test_deterministic(spark, pr):
-    again = QUERIES["l35_pagerank_centrality"](spark, SF_SMOKE).toPandas()
+    again = pagerank_ranks(spark, SF_SMOKE).toPandas()
     assert pr.sort_values("vec_id").reset_index(drop=True).equals(
         again.sort_values("vec_id").reset_index(drop=True)
     )
@@ -32,6 +45,32 @@ def test_deterministic(spark, pr):
 def test_cell_rank_is_dense_per_cell(pr):
     for _cell, grp in pr.groupby("cell_id"):
         assert sorted(grp["cell_rank"]) == list(range(1, len(grp) + 1))
+
+
+def test_certified_contract_booleans_hold(cert):
+    assert cert["floor_ok"].all()
+    assert cert["contraction_ok"].all()
+    assert cert["mass_ok"].all()
+
+
+def test_certified_degrees_match_edge_list(spark, cert):
+    """out_deg/in_deg in the contract must equal the kNN edge list's
+    actual degrees (the same numbers the DuckDB oracle recomputes)."""
+    from lens_warehouse_spark.catalog import table
+    from lens_warehouse_spark.llm.vector import N_CELLS, _ivf_assign
+
+    emb = table(spark, SF_SMOKE, "embeddings").select("vec_id", "embedding")
+    codebook = emb.filter(F.col("vec_id") < N_CELLS).select(
+        F.col("vec_id").alias("cell_id"), F.col("embedding").alias("centroid")
+    )
+    edges = knn_edges(_ivf_assign(emb, codebook)).toPandas()
+    out_deg = edges.groupby("src").size()
+    in_deg = edges.groupby("dst").size()
+    for row in cert.itertuples():
+        assert row.out_deg == out_deg.get(row.vec_id, 0)
+        assert row.in_deg == in_deg.get(row.vec_id, 0)
+    # every node with a non-singleton cell has out-degree >= 1
+    assert (cert["out_deg"] <= 3).all()
 
 
 def test_power_iteration_converges(spark):
