@@ -507,10 +507,12 @@ class LensWarehouse:
         return l32_gram_matrix(self.spark, self.sf_dir)
 
     def pca_project(self) -> DataFrame:
-        """Top-8 principal-component projection of embeddings (l32b)."""
-        from lens_warehouse_spark.llm.vector import l32b_pca_project
+        """Top-8 principal-component projection of embeddings — the full
+        coordinate surface (l32b's registered form is the certified
+        contract; users want the coordinates)."""
+        from lens_warehouse_spark.llm.vector import pca_project
 
-        return l32b_pca_project(self.spark, self.sf_dir)
+        return pca_project(self.spark, self.sf_dir)
 
     def canonical_selection(self) -> DataFrame:
         """Max-quality survivor per near-dup cluster (l33)."""

@@ -1077,6 +1077,14 @@ def l28_boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     # do not spend further rounds on it — every persist granularity
     # (tokens r7, chunks r10) and every plan shape (tiers 1-3,
     # single-pass shuffle, literal/UDF membership) is now measured.
+    # r11 coda (no code change): under warmup protocol v2 (BASELINE.md
+    # r11 — the JDK-17.0.20 C2 ramp no longer completes inside
+    # best-of-3, so pre-v2 reps were partially measuring compile ramp)
+    # the idle-gated 1000x point reads **0.54x** (Spark 19.3 s vs
+    # DuckDB 35.9 s, VOLUME_1000x.json) — most of the historical band
+    # was ramp phantom, not the second scan. 100x/300x still read
+    # ~1.8-2.0x, so the note above stands for mid-volume; the plan
+    # remains unchanged and closed.
     # Decomposition:
     #   probe pass (tokenize + chunk-hash + exact df-count + collect):
     #     8.6-13.1 s;  scrub pass (re-tokenize + searchsorted + md5

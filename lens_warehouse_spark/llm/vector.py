@@ -1031,11 +1031,26 @@ def l32_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 # expression, so whole-stage codegen applies it with zero Python in the
 # per-row path.
 #
-# Registered rows-only: eigenvectors are LAPACK-convention-dependent
-# (sign/ordering on near-degenerate spectra), so cross-engine value
-# parity is not meaningful. tests/test_pca.py pins the invariants
-# instead: variance(pc_k) monotone decreasing, components orthonormal,
-# projected variance == eigenvalue, reconstruction error bounded.
+# Certified contract (r11 — the l35/l15 pattern): eigenvectors are
+# LAPACK-convention-dependent (sign/ordering on near-degenerate
+# spectra), so the projected COORDINATES cannot appear in a DuckDB
+# oracle — but the defining properties of PCA can be checked in-engine
+# and the per-row input energy is oracle-exact. The registered query
+# emits round(<x,x>,6) per vector (DuckDB recomputes it) plus five
+# certificates:
+#   bessel_ok       per row: sum_k pc_k^2 <= ||x - mean||^2 — Bessel's
+#                   inequality for an orthonormal component set;
+#   centered_ok     global: |avg(pc_k)| ~ 0 for every k (projections
+#                   of centered data have zero mean);
+#   var_ok          global: var_pop(pc_k) == lambda_k within float
+#                   slack (the defining property of PCA), computed by
+#                   Spark over the JVM-side literal-array projections;
+#   orthonormal_ok  driver-side: |Q^T Q - I|_max < 1e-9;
+#   monotone_ok     driver-side: eigenvalues non-increasing and >= 0.
+# A wrong Gram assembly, a broken eigen step, or a bad projection
+# expression flips a certificate (or norm2) and hash-fails. The full
+# coordinate surface stays on ``pca_project`` (facade +
+# tests/test_pca.py invariants). Was rows-only r4-r10.
 # ---------------------------------------------------------------------------
 _PCA_K = 8
 
@@ -1079,8 +1094,12 @@ def pca_components(spark: SparkSession, sf_dir: str, k: int = _PCA_K):
     return vals, vecs, mean
 
 
-@register("l32b_pca_project")
-def l32b_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+def pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full coordinate surface: (vec_id, pc1..pc8).
+
+    Unregistered (eigen conventions are not oracle-safe); the engine
+    facade and tests/test_pca.py consume this, while the registered
+    l32b query carries the certified contract below."""
     _vals, vecs, mean = pca_components(spark, sf_dir)
     emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     cols = []
@@ -1097,6 +1116,96 @@ def l32b_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias(f"pc{c + 1}")
         )
     return emb.select("vec_id", *cols)
+
+
+_L32B_ORACLE = f"""
+SELECT vec_id,
+       round({_DOT_SQL.format(a='embedding', b='embedding')}, 6) AS norm2,
+       TRUE AS bessel_ok, TRUE AS centered_ok, TRUE AS var_ok,
+       TRUE AS orthonormal_ok, TRUE AS monotone_ok
+FROM embeddings
+ORDER BY vec_id
+"""
+
+
+@register("l32b_pca_project", oracle=_L32B_ORACLE)
+def l32b_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    vals, vecs, mean = pca_components(spark, sf_dir)
+    # Driver-side certificates over the d x k eigenpair block — O(d^2)
+    # numpy, corpus-size-independent (same scaling class as the
+    # eigendecomposition itself).
+    orthonormal_ok = bool(
+        np.abs(vecs.T @ vecs - np.eye(vecs.shape[1])).max() < 1e-9
+    )
+    monotone_ok = bool(
+        np.all(np.diff(vals) <= 1e-12) and np.all(vals >= -1e-10)
+    )
+
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    pcs = []
+    for c in range(vecs.shape[1]):
+        lits = ",".join(f"{float(v)!r}D" for v in vecs[:, c])
+        shift = float(mean @ vecs[:, c])
+        pcs.append(
+            (
+                F.expr(_DOT.format(a="embedding", b=f"array({lits})"))
+                - F.lit(shift)
+            ).alias(f"_pc{c + 1}")
+        )
+    mean_lits = ",".join(f"{float(v)!r}D" for v in mean)
+    centered_energy = (
+        F.expr(_DOT.format(a="embedding", b="embedding"))
+        - 2.0 * F.expr(_DOT.format(a="embedding", b=f"array({mean_lits})"))
+        + F.lit(float(mean @ mean))
+    )
+    projected = emb.select(
+        "vec_id",
+        F.round(F.expr(_DOT.format(a="embedding", b="embedding")), 6).alias(
+            "norm2"
+        ),
+        centered_energy.alias("_cen"),
+        *pcs,
+    )
+    energy = sum(
+        (F.col(f"_pc{c + 1}") ** 2 for c in range(vecs.shape[1])),
+        F.lit(0.0),
+    )
+    # Global certificates: zero-mean and variance == eigenvalue per
+    # component, Spark-side over the same literal-array projections.
+    glob = projected.agg(
+        *[F.avg(f"_pc{c + 1}").alias(f"_m{c + 1}") for c in range(vecs.shape[1])],
+        *[
+            F.var_pop(f"_pc{c + 1}").alias(f"_v{c + 1}")
+            for c in range(vecs.shape[1])
+        ],
+    )
+    centered_ok = None
+    var_ok = None
+    for c in range(vecs.shape[1]):
+        m_ok = F.abs(F.col(f"_m{c + 1}")) <= 1e-6
+        v_ok = F.abs(F.col(f"_v{c + 1}") - F.lit(float(vals[c]))) <= (
+            1e-6 + 1e-6 * F.lit(abs(float(vals[c])))
+        )
+        centered_ok = m_ok if centered_ok is None else (centered_ok & m_ok)
+        var_ok = v_ok if var_ok is None else (var_ok & v_ok)
+    certs = glob.select(
+        centered_ok.alias("centered_ok"), var_ok.alias("var_ok")
+    )
+    return (
+        projected.crossJoin(F.broadcast(certs))
+        .select(
+            "vec_id",
+            "norm2",
+            (energy <= F.col("_cen") + 1e-6).alias("bessel_ok"),
+            "centered_ok",
+            "var_ok",
+            F.lit(orthonormal_ok).alias("orthonormal_ok"),
+            F.lit(monotone_ok).alias("monotone_ok"),
+        )
+        .orderBy("vec_id")
+    )
 
 
 # ---------------------------------------------------------------------------

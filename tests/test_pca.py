@@ -1,9 +1,11 @@
 """Invariant tests for the PCA family (l32 gram matrix, l32b projection).
 
-l32 is fully oracle-checked; these tests pin the parts an SQL oracle
-cannot express: eigen-structure invariants of the projection (variance
-ordering, orthonormality, projected variance == eigenvalue) and the
-distributed-vs-local agreement of the covariance assembly.
+l32 is fully oracle-checked. r11: the registered l32b query became a
+certified contract (oracle-exact norms + Bessel/centered/variance/
+orthonormality/monotonicity certificates); the full coordinate surface
+moved to ``pca_project`` and keeps its original invariants here, plus
+the certificate booleans are pinned TRUE at the smoke SF so a
+certificate regression fails in-suite, not only at driver time.
 """
 
 from __future__ import annotations
@@ -12,7 +14,7 @@ import numpy as np
 import pytest
 
 from lens_warehouse_spark.catalog import table
-from lens_warehouse_spark.llm.vector import pca_components
+from lens_warehouse_spark.llm.vector import pca_components, pca_project
 from lens_warehouse_spark.registry import QUERIES
 from tests.conftest import SF_SMOKE
 
@@ -54,7 +56,7 @@ def test_projected_variance_matches_eigenvalue(spark, eig):
     defining property of PCA), computed through the registered query —
     i.e. the JVM-side literal-array dot expressions, not numpy."""
     vals, vecs, _mean = eig
-    pdf = QUERIES["l32b_pca_project"](spark, SF_SMOKE).toPandas()
+    pdf = pca_project(spark, SF_SMOKE).toPandas()
     for k in range(min(4, vecs.shape[1])):
         col = pdf[f"pc{k + 1}"].to_numpy()
         # projections are centered -> mean ~ 0, var == eigenvalue
@@ -63,7 +65,35 @@ def test_projected_variance_matches_eigenvalue(spark, eig):
 
 
 def test_projection_schema_and_rows(spark):
-    df = QUERIES["l32b_pca_project"](spark, SF_SMOKE)
+    df = pca_project(spark, SF_SMOKE)
     n = table(spark, SF_SMOKE, "embeddings").count()
     assert df.count() == n
     assert df.columns == ["vec_id"] + [f"pc{i}" for i in range(1, 9)]
+
+
+def test_certified_contract_booleans_hold(spark):
+    pdf = QUERIES["l32b_pca_project"](spark, SF_SMOKE).toPandas()
+    for col in (
+        "bessel_ok",
+        "centered_ok",
+        "var_ok",
+        "orthonormal_ok",
+        "monotone_ok",
+    ):
+        assert pdf[col].all(), col
+
+
+def test_certified_norms_match_numpy(spark):
+    """norm2 in the contract must equal the raw squared L2 norm of each
+    embedding (the number the DuckDB oracle recomputes)."""
+    pdf = (
+        QUERIES["l32b_pca_project"](spark, SF_SMOKE)
+        .toPandas()
+        .set_index("vec_id")
+    )
+    x = table(spark, SF_SMOKE, "embeddings").select("vec_id", "embedding")
+    for r in x.collect():
+        v = np.asarray(r["embedding"], dtype=np.float64)
+        # norm2 is round(<x,x>, 6): within half an ulp-of-rounding of
+        # the true value, no rounding-convention dependence
+        assert abs(pdf.loc[r["vec_id"], "norm2"] - v @ v) < 6e-7
