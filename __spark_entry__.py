@@ -254,6 +254,28 @@ def _coverage_order(names: list[str]) -> list[str]:
         "a17_approx_percentile": 10,
         "a18_hll_rollup": 10,
         "a19_sketch_overlap": 10,
+        # r11: seventeen rows-only names gained certified hash-checked
+        # contracts (equals-batch streaming twins, error-bound sketches,
+        # graph/packing/eigen certificates) — each must earn its first
+        # driver row under the NEW oracle, not whenever module-level
+        # staleness happens to surface it.
+        "t4_stream_tumbling_watermark": 11,
+        "t4b_stream_tumbling_rocksdb": 11,
+        "t5_stream_dedup": 11,
+        "t6_stream_static_join": 11,
+        "t7_stateful_user_stats": 11,
+        "t8_foreach_batch_sink": 11,
+        "t9_stream_session_window": 11,
+        "t10_rate_source": 11,
+        "t12_stream_stream_join": 11,
+        "t13_stream_trending_topk": 11,
+        "t16_stream_cdc_apply": 11,
+        "t20_stream_anomaly_zscore": 11,
+        "a2_approx_count_distinct": 11,
+        "a25_windowed_hll": 11,
+        "l15_sequence_packing": 11,
+        "l35_pagerank_centrality": 11,
+        "l32b_pca_project": 11,
     }
     priority = [
         n
