@@ -276,6 +276,7 @@ def _coverage_order(names: list[str]) -> list[str]:
         "l15_sequence_packing": 11,
         "l35_pagerank_centrality": 11,
         "l32b_pca_project": 11,
+        "l3f_ann_ivf_trained": 11,
     }
     priority = [
         n

@@ -466,10 +466,11 @@ def mean_best_affinity(emb: DataFrame, codebook: DataFrame) -> float:
     return float(best.agg(F.avg("best")).collect()[0][0])
 
 
-@register("l3f_ann_ivf_trained")
-def l3f_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF search against a Lloyd's-trained codebook: same probe plan as
-    l3e, better cells. Rows-only (float centroid means)."""
+def ann_ivf_trained_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full trained-IVF search surface: same probe plan as l3e,
+    Lloyd's-trained cells. Unregistered (cell membership rides on float
+    centroid means); the registered l3f query below carries the
+    certified contract over the training invariants instead."""
     emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     codebook = train_codebook(emb, k=N_CELLS, iters=3)
     assigned = pin("l3f.ivf_assigned", _ivf_assign(emb, codebook))
@@ -494,6 +495,128 @@ def l3f_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("query_id", "neighbor_id", "rn", "cos")
         .orderBy("query_id", "rn")
+    )
+
+
+_L3F_ORACLE = f"""
+SELECT vec_id,
+       round({_DOT_SQL.format(a='embedding', b='embedding')}, 6) AS norm2,
+       TRUE AS nearest_ok, TRUE AS objective_monotone_ok,
+       TRUE AS unit_norm_ok, TRUE AS k_bounded_ok
+FROM embeddings
+ORDER BY vec_id
+"""
+
+
+# Certified contract (r11 — the l32b pattern applied to the trained
+# tier): Lloyd's iterates are float means whose partial-aggregation
+# order is engine-specific, so cell membership under a TRAINED codebook
+# cannot be hash-matched — but spherical k-means has provable
+# invariants, all checkable in-engine, and the per-vector input norm is
+# oracle-exact. The registered query emits round(<x,x>,6) per vector
+# (DuckDB recomputes it) plus four certificates:
+#   nearest_ok            per row: the assigned cell's affinity equals
+#                         the max affinity over the trained codebook
+#                         (re-derived via an independent groupBy-max,
+#                         not the assignment's own row_number);
+#   objective_monotone_ok global: the spherical k-means objective
+#                         (sum of best affinities) after the last
+#                         update >= after the first update — both
+#                         Lloyd half-steps are monotone once centroids
+#                         are unit-normalized (assignment picks the
+#                         max-dot centroid; the normalized mean
+#                         maximizes the fixed-assignment objective by
+#                         Cauchy-Schwarz), with 1e-6-per-vector slack
+#                         for the round-6 tie-break quantum the
+#                         assignment applies;
+#   unit_norm_ok          global: every trained centroid is unit-norm;
+#   k_bounded_ok          global: <= N_CELLS cells survive training.
+# A broken assign step, a diverging update, or a denormalized centroid
+# flips a certificate and hash-fails. The full search surface stays on
+# ``ann_ivf_trained_search``; convergence properties remain in
+# tests/test_vector.py. Was rows-only r4-r10.
+@register("l3f_ann_ivf_trained", oracle=_L3F_ORACLE)
+def l3f_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    seed = emb.filter(F.col("vec_id") < N_CELLS).select(
+        F.col("vec_id").alias("cell_id"), F.col("embedding").alias("centroid")
+    )
+    # Lloyd's loop, keeping the first and last UPDATED codebooks (the
+    # monotone segment starts at the first normalization).
+    codebooks: dict[int, DataFrame] = {}
+    cb = seed
+    iters = 3
+    for i in range(1, iters + 1):
+        cb = update_centroids(_ivf_assign(emb, cb)).localCheckpoint()
+        if i in (1, iters):
+            codebooks[i] = cb
+
+    def objective(codebook: DataFrame) -> DataFrame:
+        """One-row frame: (sum of per-vector best affinities, n)."""
+        scored = emb.crossJoin(F.broadcast(codebook)).select(
+            "vec_id", dot("embedding", "centroid").alias("aff")
+        )
+        return (
+            scored.groupBy("vec_id")
+            .agg(F.max("aff").alias("best"))
+            .agg(F.sum("best").alias("obj"), F.count(F.lit(1)).alias("n"))
+        )
+
+    cb_last = codebooks[iters]
+    assigned = pin("l3f.ivf_assigned_cert", _ivf_assign(emb, cb_last))
+    # Independent nearest-cell re-derivation: max affinity per vector
+    # via groupBy, compared to the assigned cell's affinity.
+    aff_all = emb.crossJoin(F.broadcast(cb_last)).select(
+        "vec_id", "cell_id", F.round(dot("embedding", "centroid"), 6).alias("aff")
+    )
+    best = aff_all.groupBy("vec_id").agg(F.max("aff").alias("best_aff"))
+    own = assigned.select("vec_id", "cell_id").join(
+        aff_all, ["vec_id", "cell_id"]
+    )
+
+    cnorm = F.sqrt(
+        F.aggregate(
+            F.transform("centroid", lambda x: x * x),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+    )
+    cb_certs = cb_last.select(
+        (F.abs(cnorm - 1.0) <= 1e-9).alias("_u")
+    ).agg(
+        # AND across rows == min of the boolean-as-int
+        F.min(F.col("_u").cast("int")).cast("boolean").alias("unit_norm_ok"),
+        (F.count(F.lit(1)) <= N_CELLS).alias("k_bounded_ok"),
+    )
+    obj = (
+        objective(codebooks[1])
+        .select(F.col("obj").alias("obj1"), F.col("n").alias("n1"))
+        .crossJoin(objective(cb_last).select(F.col("obj").alias("objk")))
+        .select(
+            (
+                F.col("objk")
+                >= F.col("obj1") - F.lit(float(iters)) * 1e-6 * F.col("n1")
+            ).alias("objective_monotone_ok")
+        )
+    )
+    return (
+        emb.select(
+            "vec_id",
+            F.round(dot("embedding", "embedding"), 6).alias("norm2"),
+        )
+        .join(own.select("vec_id", "aff"), "vec_id")
+        .join(best, "vec_id")
+        .crossJoin(F.broadcast(obj))
+        .crossJoin(F.broadcast(cb_certs))
+        .select(
+            "vec_id",
+            "norm2",
+            (F.col("aff") >= F.col("best_aff") - 1e-9).alias("nearest_ok"),
+            "objective_monotone_ok",
+            "unit_norm_ok",
+            "k_bounded_ok",
+        )
+        .orderBy("vec_id")
     )
 
 

@@ -50,10 +50,9 @@ def test_trained_codebook_unit_norm(spark):
 
 
 def test_trained_ivf_query_shape(spark):
-    from lens_warehouse_spark.registry import QUERIES, load_all
+    from lens_warehouse_spark.llm.vector import ann_ivf_trained_search
 
-    load_all()
-    out = QUERIES["l3f_ann_ivf_trained"](spark, SF)
+    out = ann_ivf_trained_search(spark, SF)
     rows = out.collect()
     assert out.columns == ["query_id", "neighbor_id", "rn", "cos"]
     # top-3 per probe, probes are vec_id < 5
@@ -63,6 +62,25 @@ def test_trained_ivf_query_shape(spark):
     for q, rns in per_q.items():
         assert q < 5
         assert sorted(rns) == list(range(1, len(rns) + 1))
+
+
+def test_trained_ivf_certified_contract(spark):
+    """r11: the registered l3f query is the certified training contract —
+    every certificate boolean must hold at the smoke SF, and there must
+    be exactly one row per embedding."""
+    from lens_warehouse_spark.catalog import table
+    from lens_warehouse_spark.registry import QUERIES, load_all
+
+    load_all()
+    pdf = QUERIES["l3f_ann_ivf_trained"](spark, SF).toPandas()
+    assert len(pdf) == table(spark, SF, "embeddings").count()
+    for col in (
+        "nearest_ok",
+        "objective_monotone_ok",
+        "unit_norm_ok",
+        "k_bounded_ok",
+    ):
+        assert pdf[col].all(), col
 
 
 def test_multiprobe_recall_dominates_single_probe(spark):
