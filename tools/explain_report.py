@@ -623,6 +623,35 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         ("df/tf joins broadcast", "BroadcastHashJoin"),
         ("no row-at-a-time python", "!BatchEvalPython"),
     ],
+    # r11 certified-contract plans. Gates avoid pinning AQE's
+    # broadcast-vs-shuffle choice on the corpus-sized degree/cert joins
+    # (no broadcast hint in the code — AQE upgrades at small SF, shuffles
+    # at scale); they pin the invariants that must hold at EVERY SF.
+    "l15_sequence_packing": [
+        ("first-fit runs as ONE Arrow-grouped pass, pinned for all three certificate consumers", "FlatMapGroupsInPandas"),
+        ("packed relation reused from cache, not recomputed", "InMemoryTableScan"),
+        ("half-full certificate joined via broadcast (8 rows)", "BroadcastHashJoin"),
+        ("no cartesian product", "!CartesianProduct"),
+    ],
+    "l35_pagerank_centrality": [
+        ("kNN top-k pushed into the window sort", "WindowGroupLimit"),
+        ("IVF assignment pinned across edge/degree/rank consumers", "InMemoryTableScan"),
+        ("certificate scalars broadcast as single-row cross", "BroadcastNestedLoopJoin Cross"),
+        ("no cartesian product", "!CartesianProduct"),
+        ("no row-at-a-time python", "!BatchEvalPython"),
+    ],
+    "l32b_pca_project": [
+        ("literal-array projections + Bessel check stay in codegen", "!BatchEvalPython"),
+        ("global zero-mean/variance certificates partially aggregated", "HashAggregate"),
+        ("certificate row broadcast as single-row cross", "BroadcastNestedLoopJoin Cross"),
+        ("column pruning to vec_id+embedding", "ReadSchema: struct<vec_id:bigint,embedding:array<float>>"),
+    ],
+    "l3f_ann_ivf_trained": [
+        ("trained codebook broadcast for assignment + certificates", "BroadcastNestedLoopJoin Cross"),
+        ("independent nearest-cell re-derivation partially aggregated", "HashAggregate"),
+        ("final assignment pinned across the certificate consumers", "InMemoryTableScan"),
+        ("no row-at-a-time python", "!BatchEvalPython"),
+    ],
 }
 
 
