@@ -97,3 +97,36 @@ def test_certified_norms_match_numpy(spark):
         # norm2 is round(<x,x>, 6): within half an ulp-of-rounding of
         # the true value, no rounding-convention dependence
         assert abs(pdf.loc[r["vec_id"], "norm2"] - v @ v) < 6e-7
+
+
+def test_certificates_hold_on_degenerate_spectrum(spark, tmp_path):
+    """Adversarial: identical embeddings give a ZERO covariance matrix —
+    eigenvalues all 0, eigenvector choice maximally convention-
+    dependent (any orthonormal basis is valid). The certificates must
+    still hold: projections are exactly centered to 0, var == 0 ==
+    eigenvalue, Bessel trivially, eigh's basis orthonormal."""
+    import numpy as np
+
+    from lens_warehouse_spark.registry import QUERIES, load_all
+
+    load_all()
+    vec = [float((i * 7) % 13) / 13.0 for i in range(64)]
+    rows = [(i, vec) for i in range(40)]
+    d = str(tmp_path)
+    spark.createDataFrame(rows, "vec_id long, embedding array<float>").coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+    pdf = QUERIES["l32b_pca_project"](spark, d).toPandas()
+    assert len(pdf) == 40
+    # parquet stores float32; the engine dots in double over those values
+    v32 = np.asarray(vec, dtype=np.float32).astype(np.float64)
+    expected = round(float((v32 * v32).sum()), 6)
+    for col in (
+        "bessel_ok",
+        "centered_ok",
+        "var_ok",
+        "orthonormal_ok",
+        "monotone_ok",
+    ):
+        assert pdf[col].all(), col
+    assert (pdf["norm2"] - expected).abs().max() < 1e-6
