@@ -1525,7 +1525,7 @@ def l35_pagerank_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     ed = edges.join(deg, "src").localCheckpoint()
     ranks = nodes.select("vec_id", F.lit(1.0).alias("rank")).localCheckpoint()
-    iterates: dict[int, DataFrame] = {0: ranks}
+    iterates: dict[int, DataFrame] = {}
     for i in range(1, _PR_ITERS + 2):
         contrib = (
             ed.join(ranks, ed.src == ranks.vec_id)
