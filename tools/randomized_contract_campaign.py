@@ -1,0 +1,119 @@
+"""Randomized-corpus campaign for the r11 certificate contracts.
+
+The fixed sf0.001/0.01/0.1 parity sweeps verify the four certified
+contracts (l15 packing, l35 PageRank, l32b PCA, l3f trained IVF) on
+three corpus shapes. This campaign verifies them on RANDOM synthetic
+corpora — tiny (1-2 rows), degenerate (identical embeddings, all-same
+token counts), skewed (heavy-tail token lengths, clustered vectors) —
+through the exact check_parity compare (column-sorted, value-exact),
+so a certificate that only holds on TPC-H-shaped data fails here.
+
+Seeded and deterministic; writes one JSON line. Not part of the pytest
+suite (runs real Spark + DuckDB per corpus, ~10 min); run ad hoc:
+
+    python tools/randomized_contract_campaign.py [n_corpora] [seed]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import random
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+from lens_warehouse_spark import registry
+from lens_warehouse_spark.session import get_spark
+from tools.check_parity import compare
+
+DOC_QUERIES = ["l15_sequence_packing"]
+EMB_QUERIES = ["l32b_pca_project", "l3f_ann_ivf_trained", "l35_pagerank_centrality"]
+
+
+def _doc_corpus(rng: random.Random, n: int) -> list[tuple[int, str]]:
+    shapes = rng.choice(
+        [
+            lambda: rng.randint(1, 300),          # heavy spread across cap=128
+            lambda: 64,                           # all exactly half-cap
+            lambda: rng.choice([1, 64, 65, 128]), # boundary mix
+        ]
+    )
+    return [
+        (i, " ".join("w%d" % rng.randint(0, 9) for _ in range(shapes())))
+        for i in range(n)
+    ]
+
+
+def _emb_corpus(rng: random.Random, n: int) -> list[tuple[int, list[float]]]:
+    kind = rng.choice(["uniform", "clustered", "identical"])
+    base = [[rng.uniform(-1, 1) for _ in range(64)] for _ in range(max(4, n // 8))]
+    rows = []
+    for i in range(n):
+        if kind == "uniform":
+            v = [rng.uniform(-1, 1) for _ in range(64)]
+        elif kind == "identical":
+            v = base[0]
+        else:  # clustered: a base vector + small jitter
+            b = base[rng.randrange(len(base))]
+            v = [x + rng.uniform(-0.01, 0.01) for x in b]
+        rows.append((i, [float(x) for x in v]))
+    return rows
+
+
+def main() -> int:
+    n_corpora = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    seed = int(sys.argv[2]) if len(sys.argv) > 2 else 0xC0FFEE
+    rng = random.Random(seed)
+    registry.load_all()
+    spark = get_spark()
+    t0 = time.time()
+    n_checks, failures = 0, []
+
+    for c in range(n_corpora):
+        d = tempfile.mkdtemp(prefix="lws_randcert_")
+        try:
+            n_docs = rng.choice([1, 2, 7, 33, 200])
+            n_vecs = rng.choice([1, 2, 15, 17, 120])
+            spark.createDataFrame(
+                _doc_corpus(rng, n_docs), "doc_id long, text string"
+            ).coalesce(1).write.parquet(f"{d}/documents.parquet")
+            spark.createDataFrame(
+                _emb_corpus(rng, n_vecs), "vec_id long, embedding array<float>"
+            ).coalesce(1).write.parquet(f"{d}/embeddings.parquet")
+
+            con = duckdb.connect()
+            for t in ("documents", "embeddings"):
+                con.execute(
+                    f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{d}/{t}.parquet/*.parquet')"
+                )
+            for name in DOC_QUERIES + EMB_QUERIES:
+                spark_pdf = registry.QUERIES[name](spark, d).toPandas()
+                oracle_pdf = con.execute(registry.ORACLES[name]).fetchdf()
+                problems = compare(name, spark_pdf, oracle_pdf)
+                n_checks += 1
+                if problems:
+                    failures.append(
+                        {"corpus": c, "n_docs": n_docs, "n_vecs": n_vecs,
+                         "query": name, "problems": problems}
+                    )
+            con.close()
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+
+    print(json.dumps({
+        "n_corpora": n_corpora, "seed": seed, "n_checks": n_checks,
+        "n_failures": len(failures), "failures": failures,
+        "elapsed_s": round(time.time() - t0, 1),
+    }))
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
