@@ -34,6 +34,18 @@ from tools.check_parity import compare
 
 DOC_QUERIES = ["l15_sequence_packing"]
 EMB_QUERIES = ["l32b_pca_project", "l3f_ann_ivf_trained", "l35_pagerank_centrality"]
+# The r11 equals-batch streaming twins that read only the events table.
+# Random microsecond-precision timestamps over random spans are the
+# adversarial case for the watermark's ms-truncation arithmetic and for
+# empty-closed-window sets (a span shorter than the 1 h delay closes
+# nothing — both sides must agree on the empty set).
+STREAM_QUERIES = [
+    "t4_stream_tumbling_watermark",
+    "t5_stream_dedup",
+    "t9_stream_session_window",
+    "t12_stream_stream_join",
+    "t20_stream_anomaly_zscore",
+]
 
 
 def _doc_corpus(rng: random.Random, n: int) -> list[tuple[int, str]]:
@@ -66,9 +78,34 @@ def _emb_corpus(rng: random.Random, n: int) -> list[tuple[int, list[float]]]:
     return rows
 
 
+def _events_corpus(rng: random.Random, n: int) -> list[tuple]:
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    span_s = rng.choice([60, 1800, 3 * 3600, 14 * 86400])  # < and > the 1 h delay
+    vocab = ["click", "view", "signup", "error", "purchase"]
+    rows = []
+    for i in range(n):
+        ts = base + dt.timedelta(
+            seconds=rng.uniform(0, span_s), microseconds=rng.randint(0, 999)
+        )
+        rows.append(
+            (
+                i,
+                ts,
+                rng.randint(0, max(1, n // 10)),  # skewed user ids
+                rng.choice(vocab),
+                round(rng.uniform(-50, 500), 2),
+                '{"k": %d}' % rng.randint(0, 99),
+            )
+        )
+    return rows
+
+
 def main() -> int:
     n_corpora = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     seed = int(sys.argv[2]) if len(sys.argv) > 2 else 0xC0FFEE
+    with_streaming = "--streaming" in sys.argv
     rng = random.Random(seed)
     registry.load_all()
     spark = get_spark()
@@ -86,14 +123,26 @@ def main() -> int:
             spark.createDataFrame(
                 _emb_corpus(rng, n_vecs), "vec_id long, embedding array<float>"
             ).coalesce(1).write.parquet(f"{d}/embeddings.parquet")
+            names = DOC_QUERIES + EMB_QUERIES
+            if with_streaming:
+                n_events = rng.choice([1, 9, 400, 3000])
+                spark.createDataFrame(
+                    _events_corpus(rng, n_events),
+                    "event_id long, ts timestamp, user_id long,"
+                    " event_type string, value double, props string",
+                ).coalesce(1).write.parquet(f"{d}/events.parquet")
+                names = names + STREAM_QUERIES
 
             con = duckdb.connect()
-            for t in ("documents", "embeddings"):
+            tables = ("documents", "embeddings") + (
+                ("events",) if with_streaming else ()
+            )
+            for t in tables:
                 con.execute(
                     f"CREATE VIEW {t} AS SELECT * FROM "
                     f"read_parquet('{d}/{t}.parquet/*.parquet')"
                 )
-            for name in DOC_QUERIES + EMB_QUERIES:
+            for name in names:
                 spark_pdf = registry.QUERIES[name](spark, d).toPandas()
                 oracle_pdf = con.execute(registry.ORACLES[name]).fetchdf()
                 problems = compare(name, spark_pdf, oracle_pdf)
