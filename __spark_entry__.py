@@ -118,6 +118,46 @@ def _dirty_files() -> set[str]:
         return set()
 
 
+def _fn_hash_stale(names: list[str]) -> set[str]:
+    """FUNCTION-granularity rewrite detection (r12, replacing module
+    commit times in the fast lane): a name is stale iff its OWN query
+    function's source hash changed since its last driver row, per the
+    committed tools/query_src_hashes.json ledger (maintained by
+    tools/update_src_hashes.py; test_survey_coverage pins freshness).
+    Two triggers: the ledger's recorded change-round postdates the
+    name's last driver row, or the runtime hash disagrees with the
+    ledger entirely (uncommitted/unledgered edit — conservative
+    resample). Any failure -> empty set; the manually-curated
+    verdict_resample dict still covers helper-level rewrites a
+    function hash cannot see."""
+    try:
+        import hashlib
+        import inspect
+        import textwrap
+
+        with open(os.path.join(_HERE, "tools", "query_src_hashes.json")) as fh:
+            ledger = json.load(fh)
+        latest = _latest_round_by_name()
+        nxt = max(latest.values(), default=0) + 1
+        out: set[str] = set()
+        for name in names:
+            fn = registry.QUERIES.get(name)
+            rec = ledger.get(name)
+            changed_round = rec.get("r", 0) if rec else nxt
+            try:
+                src = textwrap.dedent(inspect.getsource(fn))
+                h = hashlib.sha1(src.encode()).hexdigest()
+            except Exception:
+                h = None
+            if rec is not None and h is not None and rec.get("h") != h:
+                changed_round = nxt  # edited but not re-ledgered
+            if latest.get(name, 0) < changed_round:
+                out.add(name)
+        return out
+    except Exception:
+        return set()
+
+
 def _stale_checked(names: list[str]) -> dict[str, int]:
     """Names whose implementing module changed SINCE their last driver
     row (r7 verdict #3: l28 was rewritten in r6/r7 but last
@@ -127,11 +167,15 @@ def _stale_checked(names: list[str]) -> dict[str, int]:
     its source module's last git commit postdates the commit of the
     CORRECTNESS artifact that last sampled it, or the module is
     currently dirty. Any git failure -> empty dict (rotation falls back
-    to the plain round-robin). Module granularity is deliberately
-    coarse (one edit stales every query in the module), so callers
-    order by change recency: the driver's 50-query sample then leads
-    with THIS round's rewrites, while older incidental staleness
-    drains over subsequent rounds."""
+    to the plain round-robin).
+
+    r12 DEMOTION: module granularity flags every query in an edited
+    module, and two verdicts running (r10 l8g..l8n burial, r11 "tpch.py
+    last sampled r4/r5") showed that incidental flood starving the
+    oldest-driver-row rotation. Direct rewrites are now caught at
+    function granularity by _fn_hash_stale (fast lane); this module
+    signal only breaks ties WITHIN the oldest-first rest tier, so a
+    module edit no longer jumps unrelated queries over older ones."""
     latest = _latest_round_by_name()
     round_time: dict[int, int] = {}
     module_time: dict[str, int] = {}
@@ -226,7 +270,6 @@ def _coverage_order(names: list[str]) -> list[str]:
     # oldest-checked leading inside each family.
     stale = _stale_checked(checked)
     last = _latest_round_by_name()
-    oldest_first = lambda n: (last.get(n, 0), index[n])  # noqa: E731
     # Verdict-flagged rewrites: {name: round it was rewritten}. A name
     # jumps the stale queue while its last driver row predates the
     # rewrite round; the first post-rewrite sample makes the entry
@@ -277,17 +320,33 @@ def _coverage_order(names: list[str]) -> list[str]:
         "l35_pagerank_centrality": 11,
         "l32b_pca_project": 11,
         "l3f_ann_ivf_trained": 11,
+        # r12: the float-boundary pair gained full oracles via
+        # scaled-integer selection keys (quantized A-ES key_q; integer
+        # greedy MMR chain) — first driver rows under the new hash
+        # contracts. (Also caught by the _fn_hash_stale fast lane; the
+        # dict entry is the documented record.)
+        "l39_weighted_sample": 12,
+        "l3j_mmr_rerank": 12,
     }
     priority = [
         n
         for n, rnd in verdict_resample.items()
         if n in checked and last.get(n, 0) < rnd
     ]
-    stale_first = sorted(
-        (n for n in checked if n in stale and n not in priority),
-        key=lambda n: (last.get(n, 0), -stale[n], index[n]),
+    # Fast lane (r12): queries whose OWN function source changed since
+    # their last driver row — function-granularity, so a module edit no
+    # longer floods this tier with unrelated names (r10/r11 verdicts).
+    fn_stale = _fn_hash_stale([n for n in checked if n not in priority])
+    stale_first = sorted(fn_stale, key=lambda n: (last.get(n, 0), index[n]))
+    # Everything else drains OLDEST DRIVER ROW FIRST; the coarse
+    # module-commit-time signal only breaks ties inside a round, so
+    # incidental module staleness can never starve genuinely old rows.
+    rest = [n for n in checked if n not in fn_stale and n not in priority]
+    rest_key = lambda n: (  # noqa: E731
+        last.get(n, 0),
+        -stale.get(n, 0),
+        index[n],
     )
-    rest = [n for n in checked if n not in stale and n not in priority]
     # Tier 0: names whose latest driver row ERRORED — the fix must be
     # re-verified next round, not whenever the round-robin reaches it.
     return (
@@ -296,7 +355,7 @@ def _coverage_order(names: list[str]) -> list[str]:
         + fam_round_robin(unseen_rows)
         + priority
         + stale_first
-        + fam_round_robin(rest, key=oldest_first)
+        + fam_round_robin(rest, key=rest_key)
     )
 
 

@@ -1513,18 +1513,51 @@ def l38_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 # no shuffle of the corpus, no window, k rows to the driver. At 100 TB
 # this is exactly the plan you want (per-partition top-k, merged).
 #
-# Rows-only BY DESIGN: the k-th selection boundary compares ln()
-# outputs, and libm ulp drift between DuckDB and the JVM can flip a
-# boundary row (ROADMAP: "float pow selection boundaries are not
-# oracle-safe"). Exact invariants are pinned in
-# tests/test_weighted_sample.py instead: determinism, weight-scaling
-# invariance (selection is unchanged under w -> c*w), monotone
-# dominance (raising a selected doc's weight keeps it selected), and
-# the equal-weights degeneration to the pure-u top-k.
+# CERTIFIED (r12, formerly rows-only): the registered query selects on
+# key_q = floor(es_key * 2^40) — a scaled-integer quantization of the
+# A-ES key — with doc_id tie-break, so the selection comparison is
+# integer-exact in both engines. The only cross-engine libm op left is
+# ln() itself (u, the division by w, and the 2^40 scaling are IEEE
+# +-*/ in the same evaluation order on both sides, hence bit-exact
+# given equal ln). A 1-ulp ln() disagreement flips key_q only when the
+# key lands within ~|key|*2^-52 of a 2^-40 grid line: probability
+# ~|key|*2^-12 per ulp of drift, i.e. ~1e-10 per row at the observed
+# key magnitudes — vs the UNquantized float ordering where EVERY
+# boundary row comparison rides the raw ulp. The 2^-40 grid is ~1e5x
+# finer than the observed top-k key spacing at sf0.1, so quantization
+# never collapses the selection (ties fall to the doc_id break either
+# way). The continuous-key surface (weighted_sample_keys) is unchanged
+# and keeps the exact A-ES invariant tests in
+# tests/test_weighted_sample.py: weight-scaling invariance, monotone
+# dominance, equal-weights degeneration.
 # Reference has no sampling at all [P src/lens/handler.clj — browse
 # only]; NS training-pipeline extension.
 # ---------------------------------------------------------------------------
 _L39_K = 200
+# Quantization scale for the certified selection key (see block comment).
+_L39_SCALE = float(1 << 40)
+
+# DuckDB twin of weighted_sample_keys + quantization. The hex-15 md5
+# prefix parses via strpos/shifts (DuckDB has no conv()); every
+# arithmetic step mirrors the Spark evaluation order exactly:
+#   m -> double, +1.0, /2^60, ln, /w, *2^40, floor.
+_L39_ORACLE = f"""
+WITH keys AS (
+  SELECT doc_id,
+         CAST(n_chars AS BIGINT) AS weight,
+         CAST(floor(
+           ln((list_sum(list_transform(range(1, 16),
+                 i -> (strpos('0123456789abcdef',
+                              substring(md5(CAST(doc_id AS VARCHAR)), i, 1))
+                       - 1)::BIGINT << ((15 - i) * 4)))::DOUBLE + 1.0)
+              / {float(1 << 60)!r})
+           / CAST(n_chars AS DOUBLE) * {_L39_SCALE!r}
+         ) AS BIGINT) AS key_q
+  FROM documents WHERE n_chars > 0
+)
+SELECT doc_id, weight, key_q FROM keys
+ORDER BY key_q DESC, doc_id LIMIT {_L39_K}
+"""
 
 
 def weighted_sample_keys(docs: DataFrame, weight_col: str = "n_chars") -> DataFrame:
@@ -1545,13 +1578,21 @@ def weighted_sample_keys(docs: DataFrame, weight_col: str = "n_chars") -> DataFr
     )
 
 
-@register("l39_weighted_sample")
+@register("l39_weighted_sample", oracle=_L39_ORACLE)
 def l39_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys = weighted_sample_keys(table(spark, sf_dir, "documents"))
     return (
-        keys.orderBy(F.col("es_key").desc(), "doc_id")
+        keys.withColumn(
+            "key_q",
+            F.floor(F.col("es_key") * F.lit(_L39_SCALE)).cast("long"),
+        )
+        .orderBy(F.col("key_q").desc(), "doc_id")
         .limit(_L39_K)
-        .select("doc_id", F.col("weight").cast("long").alias("weight"))
+        .select(
+            "doc_id",
+            F.col("weight").cast("long").alias("weight"),
+            "key_q",
+        )
     )
 
 

@@ -693,13 +693,17 @@ def l14_text_cleaning(spark: SparkSession, sf_dir: str) -> DataFrame:
 SEQ_CAPACITY = 128  # tokens per packed sequence
 
 
-def pack_documents(docs: DataFrame, capacity: int = SEQ_CAPACITY, n_shards: int = 8) -> DataFrame:
+def pack_documents(
+    docs: DataFrame, capacity: int = SEQ_CAPACITY, n_shards: int | None = None
+) -> DataFrame:
     """(doc_id, n_tokens) -> (shard, seq_id, doc_id, offset, n_tokens).
 
     Docs longer than ``capacity`` are truncated to it (real pipelines
     chunk first — see l12_chunking)."""
     import pandas as pd
 
+    if n_shards is None:
+        n_shards = L15_N_SHARDS  # the registered-contract default
     sized = docs.select(
         "doc_id",
         F.least(F.size(F.split("text", " ")), F.lit(capacity)).alias("n_tokens"),
@@ -737,11 +741,17 @@ def pack_documents(docs: DataFrame, capacity: int = SEQ_CAPACITY, n_shards: int 
     )
 
 
-_L15_ORACLE = """
+# Shard count used by the registered l15 contract (pack_documents'
+# default). ADVICE r11: interpolate SEQ_CAPACITY and the shard count
+# into the oracle instead of hard-coding twins of them — changing
+# either constant now changes both sides together.
+L15_N_SHARDS = 8
+
+_L15_ORACLE = f"""
 WITH sized AS (
   SELECT doc_id,
-         CAST(least(len(string_split(text, ' ')), 128) AS BIGINT) AS n_tokens,
-         CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) % 8 AS INT) AS shard
+         CAST(least(len(string_split(text, ' ')), {SEQ_CAPACITY}) AS BIGINT) AS n_tokens,
+         CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) % {L15_N_SHARDS} AS INT) AS shard
   FROM documents
 )
 SELECT shard, doc_id, n_tokens,

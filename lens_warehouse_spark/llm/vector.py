@@ -442,18 +442,38 @@ def update_centroids(assigned: DataFrame) -> DataFrame:
     )
 
 
+def lloyd_iterates(
+    emb: DataFrame,
+    k: int = N_CELLS,
+    iters: int = 3,
+    keep: set[int] | None = None,
+) -> dict[int, DataFrame]:
+    """THE Lloyd's loop — deterministic lowest-vec_id seed, then
+    ``iters`` assign+update rounds, localCheckpoint() truncating lineage
+    each round. Returns {i: codebook-after-update-i} for i in ``keep``
+    (default: just the final iterate). Single source of truth (ADVICE
+    r11): train_codebook (the ann_ivf_trained_search surface) and the
+    certified l3f contract both call this, so the codebook the
+    certificates certify is BY CONSTRUCTION the codebook searched."""
+    keep = set(keep) if keep else {iters}
+    codebook = emb.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cell_id"), F.col("embedding").alias("centroid")
+    )
+    out: dict[int, DataFrame] = {}
+    for i in range(1, iters + 1):
+        assigned = _ivf_assign(emb, codebook)
+        codebook = update_centroids(assigned).localCheckpoint()
+        if i in keep:
+            out[i] = codebook
+    return out
+
+
 def train_codebook(
     emb: DataFrame, k: int = N_CELLS, iters: int = 3
 ) -> DataFrame:
     """Lloyd's k-means under dot-product affinity. Deterministic seed:
     the embeddings of the k lowest vec_ids are the initial centroids."""
-    codebook = emb.filter(F.col("vec_id") < k).select(
-        F.col("vec_id").alias("cell_id"), F.col("embedding").alias("centroid")
-    )
-    for _ in range(iters):
-        assigned = _ivf_assign(emb, codebook)
-        codebook = update_centroids(assigned).localCheckpoint()
-    return codebook
+    return lloyd_iterates(emb, k=k, iters=iters)[iters]
 
 
 def mean_best_affinity(emb: DataFrame, codebook: DataFrame) -> float:
@@ -538,18 +558,12 @@ ORDER BY vec_id
 @register("l3f_ann_ivf_trained", oracle=_L3F_ORACLE)
 def l3f_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    seed = emb.filter(F.col("vec_id") < N_CELLS).select(
-        F.col("vec_id").alias("cell_id"), F.col("embedding").alias("centroid")
-    )
-    # Lloyd's loop, keeping the first and last UPDATED codebooks (the
-    # monotone segment starts at the first normalization).
-    codebooks: dict[int, DataFrame] = {}
-    cb = seed
+    # THE shared Lloyd's loop (lloyd_iterates — same seed/iters as
+    # ann_ivf_trained_search's train_codebook), keeping the first and
+    # last UPDATED codebooks: the monotone segment starts at the first
+    # normalization.
     iters = 3
-    for i in range(1, iters + 1):
-        cb = update_centroids(_ivf_assign(emb, cb)).localCheckpoint()
-        if i in (1, iters):
-            codebooks[i] = cb
+    codebooks = lloyd_iterates(emb, k=N_CELLS, iters=iters, keep={1, iters})
 
     def objective(codebook: DataFrame) -> DataFrame:
         """One-row frame: (sum of per-vector best affinities, n)."""
@@ -818,10 +832,66 @@ def l3i_ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 # greedy loop runs engine-side in ONE applyInPandas group over the tiny
 # candidate pool — at 100 TB the pool per query is still 20 rows, so
 # this composes with l3b's batched retrieval by grouping on query_id.
-# Rows-only by design (iterative argmax chain is not SQL-expressible);
-# tests/test_vector.py re-derives the greedy chain in numpy.
+#
+# CERTIFIED (r12, formerly rows-only): the greedy chain now runs in
+# pure int64 arithmetic. rel and every pairwise sim are quantized to
+# 1e-6 integers (rel_q6/sim_q6 — via the round(dot,6) convention every
+# other l3* oracle already hash-matches on), and with lambda = 0.7 the
+# MMR score scales to score10_q6 = 7*rel_q6 - 3*max(sim_q6 over
+# chosen): integers end to end, so the k=5 argmax chain has NO float
+# selection boundary left and DuckDB re-derives the exact winner set
+# with a 5-stage unrolled CTE (_l3j_oracle below — greedy is bounded
+# recursion, so unrolling IS its SQL form). The quantized sims are
+# computed in Spark SQL (same dot() as the oracle), not numpy — a
+# BLAS-order float sum would reintroduce the boundary this kills.
 # ---------------------------------------------------------------------------
-@register("l3j_mmr_rerank")
+_L3J_POOL = 20
+_L3J_K = 5
+
+
+def _l3j_oracle() -> str:
+    """Unrolled greedy-MMR oracle: stage r picks argmax over the pool
+    minus chosen(1..r-1) of 7*rel_q6 - 3*max(sim_q6 to chosen)."""
+    dot_pq = _DOT_SQL.format(a="e.embedding", b="q.embedding")
+    dot_ab = _DOT_SQL.format(a="a.embedding", b="b.embedding")
+    sql = f"""
+WITH pool AS (
+  SELECT e.vec_id, e.embedding,
+         round({dot_pq}, 6) AS rel,
+         CAST(round(round({dot_pq}, 6) * 1000000.0, 0) AS BIGINT) AS rel_q6
+  FROM embeddings e JOIN embeddings q ON q.vec_id = 0
+  WHERE e.vec_id > 0
+  ORDER BY rel DESC, e.vec_id LIMIT {_L3J_POOL}
+), sims AS (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         CAST(round(round({dot_ab}, 6) * 1000000.0, 0) AS BIGINT) AS sim_q6
+  FROM pool a JOIN pool b ON a.vec_id <> b.vec_id
+), chosen1 AS (
+  SELECT vec_id, rel, CAST(1 AS BIGINT) AS mmr_rank,
+         7 * rel_q6 AS score10_q6
+  FROM pool ORDER BY 7 * rel_q6 DESC, vec_id LIMIT 1
+)"""
+    for r in range(2, _L3J_K + 1):
+        prev = " UNION ALL ".join(
+            f"SELECT vec_id FROM chosen{i}" for i in range(1, r)
+        )
+        sql += f""",
+chosen{r} AS (
+  SELECT p.vec_id, p.rel, CAST({r} AS BIGINT) AS mmr_rank,
+         7 * p.rel_q6 - 3 * max(s.sim_q6) AS score10_q6
+  FROM pool p JOIN sims s ON s.a_id = p.vec_id
+  WHERE s.b_id IN ({prev}) AND p.vec_id NOT IN ({prev})
+  GROUP BY p.vec_id, p.rel, p.rel_q6
+  ORDER BY score10_q6 DESC, p.vec_id LIMIT 1
+)"""
+    union = "\nUNION ALL\n".join(
+        f"SELECT vec_id, rel, mmr_rank, score10_q6 FROM chosen{i}"
+        for i in range(1, _L3J_K + 1)
+    )
+    return sql + "\n" + union + "\nORDER BY mmr_rank"
+
+
+@register("l3j_mmr_rerank", oracle=_l3j_oracle())
 def l3j_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
@@ -836,34 +906,79 @@ def l3j_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(dot("q_emb", "embedding"), 6).alias("rel"),
         )
         .orderBy(F.col("rel").desc(), "vec_id")
-        .limit(20)
+        .limit(_L3J_POOL)
+        .withColumn(
+            "rel_q6",
+            F.round(F.col("rel") * F.lit(1000000.0), 0).cast("long"),
+        )
+    )
+    # Pairwise sims INSIDE Spark SQL with the oracle's own dot() — the
+    # 20x20 self-join is a broadcast over a 20-row relation, then one
+    # applyInPandas group runs the integer greedy chain.
+    a = pool.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("embedding").alias("a_emb"),
+        "rel",
+        "rel_q6",
+    )
+    b = pool.select(
+        F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_emb")
+    )
+    pairs = (
+        a.join(F.broadcast(b), F.col("a_id") != F.col("b_id"))
+        .select(
+            "a_id",
+            "rel",
+            "rel_q6",
+            "b_id",
+            F.round(F.round(dot("a_emb", "b_emb"), 6) * F.lit(1000000.0), 0)
+            .cast("long")
+            .alias("sim_q6"),
+        )
         .withColumn("g", F.lit(0))
     )
 
     def mmr(pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
 
-        lam, k = 0.7, 5
-        pdf = pdf.sort_values(["rel", "vec_id"], ascending=[False, True])
-        vecs = np.stack(pdf["embedding"].map(np.asarray).to_list())
-        rel = pdf["rel"].to_numpy()
-        sims = vecs @ vecs.T
+        cand = (
+            pdf[["a_id", "rel", "rel_q6"]]
+            .drop_duplicates()
+            .sort_values("a_id")
+            .reset_index(drop=True)
+        )
+        ids = cand["a_id"].to_numpy()
+        rel = cand["rel"].to_numpy()
+        rel_q6 = cand["rel_q6"].to_numpy(dtype=np.int64)
+        idx = {v: i for i, v in enumerate(ids)}
+        n = len(cand)
+        sims = np.zeros((n, n), dtype=np.int64)
+        for aid, bid, s in zip(pdf["a_id"], pdf["b_id"], pdf["sim_q6"]):
+            sims[idx[aid], idx[bid]] = s
         chosen: list[int] = []
-        for rank in range(min(k, len(pdf))):
+        rows = []
+        for rank in range(1, min(_L3J_K, n) + 1):
             penalty = (
-                sims[:, chosen].max(axis=1) if chosen else np.zeros(len(pdf))
+                sims[:, chosen].max(axis=1)
+                if chosen
+                else np.zeros(n, dtype=np.int64)
             )
-            score = lam * rel - (1 - lam) * penalty
-            score[chosen] = -np.inf
-            best = int(np.argmax(score))
+            score = 7 * rel_q6 - 3 * penalty
+            best = min(
+                (i for i in range(n) if i not in chosen),
+                key=lambda i: (-int(score[i]), int(ids[i])),
+            )
             chosen.append(best)
-        out = pdf.iloc[chosen][["vec_id", "rel"]].copy()
-        out["mmr_rank"] = range(1, len(chosen) + 1)
-        return out
+            rows.append((int(ids[best]), float(rel[best]), rank, int(score[best])))
+        return pd.DataFrame(
+            rows, columns=["vec_id", "rel", "mmr_rank", "score10_q6"]
+        )
 
     return (
-        pool.groupBy("g")
-        .applyInPandas(mmr, "vec_id long, rel double, mmr_rank long")
+        pairs.groupBy("g")
+        .applyInPandas(
+            mmr, "vec_id long, rel double, mmr_rank long, score10_q6 long"
+        )
         .orderBy("mmr_rank")
     )
 

@@ -1,0 +1,112 @@
+"""Pin the bench headline-line contract (r11 verdict #1).
+
+The driver records only the LAST 2000 chars of bench.py's stdout and
+parses the final line as JSON. BENCH_r10 and BENCH_r11 both came back
+``parsed: null`` because the verbose record overran that window and the
+head of the JSON was clipped. bench.compact_headline() is the fix: the
+final stdout line is a compact subset sized under 1800 bytes, with the
+verbose record redirected to BENCH_LOCAL.json. These tests feed the
+builder the REAL shape of a bench record (r11's committed
+BENCH_LOCAL.json when present, else a synthetic twin) so a future field
+addition that would re-break driver parsing fails here first.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import bench
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# Synthetic twin of a full bench record: 25 headline queries (the real
+# set size), every verbose field populated the way main() populates it.
+_SYNTH = {
+    "metric": "wall_clock_total",
+    "value": 2.251,
+    "unit": "sec",
+    "queries": {f"q{i}_some_operator_name_{i:02d}": 0.123 for i in range(25)},
+    "sf": 0.1,
+    "mode": "throughput_batch",
+    "streams": 16,
+    "power_total_sec": 8.319,
+    "failed": [],
+    "loadavg_1m_at_start": 0.5,
+    "loadavg_5m_at_start": 0.5,
+    "loadavg_15m_at_start": 0.5,
+    "throughput_median5": 2.251,
+    "throughput_reps": [2.2, 2.25, 2.251, 2.3, 2.4],
+    "sequential_power_vs_duckdb": {
+        "n_queries": 24,
+        "spark_power_sec": 8.3,
+        "duckdb_sequential_sec": 2.4,
+        "ratio_sequential": 3.46,
+        "ratio_throughput": 0.93,
+    },
+    "warmup_protocol": "v2",
+    "drift_baseline": "BENCH_r10.json",
+    "drift_median": 0.93,
+    "uniform_drift": False,
+    "ratio_vs_prev": {f"q{i}_some_operator_name_{i:02d}": 1.0 for i in range(25)},
+    "regressed": [],
+    "contention_gate": "idle",
+    "gate_waited_sec": 240.0,
+    "gate_loadavg_1m": 0.11,
+    "gate_loadavg_5m": 2.87,
+    "contention_note": "idle start (gated)",
+}
+
+
+def _records():
+    recs = [("synthetic", _SYNTH)]
+    local = os.path.join(REPO, "BENCH_LOCAL.json")
+    if os.path.exists(local):
+        with open(local) as fh:
+            recs.append(("BENCH_LOCAL.json", json.load(fh)))
+    return recs
+
+
+def test_headline_fits_driver_tail_window():
+    for src, rec in _records():
+        line = bench.compact_headline(rec)
+        assert len(line) <= 1800, (
+            f"{src}: compact headline is {len(line)} bytes; the driver "
+            "tail window is 2000 chars — shed fields or shrink names"
+        )
+        assert "\n" not in line
+
+
+def test_headline_is_parseable_json_with_driver_contract_fields():
+    for src, rec in _records():
+        parsed = json.loads(bench.compact_headline(rec))
+        # Driver contract: metric/value/unit/queries/sf must survive
+        # even the last-resort field shedding.
+        for key in ("metric", "value", "unit", "queries", "sf"):
+            assert key in parsed, f"{src}: driver field {key!r} missing"
+        assert parsed["queries"] == rec["queries"]
+        assert parsed["value"] == rec["value"]
+
+
+def test_headline_survives_tail_clip_simulation():
+    # Exactly what the driver does: keep the last 2000 chars of stdout,
+    # take the final line, json.loads it.
+    for src, rec in _records():
+        stdout = "warmup noise line\n" * 40 + bench.compact_headline(rec) + "\n"
+        tail = stdout[-2000:]
+        last = tail.rstrip("\n").rsplit("\n", 1)[-1]
+        parsed = json.loads(last)  # raises if the head was clipped
+        assert parsed["metric"] == rec["metric"], src
+
+
+def test_headline_sheds_fields_rather_than_overflowing():
+    fat = dict(_SYNTH)
+    # 60 long query names ≈ 2.6 KB of queries alone — forces shedding.
+    fat["queries"] = {
+        f"extremely_long_query_name_for_overflow_test_{i:03d}": 0.111
+        for i in range(60)
+    }
+    line = bench.compact_headline(fat)
+    parsed = json.loads(line)
+    for key in ("metric", "value", "unit", "queries", "sf"):
+        assert key in parsed

@@ -69,8 +69,19 @@ def test_certified_degrees_match_edge_list(spark, cert):
     for row in cert.itertuples():
         assert row.out_deg == out_deg.get(row.vec_id, 0)
         assert row.in_deg == in_deg.get(row.vec_id, 0)
-    # every node with a non-singleton cell has out-degree >= 1
+    # out-degree bounded by k=3 (kNN fan-out)...
     assert (cert["out_deg"] <= 3).all()
+    # ...and every node sharing its cell with at least one other node
+    # has somewhere to point, so its out-degree is >= 1 (ADVICE r11:
+    # the comment previously claimed this without asserting it).
+    assigned = _ivf_assign(emb, codebook).toPandas()
+    cell_sizes = assigned.groupby("cell_id").size()
+    node_cell = assigned.set_index("vec_id")["cell_id"]
+    for row in cert.itertuples():
+        if cell_sizes[node_cell[row.vec_id]] > 1:
+            assert row.out_deg >= 1, (
+                f"node {row.vec_id} shares a cell but has out_deg 0"
+            )
 
 
 def test_power_iteration_converges(spark):

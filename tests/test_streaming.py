@@ -353,3 +353,27 @@ def test_cdc_mid_swap_recovery(tmp_path):
     os.remove(os.path.join(data, "_SUCCESS"))  # data now incomplete
     _recover_mid_swap(data)
     assert os.path.exists(os.path.join(data, "_SUCCESS"))
+
+
+def test_t7b_gate_direction_matches_environment():
+    """r11 verdict #7: the t7b registration gate must track the ACTUAL
+    google.protobuf importability, so a container upgrade that adds
+    protobuf flips t7b to registered automatically and this test (plus
+    the registry-count assertions) notices either direction of drift:
+    a gate stuck closed after protobuf appears, or a phantom
+    registration while it is absent."""
+    from lens_warehouse_spark.streaming import jobs
+    from lens_warehouse_spark import registry
+
+    try:
+        import google.protobuf  # noqa: F401
+
+        has = True
+    except ImportError:
+        has = False
+    assert jobs._HAS_PROTOBUF == has, (
+        "t7b gate cached a different protobuf state than the live import"
+    )
+    assert ("t7b_transform_with_state" in registry.QUERIES) == has, (
+        "t7b registration disagrees with protobuf availability"
+    )

@@ -90,3 +90,33 @@ def test_no_query_goes_three_rounds_unsampled():
         f"registered >=3 driver rounds ago but never driver-sampled: "
         f"{sorted(overdue)}"
     )
+
+
+def test_src_hash_ledger_is_fresh():
+    """tools/query_src_hashes.json must match the registry's actual
+    function sources — the driver-sample rotation's function-granularity
+    rewrite detection (__spark_entry__._fn_hash_stale) reads it, and an
+    out-of-date ledger silently reverts edited queries to unledgered
+    (resample-everything) behavior. Fix: python tools/update_src_hashes.py."""
+    import json
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    import update_src_hashes as ush
+
+    ledger = json.load(open(ush.PATH))
+    missing, stale_hash, dropped = [], [], []
+    for name, fn in registry.QUERIES.items():
+        h = ush.fn_hash(fn)
+        if h is None:
+            continue
+        rec = ledger.get(name)
+        if rec is None:
+            missing.append(name)
+        elif rec.get("h") != h:
+            stale_hash.append(name)
+    dropped = [n for n in ledger if n not in registry.QUERIES]
+    assert not missing and not stale_hash and not dropped, (
+        f"run tools/update_src_hashes.py — missing={missing} "
+        f"changed={stale_hash} dropped={dropped}"
+    )

@@ -154,13 +154,14 @@ def test_ann_recall_query_consistent_with_manual(spark):
 
 
 def test_mmr_rerank_greedy_chain_matches_numpy(spark):
-    """Re-derive the MMR greedy chain in numpy from the exact top-20 pool
-    and check the operator returns exactly that chain."""
+    """Re-derive the INTEGER MMR greedy chain in numpy from the exact
+    top-20 pool (r12 certified contract: rel/sims quantized to 1e-6
+    ints, score10_q6 = 7*rel_q6 - 3*max(sim_q6 over chosen)) and check
+    the operator returns exactly that chain, ranks, and scores."""
     import numpy as np
 
     from lens_warehouse_spark.llm.vector import l3j_mmr_rerank
     from lens_warehouse_spark.catalog import table
-    from pyspark.sql import functions as F
 
     sf = "/root/testdata/sf0.01"
     out = l3j_mmr_rerank(spark, sf).collect()
@@ -172,22 +173,33 @@ def test_mmr_rerank_greedy_chain_matches_numpy(spark):
         for r in table(spark, sf, "embeddings").collect()
     }
     q = emb[0]
-    rel = {
-        v: round(float(q @ e), 6) for v, e in emb.items() if v != 0
-    }
+    rel = {v: round(float(q @ e), 6) for v, e in emb.items() if v != 0}
     pool = sorted(rel, key=lambda v: (-rel[v], v))[:20]
-    lam, chosen = 0.7, []
+    rel_q6 = {v: int(round(rel[v] * 1e6)) for v in pool}
+    sim_q6 = {
+        (a, b): int(round(round(float(emb[a] @ emb[b]), 6) * 1e6))
+        for a in pool
+        for b in pool
+        if a != b
+    }
+    chosen: list[int] = []
+    scores: list[int] = []
     for _ in range(5):
-        best, best_s = None, -np.inf
+        best, best_s = None, None
         for v in pool:
             if v in chosen:
                 continue
-            pen = max((float(emb[v] @ emb[c]) for c in chosen), default=0.0)
-            s = lam * rel[v] - (1 - lam) * pen
-            if s > best_s or (s == best_s and v < best):
+            pen = max((sim_q6[(v, c)] for c in chosen), default=0)
+            s = 7 * rel_q6[v] - 3 * pen
+            if best is None or s > best_s or (s == best_s and v < best):
                 best, best_s = v, s
         chosen.append(best)
+        scores.append(best_s)
     assert [r["vec_id"] for r in out] == chosen
+    assert [r["score10_q6"] for r in out] == scores
+    # rel passes through unquantized (round-6 double, the l3 convention)
+    for r in out:
+        assert r["rel"] == rel[r["vec_id"]]
 
 
 def test_semantic_dedup_trained_agrees_with_seeded(spark):

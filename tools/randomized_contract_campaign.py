@@ -1,4 +1,4 @@
-"""Randomized-corpus campaign for the r11 certificate contracts.
+"""Randomized-corpus campaign for the certificate contracts.
 
 The fixed sf0.001/0.01/0.1 parity sweeps verify the four certified
 contracts (l15 packing, l35 PageRank, l32b PCA, l3f trained IVF) on
@@ -32,8 +32,13 @@ from lens_warehouse_spark import registry
 from lens_warehouse_spark.session import get_spark
 from tools.check_parity import compare
 
-DOC_QUERIES = ["l15_sequence_packing"]
-EMB_QUERIES = ["l32b_pca_project", "l3f_ann_ivf_trained", "l35_pagerank_centrality"]
+DOC_QUERIES = ["l15_sequence_packing", "l39_weighted_sample"]
+EMB_QUERIES = [
+    "l32b_pca_project",
+    "l3f_ann_ivf_trained",
+    "l35_pagerank_centrality",
+    "l3j_mmr_rerank",
+]
 # The r11 equals-batch streaming twins that read only the events table.
 # Random microsecond-precision timestamps over random spans are the
 # adversarial case for the watermark's ms-truncation arithmetic and for
@@ -48,7 +53,7 @@ STREAM_QUERIES = [
 ]
 
 
-def _doc_corpus(rng: random.Random, n: int) -> list[tuple[int, str]]:
+def _doc_corpus(rng: random.Random, n: int) -> list[tuple[int, str, int]]:
     shapes = rng.choice(
         [
             lambda: rng.randint(1, 300),          # heavy spread across cap=128
@@ -56,10 +61,13 @@ def _doc_corpus(rng: random.Random, n: int) -> list[tuple[int, str]]:
             lambda: rng.choice([1, 64, 65, 128]), # boundary mix
         ]
     )
-    return [
-        (i, " ".join("w%d" % rng.randint(0, 9) for _ in range(shapes())))
-        for i in range(n)
-    ]
+    rows = []
+    for i in range(n):
+        text = " ".join("w%d" % rng.randint(0, 9) for _ in range(shapes()))
+        # n_chars is l39's sampling weight — emit the real length so the
+        # quantized A-ES key sees adversarial weights (incl. ties).
+        rows.append((i, text, len(text)))
+    return rows
 
 
 def _emb_corpus(rng: random.Random, n: int) -> list[tuple[int, list[float]]]:
@@ -118,7 +126,7 @@ def main() -> int:
             n_docs = rng.choice([1, 2, 7, 33, 200])
             n_vecs = rng.choice([1, 2, 15, 17, 120])
             spark.createDataFrame(
-                _doc_corpus(rng, n_docs), "doc_id long, text string"
+                _doc_corpus(rng, n_docs), "doc_id long, text string, n_chars int"
             ).coalesce(1).write.parquet(f"{d}/documents.parquet")
             spark.createDataFrame(
                 _emb_corpus(rng, n_vecs), "vec_id long, embedding array<float>"
