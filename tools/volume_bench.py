@@ -270,9 +270,24 @@ def run_duckdb_subset(sf_dir: str, names=VOLUME_SUBSET) -> dict[str, float]:
     return out
 
 
+def _page_cache_kb() -> int | None:
+    """Linux page-cache size (Cached from /proc/meminfo), for the
+    cold/warm attribution sub-records. Read-only probe; None off-Linux."""
+    try:
+        with open("/proc/meminfo") as fh:
+            for line in fh:
+                if line.startswith("Cached:"):
+                    return int(line.split()[1])
+    except OSError:
+        pass
+    return None
+
+
 def _point(spark, sf_dir: str) -> dict:
     sp_reps = run_spark_subset(spark, sf_dir)
+    cache_before_duck = _page_cache_kb()
     du_reps = run_duckdb_subset(sf_dir)
+    cache_after_duck = _page_cache_kb()
     # best-of stays the headline statistic (series continuity with
     # r5-r7 artifacts); the per-rep arrays are the new variance band.
     sp = {n: min(r) for n, r in sp_reps.items()}
@@ -280,6 +295,20 @@ def _point(spark, sf_dir: str) -> dict:
     ratio = {
         n: round(sp[n] / du[n], 2) if du[n] > 0 else None for n in sp
     }
+    # Cold/warm DuckDB sub-records (r11 verdict #6): at the 100x point
+    # individual DuckDB ratios swing ~3x with page-cache state, so the
+    # artifact must carry its own attribution. True drop_caches is out
+    # of bounds here (no writes outside the repo/tmp staging), so the
+    # records decompose what IS observable: rep 1 on each query's fresh
+    # connection (carries whatever cold-read penalty the page cache
+    # state imposes) vs the min of the later reps (guaranteed warm —
+    # rep 1 itself faulted the pages in), plus the page-cache size
+    # around the DuckDB phase. duckdb_cold ~= duckdb_warm => the run
+    # was warm throughout and the headline ratio carries no cache
+    # artifact; duckdb_cold >> duckdb_warm => rep-1 cold reads, and the
+    # best-of headline (min) already excludes them.
+    du_cold = {n: r[0] for n, r in du_reps.items()}
+    du_warm = {n: min(r[1:]) if len(r) > 1 else r[0] for n, r in du_reps.items()}
     return {
         "spark": sp,
         "duckdb": du,
@@ -288,6 +317,12 @@ def _point(spark, sf_dir: str) -> dict:
         "ratio_spark_over_duckdb": ratio,
         "spark_total_sec": round(sum(sp.values()), 3),
         "duckdb_total_sec": round(sum(du.values()), 3),
+        "duckdb_cold_first_rep": du_cold,
+        "duckdb_warm_min_rest": du_warm,
+        "duckdb_cold_total_sec": round(sum(du_cold.values()), 3),
+        "duckdb_warm_total_sec": round(sum(du_warm.values()), 3),
+        "page_cache_kb_before_duckdb": cache_before_duck,
+        "page_cache_kb_after_duckdb": cache_after_duck,
     }
 
 
