@@ -220,7 +220,7 @@ def _stale_checked(names: list[str]) -> dict[str, int]:
     return stale
 
 
-def _coverage_order(names: list[str]) -> list[str]:
+def _coverage_order(names: list[str], explain: bool = False):
     """Order queries for the driver's first-N sample so no slot repeats a
     prior round while unchecked queries remain: three strict tiers —
     never-driver-checked oracle-backed, then never-checked rows-only,
@@ -349,14 +349,17 @@ def _coverage_order(names: list[str]) -> list[str]:
     )
     # Tier 0: names whose latest driver row ERRORED — the fix must be
     # re-verified next round, not whenever the round-robin reaches it.
-    return (
-        refail
-        + fam_round_robin(unseen_oracle)
-        + fam_round_robin(unseen_rows)
-        + priority
-        + stale_first
-        + fam_round_robin(rest, key=rest_key)
-    )
+    tiers = {
+        "refail": refail,
+        "unseen_oracle": fam_round_robin(unseen_oracle),
+        "unseen_rows": fam_round_robin(unseen_rows),
+        "priority": priority,
+        "fn_stale": stale_first,
+        "rest": fam_round_robin(rest, key=rest_key),
+    }
+    if explain:
+        return tiers
+    return [n for tier in tiers.values() for n in tier]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

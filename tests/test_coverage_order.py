@@ -1,0 +1,94 @@
+"""Driver-sample rotation invariants (__spark_entry__._coverage_order).
+
+The rotation decides which 50 queries the grading driver re-verifies
+each round, so its tiering is product-facing: a starved tier means a
+rewritten or long-unsampled query ships rounds of changes with no
+driver row. r10 and r11 verdicts both traced that failure to
+module-granularity staleness flooding the fast lane; r12 replaced it
+with function-source-hash staleness + an oldest-driver-row rest tier.
+These tests pin the invariants structurally (no golden lists), so they
+stay true as CORRECTNESS artifacts accumulate.
+"""
+
+from __future__ import annotations
+
+import re
+
+import __spark_entry__ as entry
+from lens_warehouse_spark import registry
+
+registry.load_all()
+
+
+def _tiers():
+    return entry._coverage_order(list(registry.QUERIES), explain=True)
+
+
+def test_tiers_partition_the_registry():
+    tiers = _tiers()
+    flat = [n for t in tiers.values() for n in t]
+    assert len(flat) == len(set(flat)) == len(registry.QUERIES)
+    assert set(flat) == set(registry.QUERIES)
+    assert list(entry.queries()) == flat
+
+
+def test_rest_tier_drains_oldest_driver_rows_first_within_family():
+    """Within each operator family, the rest tier must order names by
+    their last driver round non-decreasingly — the r11 verdict's
+    'tpch.py last sampled r4/r5' starvation is impossible under this
+    invariant, because nothing with a NEWER row can precede an older
+    one inside its family slot sequence."""
+    tiers = _tiers()
+    last = entry._latest_round_by_name()
+    fams: dict[str, list[int]] = {}
+    for n in tiers["rest"]:
+        fam = re.match(r"[a-z]+", n).group(0)
+        fams.setdefault(fam, []).append(last.get(n, 0))
+    for fam, rounds in fams.items():
+        assert rounds == sorted(rounds), (
+            f"family {fam!r} rest tier not oldest-first: {rounds}"
+        )
+
+
+def test_fn_stale_only_contains_genuinely_changed_functions():
+    """The fast lane must hold ONLY names whose ledger change-round
+    postdates their last driver row (or whose live hash disagrees with
+    the ledger) — a module-wide edit flooding it is the regression this
+    guards against."""
+    import hashlib
+    import inspect
+    import json
+    import textwrap
+
+    tiers = _tiers()
+    last = entry._latest_round_by_name()
+    with open("/root/repo/tools/query_src_hashes.json") as fh:
+        ledger = json.load(fh)
+    for n in tiers["fn_stale"]:
+        rec = ledger.get(n)
+        src = textwrap.dedent(inspect.getsource(registry.QUERIES[n]))
+        live = hashlib.sha1(src.encode()).hexdigest()
+        genuinely_changed = (
+            rec is None
+            or rec.get("h") != live
+            or last.get(n, 0) < rec.get("r", 0)
+        )
+        assert genuinely_changed, (
+            f"{n} sits in the fn_stale fast lane but neither its ledger "
+            "round nor its live hash justifies it"
+        )
+
+
+def test_priority_tier_is_subset_of_unsampled_verdict_rewrites():
+    """priority names must still be AWAITING their first post-rewrite
+    driver row; once sampled they go inert, so the tier can only
+    shrink between code changes."""
+    tiers = _tiers()
+    last = entry._latest_round_by_name()
+    for n in tiers["priority"]:
+        assert n in registry.QUERIES
+        # a sampled-after-rewrite name must not reappear: its presence
+        # means its last row predates its rewrite round, which is at
+        # most the latest artifact round + 1
+        latest_art = max(last.values(), default=0)
+        assert last.get(n, 0) <= latest_art
