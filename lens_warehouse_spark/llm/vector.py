@@ -897,7 +897,12 @@ def l3j_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
-    pool = (
+    # pool feeds BOTH sides of the pairwise self-join below; unpinned,
+    # Catalyst executes the scored corpus scan + top-k twice (verified
+    # in the physical plan) — at scale that is two full corpus scans
+    # for one 20-row relation. Same dual-consumer pin rule as l3i.
+    pool = pin(
+        "l3j.pool",
         emb.filter(F.col("vec_id") > 0)
         .crossJoin(F.broadcast(q))
         .select(
@@ -910,7 +915,7 @@ def l3j_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "rel_q6",
             F.round(F.col("rel") * F.lit(1000000.0), 0).cast("long"),
-        )
+        ),
     )
     # Pairwise sims INSIDE Spark SQL with the oracle's own dot() — the
     # 20x20 self-join is a broadcast over a 20-row relation, then one

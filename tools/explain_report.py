@@ -447,6 +447,17 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         ("no row-at-a-time python", "!BatchEvalPython"),
         ("column pruning to doc_id+n_chars", "ReadSchema: struct<doc_id:bigint,n_chars:bigint>"),
     ],
+    # l3j MMR (r12 certified form): the candidate pool must be a
+    # per-partition top-k over ONE scored corpus pass (the pool feeds
+    # both sides of the 20x20 pairwise join, so it is pinned — two
+    # InMemoryTableScans, not two corpus scans), and the greedy chain
+    # is exactly one Arrow group.
+    "l3j_mmr_rerank": [
+        ("candidate pool is a per-partition top-k merge", "TakeOrderedAndProject"),
+        ("pool pinned for both pairwise sides", "InMemoryTableScan"),
+        ("greedy chain is one Arrow group", "FlatMapGroupsInPandas"),
+        ("no row-at-a-time python", "!BatchEvalPython"),
+    ],
     # l40 simhash banding: the candidate join must be a hash EQUI join
     # on the band key (AQE broadcasts the banded side at audit SF; at
     # scale the same equi join shuffles on (band_id, band_val)), never
