@@ -118,7 +118,7 @@ def _dirty_files() -> set[str]:
         return set()
 
 
-def _fn_hash_stale(names: list[str]) -> set[str]:
+def _fn_hash_stale(names: list[str], latest: dict[str, int]) -> set[str]:
     """FUNCTION-granularity rewrite detection (r12, replacing module
     commit times in the fast lane): a name is stale iff its OWN query
     function's source hash changed since its last driver row, per the
@@ -127,9 +127,11 @@ def _fn_hash_stale(names: list[str]) -> set[str]:
     Two triggers: the ledger's recorded change-round postdates the
     name's last driver row, or the runtime hash disagrees with the
     ledger entirely (uncommitted/unledgered edit — conservative
-    resample). Any failure -> empty set; the manually-curated
-    verdict_resample dict still covers helper-level rewrites a
-    function hash cannot see."""
+    resample). ``latest`` is the caller's name->last-driver-round map
+    (r12 review: recomputing it here re-parsed every CORRECTNESS
+    artifact a fifth time per ordering call). Any failure -> empty
+    set; the manually-curated verdict_resample dict still covers
+    helper-level rewrites a function hash cannot see."""
     try:
         import hashlib
         import inspect
@@ -137,7 +139,6 @@ def _fn_hash_stale(names: list[str]) -> set[str]:
 
         with open(os.path.join(_HERE, "tools", "query_src_hashes.json")) as fh:
             ledger = json.load(fh)
-        latest = _latest_round_by_name()
         nxt = max(latest.values(), default=0) + 1
         out: set[str] = set()
         for name in names:
@@ -220,6 +221,69 @@ def _stale_checked(names: list[str]) -> dict[str, int]:
     return stale
 
 
+# Verdict-flagged rewrites: {name: round it was rewritten}. A name
+# jumps the stale queue while its last driver row predates the
+# rewrite round; the first post-rewrite sample makes the entry
+# inert (no manual cleanup). r8 verdict #4: l31 was rewritten in
+# r6 but module-granularity staleness kept burying it behind wider
+# (incidental) module edits for two rounds running.
+# r10 (verdict #1): the r9 unified decode_pixels routing rewrote
+# the internals of l8g/l8h/l8j/l8k/l8l/l8m/l8n (and l28's build
+# path) AFTER their last driver rows, but oldest-stale-first
+# ordering placed them at positions 76-95 — behind 9 rounds of
+# accumulated incidental staleness — so they must jump the queue
+# explicitly. a17/a18/a19 gained full oracles in r10 (were
+# rows-only no_oracle) and must be re-sampled under the new
+# exact contract.
+_VERDICT_RESAMPLE = {
+    "l31_substring_dedup": 6,
+    "l8g_pixel_resize": 9,
+    "l8h_audio_decode": 9,
+    "l8j_png_decode": 9,
+    "l8k_gif_decode": 9,
+    "l8l_jpeg_decode": 9,
+    "l8m_tiff_decode": 9,
+    "l8n_media_dispatch": 9,
+    "l28_boilerplate_scrub": 9,
+    "a17_approx_percentile": 10,
+    "a18_hll_rollup": 10,
+    "a19_sketch_overlap": 10,
+    # r11: seventeen rows-only names gained certified hash-checked
+    # contracts (equals-batch streaming twins, error-bound sketches,
+    # graph/packing/eigen certificates) — each must earn its first
+    # driver row under the NEW oracle, not whenever module-level
+    # staleness happens to surface it.
+    "t4_stream_tumbling_watermark": 11,
+    "t4b_stream_tumbling_rocksdb": 11,
+    "t5_stream_dedup": 11,
+    "t6_stream_static_join": 11,
+    "t7_stateful_user_stats": 11,
+    "t8_foreach_batch_sink": 11,
+    "t9_stream_session_window": 11,
+    "t10_rate_source": 11,
+    "t12_stream_stream_join": 11,
+    "t13_stream_trending_topk": 11,
+    "t16_stream_cdc_apply": 11,
+    "t20_stream_anomaly_zscore": 11,
+    "a2_approx_count_distinct": 11,
+    "a25_windowed_hll": 11,
+    "l15_sequence_packing": 11,
+    "l35_pagerank_centrality": 11,
+    "l32b_pca_project": 11,
+    "l3f_ann_ivf_trained": 11,
+    # r12: the float-boundary pair gained full oracles via
+    # scaled-integer selection keys (quantized A-ES key_q; integer
+    # greedy MMR chain) — first driver rows under the new hash
+    # contracts. These dict entries are AUTHORITATIVE, not redundant:
+    # the src-hash ledger bootstrapped mid-r12 and recorded l39's
+    # post-rewrite hash at r=0, so the fast lane alone would never
+    # flag it (r12 review finding #5) — do not prune verdict entries
+    # on the assumption the hash lane caught them.
+    "l39_weighted_sample": 12,
+    "l3j_mmr_rerank": 12,
+}
+
+
 def _coverage_order(names: list[str], explain: bool = False):
     """Order queries for the driver's first-N sample so no slot repeats a
     prior round while unchecked queries remain: three strict tiers —
@@ -270,73 +334,17 @@ def _coverage_order(names: list[str], explain: bool = False):
     # oldest-checked leading inside each family.
     stale = _stale_checked(checked)
     last = _latest_round_by_name()
-    # Verdict-flagged rewrites: {name: round it was rewritten}. A name
-    # jumps the stale queue while its last driver row predates the
-    # rewrite round; the first post-rewrite sample makes the entry
-    # inert (no manual cleanup). r8 verdict #4: l31 was rewritten in
-    # r6 but module-granularity staleness kept burying it behind wider
-    # (incidental) module edits for two rounds running.
-    # r10 (verdict #1): the r9 unified decode_pixels routing rewrote
-    # the internals of l8g/l8h/l8j/l8k/l8l/l8m/l8n (and l28's build
-    # path) AFTER their last driver rows, but oldest-stale-first
-    # ordering placed them at positions 76-95 — behind 9 rounds of
-    # accumulated incidental staleness — so they must jump the queue
-    # explicitly. a17/a18/a19 gained full oracles in r10 (were
-    # rows-only no_oracle) and must be re-sampled under the new
-    # exact contract.
-    verdict_resample = {
-        "l31_substring_dedup": 6,
-        "l8g_pixel_resize": 9,
-        "l8h_audio_decode": 9,
-        "l8j_png_decode": 9,
-        "l8k_gif_decode": 9,
-        "l8l_jpeg_decode": 9,
-        "l8m_tiff_decode": 9,
-        "l8n_media_dispatch": 9,
-        "l28_boilerplate_scrub": 9,
-        "a17_approx_percentile": 10,
-        "a18_hll_rollup": 10,
-        "a19_sketch_overlap": 10,
-        # r11: seventeen rows-only names gained certified hash-checked
-        # contracts (equals-batch streaming twins, error-bound sketches,
-        # graph/packing/eigen certificates) — each must earn its first
-        # driver row under the NEW oracle, not whenever module-level
-        # staleness happens to surface it.
-        "t4_stream_tumbling_watermark": 11,
-        "t4b_stream_tumbling_rocksdb": 11,
-        "t5_stream_dedup": 11,
-        "t6_stream_static_join": 11,
-        "t7_stateful_user_stats": 11,
-        "t8_foreach_batch_sink": 11,
-        "t9_stream_session_window": 11,
-        "t10_rate_source": 11,
-        "t12_stream_stream_join": 11,
-        "t13_stream_trending_topk": 11,
-        "t16_stream_cdc_apply": 11,
-        "t20_stream_anomaly_zscore": 11,
-        "a2_approx_count_distinct": 11,
-        "a25_windowed_hll": 11,
-        "l15_sequence_packing": 11,
-        "l35_pagerank_centrality": 11,
-        "l32b_pca_project": 11,
-        "l3f_ann_ivf_trained": 11,
-        # r12: the float-boundary pair gained full oracles via
-        # scaled-integer selection keys (quantized A-ES key_q; integer
-        # greedy MMR chain) — first driver rows under the new hash
-        # contracts. (Also caught by the _fn_hash_stale fast lane; the
-        # dict entry is the documented record.)
-        "l39_weighted_sample": 12,
-        "l3j_mmr_rerank": 12,
-    }
     priority = [
         n
-        for n, rnd in verdict_resample.items()
+        for n, rnd in _VERDICT_RESAMPLE.items()
         if n in checked and last.get(n, 0) < rnd
     ]
     # Fast lane (r12): queries whose OWN function source changed since
     # their last driver row — function-granularity, so a module edit no
     # longer floods this tier with unrelated names (r10/r11 verdicts).
-    fn_stale = _fn_hash_stale([n for n in checked if n not in priority])
+    fn_stale = _fn_hash_stale(
+        [n for n in checked if n not in priority], last
+    )
     stale_first = sorted(fn_stale, key=lambda n: (last.get(n, 0), index[n]))
     # Everything else drains OLDEST DRIVER ROW FIRST; the coarse
     # module-commit-time signal only breaks ties inside a round, so

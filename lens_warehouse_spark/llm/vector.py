@@ -460,6 +460,11 @@ def lloyd_iterates(
         F.col("vec_id").alias("cell_id"), F.col("embedding").alias("centroid")
     )
     out: dict[int, DataFrame] = {}
+    if 0 in keep:
+        # iterate 0 = the seed itself; train_codebook(iters=0) returned
+        # the seed under the pre-refactor loop and must keep doing so
+        # (engine.train_ivf_codebook accepts arbitrary iters).
+        out[0] = codebook
     for i in range(1, iters + 1):
         assigned = _ivf_assign(emb, codebook)
         codebook = update_centroids(assigned).localCheckpoint()
@@ -918,8 +923,12 @@ def l3j_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     # Pairwise sims INSIDE Spark SQL with the oracle's own dot() — the
-    # 20x20 self-join is a broadcast over a 20-row relation, then one
-    # applyInPandas group runs the integer greedy chain.
+    # 20x20 self-join is a broadcast over a 20-row relation. The pandas
+    # group is fed POOL rows LEFT-joined with the pairs (not the pairs
+    # alone): with exactly one candidate the self-join is empty, and a
+    # pairs-only feed would emit zero groups and drop the whole result
+    # (r12 review finding #1, reproduced on a 2-vector corpus) — the
+    # left join keeps every candidate present with a null sim row.
     a = pool.select(
         F.col("vec_id").alias("a_id"),
         F.col("embedding").alias("a_emb"),
@@ -929,17 +938,16 @@ def l3j_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = pool.select(
         F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_emb")
     )
-    pairs = (
-        a.join(F.broadcast(b), F.col("a_id") != F.col("b_id"))
-        .select(
-            "a_id",
-            "rel",
-            "rel_q6",
-            "b_id",
-            F.round(F.round(dot("a_emb", "b_emb"), 6) * F.lit(1000000.0), 0)
-            .cast("long")
-            .alias("sim_q6"),
-        )
+    pairs = a.join(F.broadcast(b), F.col("a_id") != F.col("b_id")).select(
+        "a_id",
+        "b_id",
+        F.round(F.round(dot("a_emb", "b_emb"), 6) * F.lit(1000000.0), 0)
+        .cast("long")
+        .alias("sim_q6"),
+    )
+    rows_in = (
+        a.select("a_id", "rel", "rel_q6")
+        .join(pairs, "a_id", "left")
         .withColumn("g", F.lit(0))
     )
 
@@ -958,8 +966,11 @@ def l3j_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         idx = {v: i for i, v in enumerate(ids)}
         n = len(cand)
         sims = np.zeros((n, n), dtype=np.int64)
-        for aid, bid, s in zip(pdf["a_id"], pdf["b_id"], pdf["sim_q6"]):
-            sims[idx[aid], idx[bid]] = s
+        present = pdf[pdf["b_id"].notna()]
+        for aid, bid, s in zip(
+            present["a_id"], present["b_id"], present["sim_q6"]
+        ):
+            sims[idx[aid], idx[int(bid)]] = int(s)
         chosen: list[int] = []
         rows = []
         for rank in range(1, min(_L3J_K, n) + 1):
@@ -980,7 +991,7 @@ def l3j_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return (
-        pairs.groupBy("g")
+        rows_in.groupBy("g")
         .applyInPandas(
             mmr, "vec_id long, rel double, mmr_rank long, score10_q6 long"
         )

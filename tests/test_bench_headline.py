@@ -101,12 +101,23 @@ def test_headline_survives_tail_clip_simulation():
 
 def test_headline_sheds_fields_rather_than_overflowing():
     fat = dict(_SYNTH)
-    # 60 long query names ≈ 2.6 KB of queries alone — forces shedding.
+    # 60 long query names ≈ 2.6 KB of queries alone — forces shedding
+    # past the optional fields INTO the queries dict itself.
     fat["queries"] = {
         f"extremely_long_query_name_for_overflow_test_{i:03d}": 0.111
         for i in range(60)
     }
     line = bench.compact_headline(fat)
+    # The whole point: the final line must FIT (r12 review finding —
+    # the first shedding loop could exit with an oversized line and
+    # reintroduce the driver's parsed:null failure).
+    assert len(line) <= 1800, f"shed line still {len(line)} bytes"
     parsed = json.loads(line)
     for key in ("metric", "value", "unit", "queries", "sf"):
         assert key in parsed
+    # Truncation is flagged, never silent, and what remains is a
+    # prefix-consistent subset of the real dict.
+    assert parsed["queries_truncated"] == 60 - len(parsed["queries"])
+    assert parsed["queries_truncated"] > 0
+    for k, v in parsed["queries"].items():
+        assert fat["queries"][k] == v

@@ -82,13 +82,22 @@ def test_fn_stale_only_contains_genuinely_changed_functions():
 def test_priority_tier_is_subset_of_unsampled_verdict_rewrites():
     """priority names must still be AWAITING their first post-rewrite
     driver row; once sampled they go inert, so the tier can only
-    shrink between code changes."""
+    shrink between code changes. (r12 review finding #6: the first
+    version of this test asserted a tautology — it now checks the real
+    membership rule against the module-level _VERDICT_RESAMPLE dict.)"""
     tiers = _tiers()
     last = entry._latest_round_by_name()
     for n in tiers["priority"]:
-        assert n in registry.QUERIES
-        # a sampled-after-rewrite name must not reappear: its presence
-        # means its last row predates its rewrite round, which is at
-        # most the latest artifact round + 1
-        latest_art = max(last.values(), default=0)
-        assert last.get(n, 0) <= latest_art
+        assert n in entry._VERDICT_RESAMPLE, (
+            f"{n} in priority tier but not a verdict-flagged rewrite"
+        )
+        assert last.get(n, 0) < entry._VERDICT_RESAMPLE[n], (
+            f"{n} was already sampled in round {last.get(n)} — it must "
+            "be inert, not re-consuming a priority slot"
+        )
+    # and the converse: every still-unsampled verdict rewrite IS there
+    for n, rnd in entry._VERDICT_RESAMPLE.items():
+        if n in registry.QUERIES and last.get(n, 0) < rnd and n in last:
+            assert n in tiers["priority"] or n in tiers["refail"], (
+                f"verdict rewrite {n} (r{rnd}) missing from priority tier"
+            )

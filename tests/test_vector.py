@@ -248,3 +248,54 @@ def test_semantic_dedup_trained_is_sound(spark):
         | (F.col("cos") < _SEMDEDUP_TAU)
     ).count()
     assert bad == 0
+
+
+def test_mmr_rerank_tiny_pools_match_oracle(spark, tmp_path):
+    """r12 review finding #1: with exactly ONE candidate (n_vecs=2) the
+    pairwise self-join is empty, and a pairs-only pandas feed emitted
+    zero groups — the whole result vanished while the oracle returned
+    the single best doc. The left-join feed keeps every candidate
+    present; this pins all the tiny-pool shapes against the oracle."""
+    import random
+
+    import duckdb
+
+    from lens_warehouse_spark.registry import ORACLES, QUERIES
+
+    rng = random.Random(7)
+    for n_vecs in (1, 2, 3, 5):
+        d = str(tmp_path / f"v{n_vecs}")
+        rows = [
+            (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(n_vecs)
+        ]
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>"
+        ).coalesce(1).write.parquet(f"{d}/embeddings.parquet")
+        out = QUERIES["l3j_mmr_rerank"](spark, d).collect()
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW embeddings AS SELECT * FROM "
+            f"read_parquet('{d}/embeddings.parquet/*.parquet')"
+        )
+        orc = con.execute(ORACLES["l3j_mmr_rerank"]).fetchall()
+        con.close()
+        assert len(out) == len(orc) == max(0, min(n_vecs - 1, 5))
+        got = sorted((r.vec_id, r.mmr_rank, r.score10_q6) for r in out)
+        exp = sorted((r[0], r[2], r[3]) for r in orc)
+        assert got == exp, f"n_vecs={n_vecs}"
+
+
+def test_train_codebook_zero_iters_returns_seed(spark):
+    """r12 review finding #4: lloyd_iterates(iters=0) must return the
+    deterministic lowest-vec_id seed codebook (the pre-refactor loop
+    ran zero times), not raise KeyError."""
+    from lens_warehouse_spark.llm.vector import N_CELLS, train_codebook
+    from lens_warehouse_spark.catalog import table
+
+    emb = table(spark, SF, "embeddings").select("vec_id", "embedding")
+    cb = train_codebook(emb, k=N_CELLS, iters=0).collect()
+    seed = {
+        r.vec_id: list(r.embedding)
+        for r in emb.filter(F.col("vec_id") < N_CELLS).collect()
+    }
+    assert {r.cell_id: list(r.centroid) for r in cb} == seed
