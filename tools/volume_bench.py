@@ -240,6 +240,7 @@ def run_spark_subset(spark, sf_dir: str, names=VOLUME_SUBSET) -> dict[str, float
         # clearCache PER REP (bench.py's 'no cross-rep cache assists'
         # rule): l13/l31 pin shared subtrees, so clearing only once let
         # reps 2-3 read cached blocks while DuckDB recomputed each rep.
+        print(f"volume spark {name} ...", file=sys.stderr, flush=True)
         out[name] = _timed_reps(run, setup=spark.catalog.clearCache)
     return out
 
@@ -363,6 +364,14 @@ def volume_scaling_report(spark, base_sf_dir: str, mult: int = 10) -> dict:
                 df.agg(F.count(F.lit(1)), F.sum(h)).collect()
             except Exception:  # noqa: BLE001 - warmup is best-effort
                 pass
+            # r12: clear per QUERY, exactly as the timed phase's per-rep
+            # setup does. Without this, the pin()ed shared subtrees of
+            # all 8 subset queries x both SFs accumulate in one JVM —
+            # ~GBs of MEMORY_AND_DISK blocks at the 1000x point — and
+            # the warmup pass itself dies with heap OOM inside a
+            # buffered SMJ (reproduced twice at x1000 on the default
+            # 8g heap; every query passes individually WITH clearing).
+            spark.catalog.clearCache()
 
     gate = wait_for_idle()
     load1, load5, _ = os.getloadavg()
@@ -376,6 +385,12 @@ def volume_scaling_report(spark, base_sf_dir: str, mult: int = 10) -> dict:
             "cpus": os.cpu_count(),
             "loadavg_1m_at_start": round(load1, 2),
             "loadavg_5m_at_start": round(load5, 2),
+            # Engine-config provenance (r12): the local-mode JVM heap
+            # bounds what the 32 executor threads share; ratio swings
+            # between rounds must be attributable to it.
+            "spark_driver_memory": spark.conf.get(
+                "spark.driver.memory", "unset"
+            ),
             **gate,
         },
         "subset": VOLUME_SUBSET,
