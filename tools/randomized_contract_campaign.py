@@ -44,6 +44,35 @@ EMB_QUERIES = [
 # adversarial case for the watermark's ms-truncation arithmetic and for
 # empty-closed-window sets (a span shorter than the 1 h delay closes
 # nothing — both sides must agree on the empty set).
+# r12 --docs tier: EVERY documents-only full-oracle query (61 names —
+# the text/dedup/sampling/packing/curation/media-codec tiers). The
+# trial that admitted them ran each on 2-doc and 40-doc random corpora
+# with Unicode and empty source values: 122/122 green. Running them
+# here makes corpus-shape independence a standing per-round claim for
+# the whole text tier, not just the certificate contracts.
+DOC_TIER = [
+    "f5_array_functions", "f5b_higher_order_arrays", "f9_hash_functions",
+    "l10_fingerprint", "l11_deterministic_sample", "l11b_split_assignment",
+    "l11c_mixture_sample", "l11d_stratified_sample", "l12_chunking",
+    "l13_tfidf_top_terms", "l14_text_cleaning", "l16_decontamination",
+    "l17_repetition_filter", "l18_domain_stats", "l1_exact_dedup",
+    "l1b_incremental_dedup", "l20_curation_pipeline", "l21_bigram_lm_score",
+    "l22_pii_redaction", "l25_zipf_slope", "l26_epoch_shuffle",
+    "l27_budget_select", "l28_boilerplate_scrub", "l2b_jaccard_exact",
+    "l2g_jaccard_prefix", "l31_substring_dedup", "l34_inverted_index",
+    "l36_mixture_weights", "l37_bm25", "l38_corpus_report",
+    "l41_ngram_novelty", "l43_containment_neardup", "l5_text_stats",
+    "l5b_corpus_stats", "l5c_regex_tokens", "l6_quality_filter",
+    "l7_term_frequency", "l7b_bigrams", "l8_multimodal_features",
+    "l8b_frame_sample", "l8c_resize", "l8d_frame_hash_dedup",
+    "l8e_blob_manifest_join", "l8f_media_sniff", "l8g_pixel_resize",
+    "l8h_audio_decode", "l8i_video_frame_sample", "l8j_png_decode",
+    "l8k_gif_decode", "l8l_jpeg_decode", "l8m_tiff_decode",
+    "l8n_media_dispatch", "l8o_jpeg_color_decode", "l8p_flac_decode",
+    "l8q_jpeg_progressive_decode", "l9_language_id", "s21_gzip_text_scan",
+    "x2_pandas_udf", "x5_python_udtf",
+]
+
 STREAM_QUERIES = [
     "t4_stream_tumbling_watermark",
     "t5_stream_dedup",
@@ -53,7 +82,7 @@ STREAM_QUERIES = [
 ]
 
 
-def _doc_corpus(rng: random.Random, n: int) -> list[tuple[int, str, int]]:
+def _doc_corpus(rng: random.Random, n: int) -> list[tuple]:
     shapes = rng.choice(
         [
             lambda: rng.randint(1, 300),          # heavy spread across cap=128
@@ -62,11 +91,14 @@ def _doc_corpus(rng: random.Random, n: int) -> list[tuple[int, str, int]]:
         ]
     )
     rows = []
+    langs = ["en", "de", "fr", "xx"]
+    srcs = ["web", "\u4e66", "wiki", ""]  # incl. non-ASCII and empty
     for i in range(n):
         text = " ".join("w%d" % rng.randint(0, 9) for _ in range(shapes()))
         # n_chars is l39's sampling weight — emit the real length so the
-        # quantized A-ES key sees adversarial weights (incl. ties).
-        rows.append((i, text, len(text)))
+        # quantized A-ES key sees adversarial weights (incl. ties);
+        # lang/source feed the stratified/mixture/domain-stats tier.
+        rows.append((i, text, rng.choice(langs), rng.choice(srcs), len(text)))
     return rows
 
 
@@ -114,6 +146,7 @@ def main() -> int:
     n_corpora = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     seed = int(sys.argv[2]) if len(sys.argv) > 2 else 0xC0FFEE
     with_streaming = "--streaming" in sys.argv
+    with_docs = "--docs" in sys.argv
     rng = random.Random(seed)
     registry.load_all()
     spark = get_spark()
@@ -126,12 +159,14 @@ def main() -> int:
             n_docs = rng.choice([1, 2, 7, 33, 200])
             n_vecs = rng.choice([1, 2, 15, 17, 120])
             spark.createDataFrame(
-                _doc_corpus(rng, n_docs), "doc_id long, text string, n_chars int"
+                _doc_corpus(rng, n_docs), "doc_id long, text string, lang string, source string, n_chars long"
             ).coalesce(1).write.parquet(f"{d}/documents.parquet")
             spark.createDataFrame(
                 _emb_corpus(rng, n_vecs), "vec_id long, embedding array<float>"
             ).coalesce(1).write.parquet(f"{d}/embeddings.parquet")
             names = DOC_QUERIES + EMB_QUERIES
+            if with_docs:
+                names = names + DOC_TIER
             if with_streaming:
                 n_events = rng.choice([1, 9, 400, 3000])
                 spark.createDataFrame(
