@@ -73,6 +73,29 @@ DOC_TIER = [
     "x2_pandas_udf", "x5_python_udtf",
 ]
 
+# r12 --events tier: every events-only full-oracle BATCH query (40
+# names — windows, time-series, retention/attribution, geo, exact
+# quantiles, sketches, storage roundtrips; plus the t17 streaming
+# heavy-hitters twin). Trial admitted them on 1/9/400-event random
+# corpora: 120/120 green.
+EVENT_TIER = [
+    "a16_heavy_hitters", "a18_hll_rollup", "a19_sketch_overlap",
+    "a21_grouped_exact_median", "a22_grouped_exact_percentile",
+    "a23_grouped_mode", "a25_windowed_hll", "a26_ks_test",
+    "f10_variant_extract", "f7_json_extract", "g1_subtree_rollup",
+    "g2_spatial_join", "g3_geohash_encode", "g4_kanon_cells",
+    "j8_asof_latest_event", "s12_partitioned_scan",
+    "s15_dynamic_partition_pruning", "s16_compaction",
+    "s3b_multiformat_roundtrip", "s6_zorder_scan", "s9_schema_evolution",
+    "t11_gap_fill", "t14_retention_matrix", "t15_attribution",
+    "t17_stream_heavy_hitters", "t19_anomaly_zscore",
+    "t1_tumbling_window", "t21_max_concurrency", "t2_sliding_window",
+    "t3_session_window", "t3b_event_funnel", "w10_longest_streak",
+    "w2_lag_lead", "w3_running_total", "w4_moving_average",
+    "w4b_range_frame", "w8_zscore_outliers", "w9_sliding_distinct",
+    "x3_pandas_udaf", "x4_apply_in_pandas",
+]
+
 STREAM_QUERIES = [
     "t4_stream_tumbling_watermark",
     "t5_stream_dedup",
@@ -147,6 +170,7 @@ def main() -> int:
     seed = int(sys.argv[2]) if len(sys.argv) > 2 else 0xC0FFEE
     with_streaming = "--streaming" in sys.argv
     with_docs = "--docs" in sys.argv
+    with_events = "--events" in sys.argv
     rng = random.Random(seed)
     registry.load_all()
     spark = get_spark()
@@ -167,18 +191,27 @@ def main() -> int:
             names = DOC_QUERIES + EMB_QUERIES
             if with_docs:
                 names = names + DOC_TIER
-            if with_streaming:
+            if with_events:
                 n_events = rng.choice([1, 9, 400, 3000])
                 spark.createDataFrame(
                     _events_corpus(rng, n_events),
                     "event_id long, ts timestamp, user_id long,"
                     " event_type string, value double, props string",
                 ).coalesce(1).write.parquet(f"{d}/events.parquet")
+                names = names + EVENT_TIER
+            if with_streaming:
+                if not with_events:
+                    n_events = rng.choice([1, 9, 400, 3000])
+                    spark.createDataFrame(
+                        _events_corpus(rng, n_events),
+                        "event_id long, ts timestamp, user_id long,"
+                        " event_type string, value double, props string",
+                    ).coalesce(1).write.parquet(f"{d}/events.parquet")
                 names = names + STREAM_QUERIES
 
             con = duckdb.connect()
             tables = ("documents", "embeddings") + (
-                ("events",) if with_streaming else ()
+                ("events",) if (with_streaming or with_events) else ()
             )
             for t in tables:
                 con.execute(
