@@ -133,9 +133,13 @@ def _fn_hash_stale(names: list[str], latest: dict[str, int]) -> set[str]:
     set; the manually-curated verdict_resample dict still covers
     helper-level rewrites a function hash cannot see."""
     try:
-        import hashlib
-        import inspect
-        import textwrap
+        # Shared hasher (r12 advice): re-implementing dedent+sha1 here
+        # risked silent divergence from the ledger writer — if either
+        # side's hashing drifted, every checked query would land in
+        # the fn_stale fast lane unnoticed. One definition now; a test
+        # (tests/test_coverage_order.py) pins that the ledger's stored
+        # hashes round-trip through this exact function.
+        from tools.update_src_hashes import fn_hash
 
         with open(os.path.join(_HERE, "tools", "query_src_hashes.json")) as fh:
             ledger = json.load(fh)
@@ -144,12 +148,14 @@ def _fn_hash_stale(names: list[str], latest: dict[str, int]) -> set[str]:
         for name in names:
             fn = registry.QUERIES.get(name)
             rec = ledger.get(name)
+            h = fn_hash(fn)
+            if rec is None and h is None:
+                # Unhashable AND unledgered (r12 advice): treating this
+                # as changed_round=nxt would pin the name into a
+                # fast-lane driver slot every round forever. It is not
+                # a rewrite signal — fall through to the rest tier.
+                continue
             changed_round = rec.get("r", 0) if rec else nxt
-            try:
-                src = textwrap.dedent(inspect.getsource(fn))
-                h = hashlib.sha1(src.encode()).hexdigest()
-            except Exception:
-                h = None
             if rec is not None and h is not None and rec.get("h") != h:
                 changed_round = nxt  # edited but not re-ledgered
             if latest.get(name, 0) < changed_round:
@@ -281,6 +287,27 @@ _VERDICT_RESAMPLE = {
     # on the assumption the hash lane caught them.
     "l39_weighted_sample": 12,
     "l3j_mmr_rerank": 12,
+    # r13 (r12 verdict #1): finish the driver-row freshness drain. 15
+    # names still carry pre-r7 driver rows, but the rest tier's family
+    # round-robin surfaces only ~1 name per family per ~13 slots — a
+    # 50-name sample drains at most 4 of the 10 q-shapes, so the drain
+    # would take 3 more rounds on rotation alone. Priority-tier them
+    # once; the entries go inert at their first r13+ sample.
+    "q5_local_supplier_volume": 13,
+    "q6_forecast_revenue": 13,
+    "q8_market_share": 13,
+    "q9_product_profit": 13,
+    "q12_lateness_priority": 13,
+    "q13_customer_distribution": 13,
+    "q14_promo_revenue": 13,
+    "q15_top_supplier": 13,
+    "q17_small_quantity_revenue": 13,
+    "q19_discounted_revenue": 13,
+    "j13_record_linkage": 13,
+    "l43_containment_neardup": 13,
+    "l2e_neardup_groups": 13,
+    "l33_canonical_selection": 13,
+    "l40_simhash_neardup": 13,
 }
 
 

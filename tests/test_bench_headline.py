@@ -54,6 +54,9 @@ _SYNTH = {
     "gate_waited_sec": 240.0,
     "gate_loadavg_1m": 0.11,
     "gate_loadavg_5m": 2.87,
+    "drain_depth": "partial",
+    "predicted_framing_band": "1.0-1.6x",
+    "est_mins_since_heavy": 33,
     "contention_note": "idle start (gated)",
 }
 
@@ -121,3 +124,49 @@ def test_headline_sheds_fields_rather_than_overflowing():
     assert parsed["queries_truncated"] > 0
     for k, v in parsed["queries"].items():
         assert fat["queries"][k] == v
+
+
+def test_failed_list_survives_field_shedding():
+    """r12 advice: ``failed`` is a contract field — shedding it under
+    byte pressure would make a failing round look clean in the driver
+    artifact while per-query timings survive. Even the worst-case
+    record (oversized queries dict AND a populated failed list) must
+    emit the failures."""
+    fat = dict(_SYNTH)
+    fat["queries"] = {
+        f"extremely_long_query_name_for_overflow_test_{i:03d}": 0.111
+        for i in range(60)
+    }
+    fat["failed"] = ["l99_some_crashed_query", "j42_another_crashed_query"]
+    line = bench.compact_headline(fat)
+    assert len(line) <= 1800
+    parsed = json.loads(line)
+    assert parsed["failed"] == fat["failed"]
+
+
+def test_drain_depth_fields_in_headline():
+    """r12 verdict #3: the headline must self-report drain depth and
+    the predicted framing band so the longitudinal series is readable
+    without BASELINE.md archaeology."""
+    parsed = json.loads(bench.compact_headline(_SYNTH))
+    assert parsed["drain_depth"] == "partial"
+    assert parsed["predicted_framing_band"] == "1.0-1.6x"
+    assert parsed["est_mins_since_heavy"] == 33
+
+
+def test_drain_depth_classifier_matches_baseline_calibration():
+    """The classifier must reproduce BASELINE.md's drain-depth table:
+    every recorded (load5, load15) -> framing observation lands in the
+    band the classifier predicts for it."""
+    observed = [  # (load5, load15, framing) from BASELINE.md r11/r12
+        (0.74, 1.5, 0.87),
+        (2.2, 5.0, 1.43),
+        (3.0, 3.4, 1.32),
+        (2.87, 10.97, 1.74),
+    ]
+    for load5, load15, framing in observed:
+        d = bench.drain_depth(load5, load15)
+        lo, hi = (float(x.rstrip("x")) for x in
+                  d["predicted_framing_band"].split("-"))
+        assert lo <= framing <= hi, (load5, load15, framing, d)
+        assert d["est_mins_since_heavy"] > 0

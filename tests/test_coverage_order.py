@@ -54,20 +54,23 @@ def test_fn_stale_only_contains_genuinely_changed_functions():
     """The fast lane must hold ONLY names whose ledger change-round
     postdates their last driver row (or whose live hash disagrees with
     the ledger) — a module-wide edit flooding it is the regression this
-    guards against."""
-    import hashlib
-    import inspect
+    guards against. Uses the SAME fn_hash the ledger writer and
+    _fn_hash_stale use (r12 advice: an inline dedent+sha1 copy here
+    could diverge silently from the production hasher)."""
     import json
-    import textwrap
+    import os
 
+    from tools.update_src_hashes import PATH as LEDGER_PATH
+    from tools.update_src_hashes import fn_hash
+
+    assert os.path.exists(LEDGER_PATH)
     tiers = _tiers()
     last = entry._latest_round_by_name()
-    with open("/root/repo/tools/query_src_hashes.json") as fh:
+    with open(LEDGER_PATH) as fh:
         ledger = json.load(fh)
     for n in tiers["fn_stale"]:
         rec = ledger.get(n)
-        src = textwrap.dedent(inspect.getsource(registry.QUERIES[n]))
-        live = hashlib.sha1(src.encode()).hexdigest()
+        live = fn_hash(registry.QUERIES[n])
         genuinely_changed = (
             rec is None
             or rec.get("h") != live
@@ -77,6 +80,26 @@ def test_fn_stale_only_contains_genuinely_changed_functions():
             f"{n} sits in the fn_stale fast lane but neither its ledger "
             "round nor its live hash justifies it"
         )
+
+
+def test_unhashable_unledgered_name_is_not_pinned_stale():
+    """r12 advice: a query whose source inspect cannot retrieve (h None)
+    and which the ledger has never seen (rec None) must NOT be treated
+    as rewritten-every-round — that would permanently consume a
+    fast-lane driver slot. _fn_hash_stale skips it (rest tier)."""
+    from lens_warehouse_spark import registry as reg
+
+    fake = "zz99_unhashable_phantom"
+    assert fake not in reg.QUERIES
+    # exec'd source: inspect.getsource raises OSError -> fn_hash None
+    ns: dict = {}
+    exec("def _phantom(spark, sf_dir):\n    return None", ns)
+    reg.QUERIES[fake] = ns["_phantom"]
+    try:
+        stale = entry._fn_hash_stale([fake], {})
+        assert fake not in stale
+    finally:
+        del reg.QUERIES[fake]
 
 
 def test_priority_tier_is_subset_of_unsampled_verdict_rewrites():

@@ -4,15 +4,20 @@ the inventory mapping, and every query name the mapping mentions exists.
 
 from __future__ import annotations
 
+import os
 import re
 
 from lens_warehouse_spark import registry
 
 registry.load_all()
 
+# r12 advice: derive the repo root from __file__ instead of hard-coding
+# /root/repo, so the suite survives any checkout location.
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
 
 def _survey_query_names() -> set[str]:
-    text = open("/root/repo/SURVEY.md").read()
+    text = open(os.path.join(REPO, "SURVEY.md")).read()
     section = text.split("## §2.12")[1]
     names = set(re.findall(r"`([a-z][a-z0-9_]+)`", section))
     # filter to things that look like query ids (prefix_rest)
@@ -39,7 +44,7 @@ def test_every_survey_query_exists():
 
 
 def test_oracle_counts_match_survey_totals():
-    text = open("/root/repo/SURVEY.md").read()
+    text = open(os.path.join(REPO, "SURVEY.md")).read()
     m = re.search(
         r"Totals: (\d+) `queries\(\)` entries, (\d+) with full DuckDB oracles",
         text,
@@ -54,7 +59,7 @@ def _correctness_union_and_latest():
     import json
 
     union, latest = set(), 0
-    for p in glob.glob("/root/repo/CORRECTNESS_r*.json"):
+    for p in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")):
         m = re.search(r"_r(\d+)\.json$", p)
         try:
             rows = json.load(open(p))
@@ -74,7 +79,7 @@ def test_no_query_goes_three_rounds_unsampled():
     (or the ledger) is broken and this test goes red."""
     import json
 
-    ledger = json.load(open("/root/repo/tools/query_ledger.json"))
+    ledger = json.load(open(os.path.join(REPO, "tools", "query_ledger.json")))
     missing = set(registry.QUERIES) - set(ledger)
     assert not missing, (
         f"queries missing from tools/query_ledger.json (run "
@@ -101,7 +106,7 @@ def test_src_hash_ledger_is_fresh():
     import json
     import sys
 
-    sys.path.insert(0, "/root/repo/tools")
+    sys.path.insert(0, os.path.join(REPO, "tools"))
     import update_src_hashes as ush
 
     ledger = json.load(open(ush.PATH))
