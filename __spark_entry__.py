@@ -308,6 +308,11 @@ _VERDICT_RESAMPLE = {
     "l2e_neardup_groups": 13,
     "l33_canonical_selection": 13,
     "l40_simhash_neardup": 13,
+    # r13: the relational campaign's all-null-FK corpora exposed an
+    # inner-vs-left join divergence in compile_visits_fused (cohort.py)
+    # — a HELPER-level fix the function-hash lane cannot see, so u5d
+    # must be driver-resampled explicitly under the fixed plan.
+    "u5d_cohort_visit_counts_fused": 13,
 }
 
 

@@ -70,10 +70,17 @@ def a2_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     err = F.abs(
         F.col("approx_customers") - F.col("exact_customers")
     ) / F.col("exact_customers")
+    # exact == 0 (empty table, or every key NULL — the r13 relational
+    # campaign's all-null-FK corpus): the relative-error bound is 0/0,
+    # which ANSI mode raises on. An empty key set is "within rsd" iff
+    # the sketch also reads 0.
+    within = F.when(
+        F.col("exact_customers") == 0, F.col("approx_customers") == 0
+    ).otherwise(err <= 0.06)
     return agg.select(
         "exact_customers",
         "n_orders",
-        (err <= 0.06).alias("approx_within_rsd"),
+        within.alias("approx_within_rsd"),
     )
 
 
@@ -203,7 +210,7 @@ def a8_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = su.join(F.broadcast(na), su.s_nationkey == na.n_nationkey).join(
         F.broadcast(re), na.n_regionkey == re.r_regionkey
     )
-    return (
+    rolled = (
         joined.rollup("r_name", "n_name")
         .agg(F.grouping_id().cast("long").alias("grp"), F.count(F.lit(1)).alias("n_suppliers"))
         .select(
@@ -213,6 +220,24 @@ def a8_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_suppliers",
         )
     )
+    # Standard SQL ROLLUP includes the () grouping set, which — like a
+    # global aggregate — yields one zero-count row even over an EMPTY
+    # input; Spark's rollup omits it (r13 relational campaign,
+    # empty-dim corpus: spark 0 rows vs oracle 1). Synthesize the
+    # grand-total row from a count-only pass that survives the filter
+    # exactly when the input is empty; count(1) is a metadata-cheap
+    # partial aggregate, so the extra pass is noise at any scale.
+    grand = (
+        joined.agg(F.count(F.lit(1)).alias("n_suppliers"))
+        .where(F.col("n_suppliers") == 0)
+        .select(
+            F.lit("ALL").alias("region_name"),
+            F.lit("ALL").alias("nation_name"),
+            F.lit(3).cast("long").alias("grp"),
+            "n_suppliers",
+        )
+    )
+    return rolled.unionByName(grand)
 
 
 # ---------------------------------------------------------------------------
@@ -230,9 +255,9 @@ GROUP BY CUBE (l_returnflag, l_linestatus)
 """,
 )
 def a8b_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
-        table(spark, sf_dir, "lineitem")
-        .cube("l_returnflag", "l_linestatus")
+    li = table(spark, sf_dir, "lineitem")
+    cubed = (
+        li.cube("l_returnflag", "l_linestatus")
         .agg(F.grouping_id().cast("long").alias("grp"), F.count(F.lit(1)).alias("n"))
         .select(
             F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
@@ -241,6 +266,19 @@ def a8b_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
+    # CUBE's () grouping set must yield one zero-count row over empty
+    # input (standard semantics; Spark omits it — see a8_rollup).
+    grand = (
+        li.agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") == 0)
+        .select(
+            F.lit("ALL").alias("returnflag"),
+            F.lit("ALL").alias("linestatus"),
+            F.lit(3).cast("long").alias("grp"),
+            "n",
+        )
+    )
+    return cubed.unionByName(grand)
 
 
 # ---------------------------------------------------------------------------
@@ -876,6 +914,14 @@ def a20_exact_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum(F.when(F.col("c_acctbal") < lo, 1).otherwise(0)).alias("b"),
     ).first()
+    if not n_total:
+        # Empty table (r13 relational campaign, empty-dim corpus):
+        # n_below is NULL and int(None) below would crash. SQL
+        # quantile_cont over zero rows is NULL with count 0 — one row.
+        return spark.range(1).select(
+            F.lit(None).cast("double").alias("median_balance"),
+            F.lit(0).cast("long").alias("n"),
+        )
     # The two middle ranks (1-based): for odd n both are (n+1)/2.
     k1, k2 = (n_total + 1) // 2, n_total // 2 + 1
     # Pass 3: rank the bracketed slice IN the cluster. Ties in

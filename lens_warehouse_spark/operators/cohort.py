@@ -522,7 +522,18 @@ def compile_visits_fused(
 
     od = table(spark, sf_dir, "orders")
     cu = table(spark, sf_dir, "customer")
-    base = od.join(maybe_broadcast(cu, sf_dir, "customer"), od.o_custkey == cu.c_custkey)
+    # LEFT join, not inner (r13 relational campaign, all-null/dangling
+    # FK corpora): an order with no matching customer row must still
+    # have its ORDER-level atoms evaluated — the inner join silently
+    # dropped such visits from every atom, diverging from the unfused
+    # path, where _visit_keys joins customer only for SubjectAttr
+    # atoms (left_semi: no customer row = that atom false, which is
+    # exactly what a NULL-valued when() condition yields here).
+    base = od.join(
+        maybe_broadcast(cu, sf_dir, "customer"),
+        od.o_custkey == cu.c_custkey,
+        "left",
+    )
 
     row_atoms = [(a, t) for a, t in work if not isinstance(a, LineitemAtom)]
     li_atoms = [(a, t) for a, t in work if isinstance(a, LineitemAtom)]

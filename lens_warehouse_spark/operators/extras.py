@@ -78,6 +78,9 @@ GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
 )
 def a8c_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     table(spark, sf_dir, "orders").createOrReplaceTempView("lws_orders_gs")
+    # The trailing UNION ALL arm restores the () grouping set's
+    # zero-count row over an EMPTY table (standard semantics; Spark's
+    # grouping-sets expansion omits it — see a8_rollup).
     return spark.sql(
         """
         SELECT coalesce(o_orderstatus, 'ALL') AS status,
@@ -85,6 +88,9 @@ def a8c_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
                count(*) AS n
         FROM lws_orders_gs
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        UNION ALL
+        SELECT 'ALL', 'ALL', CAST(0 AS BIGINT)
+        FROM (SELECT count(*) AS c FROM lws_orders_gs) WHERE c = 0
         """
     )
 
@@ -477,7 +483,13 @@ ORDER BY col
 )
 def s5c_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     cu = table(spark, sf_dir, "customer")
-    fmt = lambda c: F.format_string("%.2f", c.cast("double"))
+    # Null-safe %.2f: Java's Formatter renders a NULL argument as the
+    # string "null" and then applies the precision to IT ("%.2f" ->
+    # "nu"), while DuckDB's printf propagates NULL (r13 relational
+    # campaign, empty-table corpus). Gate on the input.
+    fmt = lambda c: F.when(
+        c.isNull(), F.lit(None).cast("string")
+    ).otherwise(F.format_string("%.2f", c.cast("double")))
     wide = cu.agg(
         F.count(F.lit(1)).alias("n"),
         F.count("c_custkey").alias("k_n"),
@@ -490,8 +502,8 @@ def s5c_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("c_name").alias("nm_max"),
         F.count("c_acctbal").alias("ab_n"),
         F.countDistinct("c_acctbal").alias("ab_d"),
-        F.format_string("%.2f", F.min("c_acctbal")).alias("ab_min"),
-        F.format_string("%.2f", F.max("c_acctbal")).alias("ab_max"),
+        fmt(F.min("c_acctbal")).alias("ab_min"),
+        fmt(F.max("c_acctbal")).alias("ab_max"),
         F.count("c_mktsegment").alias("mk_n"),
         F.countDistinct("c_mktsegment").alias("mk_d"),
         F.min("c_mktsegment").alias("mk_min"),

@@ -447,14 +447,21 @@ def j11_binned_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn(
             "bin",
-            # [start, start+3d) over midnight-aligned dates spans days
-            # d, d+1, d+2 only — a d+3 bin could never survive the
-            # exact residual filter below, so exploding it was 25%
-            # wasted shuffle and probe work.
+            # [start, start+3d) spans calendar days d..d+3: four bins
+            # whenever start has a time-of-day component (a 14:00 start
+            # reaches 14:00 on day d+3). The r12 form exploded d..d+2
+            # only — correct for midnight-aligned starts (the fixed
+            # testdata) but it silently dropped day-d+3 matches on
+            # arbitrary timestamps (caught by the r13 relational
+            # campaign's random-time order books: 8 pairs vs the
+            # oracle's 10). For midnight starts the d+3 bin's probes
+            # all fail the exact residual filter below, so the cost of
+            # the extra bin is one more shuffle replica per interval,
+            # never a wrong answer.
             F.explode(
                 F.sequence(
                     F.to_date("start_ts"),
-                    F.date_add(F.to_date("start_ts"), 2),
+                    F.date_add(F.to_date("start_ts"), 3),
                 )
             ),
         )
