@@ -159,10 +159,17 @@ def w5_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     quartile = F.when(r <= cut, F.floor((r - 1) / (q + 1)) + 1).otherwise(
         rem + F.floor((r - cut - 1) / q) + 1
     )
+    # percent_rank over a single row is DEFINED as 0 (SQL standard:
+    # (rank-1)/(n-1) with the n=1 case pinned to 0); the raw division
+    # is 0/0, which ANSI mode raises on (r13 relational campaign,
+    # 1-customer corpus).
+    pct = F.when(n == 1, F.lit(0.0)).otherwise(
+        (r - 1).cast("double") / (n - 1)
+    )
     return ranked.crossJoin(F.broadcast(total)).select(
         "c_custkey",
         quartile.cast("long").alias("quartile"),
-        F.round((r - 1).cast("double") / (n - 1), 6).alias("pct_rank"),
+        F.round(pct, 6).alias("pct_rank"),
         F.round(r.cast("double") / n, 6).alias("cume"),
     )
 

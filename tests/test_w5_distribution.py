@@ -22,10 +22,14 @@ def _derived(spark, data, k=4):
     quartile = F.when(r <= cut, F.floor((r - 1) / (q + 1)) + 1).otherwise(
         rem + F.floor((r - cut - 1) / q) + 1
     )
+    # n=1 guard mirrors production w5 (r13: the unguarded 0/0 raised
+    # DIVIDE_BY_ZERO under ANSI on a single-customer corpus; standard
+    # percent_rank pins the n=1 case to 0).
+    pct = F.when(n == 1, F.lit(0.0)).otherwise((r - 1).cast("double") / (n - 1))
     out = ranked.crossJoin(F.broadcast(total)).select(
         "id",
         quartile.cast("long").alias("ntile"),
-        F.round((r - 1).cast("double") / (n - 1), 6).alias("pct"),
+        F.round(pct, 6).alias("pct"),
         F.round(r.cast("double") / n, 6).alias("cume"),
     )
     return {row["id"]: (row["ntile"], row["pct"], row["cume"]) for row in out.collect()}
@@ -43,7 +47,7 @@ def _native(spark, data, k=4):
     return {row["id"]: (row["ntile"], row["pct"], row["cume"]) for row in out.collect()}
 
 
-@pytest.mark.parametrize("n", [2, 3, 4, 5, 7, 8, 9, 13])
+@pytest.mark.parametrize("n", [1, 2, 3, 4, 5, 7, 8, 9, 13])
 def test_derived_rank_family_matches_native(spark, n):
     data = [(i, (i * 7) % 5) for i in range(n)]
     assert _derived(spark, data) == _native(spark, data)
