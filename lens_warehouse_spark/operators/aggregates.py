@@ -1172,7 +1172,13 @@ ORDER BY 1
 )
 def a24_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     od = table(spark, sf_dir, "orders").select("o_totalprice")
-    bounds = exact_quantile_boundaries(od, "o_totalprice", _A24_PS, _A24_MARGIN)
+    try:
+        bounds = exact_quantile_boundaries(od, "o_totalprice", _A24_PS, _A24_MARGIN)
+    except ValueError:
+        # Empty table (r13 relational campaign): no deciles exist and
+        # the oracle's cross-join-with-quantiles form yields zero
+        # groups — return the empty relation with the result schema.
+        return spark.createDataFrame([], "bin long, n_rows long")
     # Pass 4: bin by boundary-exceedance count, entirely in codegen.
     bin_expr = sum(
         (F.col("o_totalprice") > F.lit(b)).cast("long") for b in bounds

@@ -159,15 +159,21 @@ ORDER BY o_orderstatus
 def s3_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = sf_dir.strip("/").replace("/", "_")
     out = os.path.join(tempfile.gettempdir(), f"lws_sink_{tag}")
+    filtered = table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 150000
+    )
     (
-        table(spark, sf_dir, "orders")
-        .filter(F.col("o_totalprice") > 150000)
-        .write.mode("overwrite")
+        filtered.write.mode("overwrite")
         .partitionBy("o_orderstatus")
         .parquet(out)
     )
+    # Read back with the WRITER's schema: an empty filter result writes
+    # only _SUCCESS (no part files, no partition dirs), and schema
+    # inference on that raises AnalysisException (r13 relational
+    # campaign, empty-orders corpus). A production sink reader carries
+    # the table schema rather than inferring it from data files anyway.
     return (
-        spark.read.parquet(out)
+        spark.read.schema(filtered.schema).parquet(out)
         .groupBy("o_orderstatus")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("o_orderstatus")

@@ -174,6 +174,11 @@ def _doc_corpus(rng: random.Random, n: int) -> list[tuple]:
             lambda: rng.randint(1, 300),          # heavy spread across cap=128
             lambda: 64,                           # all exactly half-cap
             lambda: rng.choice([1, 64, 65, 128]), # boundary mix
+            # r13: zero-token docs in the mix — empty text is a real
+            # crawl-data shape and every ratio denominator (tokens,
+            # distinct tokens, chars) must stay guarded under ANSI
+            # (probe: 67 doc-tier queries green on empty/whitespace).
+            lambda: rng.choice([0, 0, 1, 128]),
         ]
     )
     rows = []
