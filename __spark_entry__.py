@@ -313,6 +313,16 @@ _VERDICT_RESAMPLE = {
     # — a HELPER-level fix the function-hash lane cannot see, so u5d
     # must be driver-resampled explicitly under the fixed plan.
     "u5d_cohort_visit_counts_fused": 13,
+    # r13 optimization round: helper-level plan-construction rewrites
+    # (value-identical, exceptAll/parity-verified in-session) that the
+    # function-hash lane cannot see — minhash_signatures' single-expr
+    # aggregate (dedup.py) feeds l2/l2f (l2e/l33 already tiered above);
+    # compile_fused/compile_visits_fused condition reuse (cohort.py)
+    # feeds the fused/auto cohort strategies (u5d already tiered).
+    "l2_minhash_neardup": 13,
+    "l2f_minhash_threshold": 13,
+    "u5_cohort_count_fused": 13,
+    "u5e_cohort_count_auto": 13,
 }
 
 

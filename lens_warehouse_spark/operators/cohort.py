@@ -405,12 +405,15 @@ def compile_fused(
     parts: list[DataFrame] = []
     for tname, atoms in per_table.items():
         src = table(spark, sf_dir, tname)
-        tag_array = F.array(
-            *[F.when(_atom_condition(a), F.lit(tag)) for a, tag in atoms]
-        )
+        # r13 (opt round 1): build each atom's condition Column ONCE and
+        # reuse it in both the tag array and the any-match prefilter —
+        # Column objects are immutable expression handles, so reuse is
+        # free and halves the Py4J construction calls of the compiler's
+        # hottest loop (guide §7.3: plan-construction cost).
+        conds = [(_atom_condition(a), tag) for a, tag in atoms]
+        tag_array = F.array(*[F.when(c, F.lit(tag)) for c, tag in conds])
         any_cond = None
-        for a, _ in atoms:
-            c = _atom_condition(a)
+        for c, _ in conds:
             any_cond = c if any_cond is None else (any_cond | c)
         tagged = (
             src.filter(any_cond)
@@ -540,12 +543,11 @@ def compile_visits_fused(
 
     parts: list[DataFrame] = []
     if row_atoms:
-        tag_array = F.array(
-            *[F.when(_atom_condition(a), F.lit(t)) for a, t in row_atoms]
-        )
+        # condition Columns built once, reused (see compile_fused r13)
+        conds = [(_atom_condition(a), t) for a, t in row_atoms]
+        tag_array = F.array(*[F.when(c, F.lit(t)) for c, t in conds])
         any_cond = None
-        for a, _ in row_atoms:
-            c = _atom_condition(a)
+        for c, _ in conds:
             any_cond = c if any_cond is None else (any_cond | c)
         parts.append(
             base.filter(any_cond).select(
@@ -556,12 +558,10 @@ def compile_visits_fused(
         )
     if li_atoms:
         li = table(spark, sf_dir, "lineitem")
-        tag_array = F.array(
-            *[F.when(_atom_condition(a), F.lit(t)) for a, t in li_atoms]
-        )
+        conds = [(_atom_condition(a), t) for a, t in li_atoms]
+        tag_array = F.array(*[F.when(c, F.lit(t)) for c, t in conds])
         any_cond = None
-        for a, _ in li_atoms:
-            c = _atom_condition(a)
+        for c, _ in conds:
             any_cond = c if any_cond is None else (any_cond | c)
         tagged = li.filter(any_cond).select(
             "l_orderkey",

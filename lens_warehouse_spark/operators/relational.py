@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from lens_warehouse_spark.catalog import table
-from lens_warehouse_spark.operators._helpers import avg4, cents_sum, epoch_ms, money_sum, revenue
+from lens_warehouse_spark.operators._helpers import epoch_ms
 from lens_warehouse_spark.registry import register
 
 
@@ -46,20 +46,38 @@ ORDER BY l_returnflag, l_linestatus
 """,
 )
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r13 (opt round 1): aggregates as parsed SQL expressions — one
+    # Py4J call each instead of the 3-6 a money_sum/cents_sum/avg4
+    # Column tree costs. The expression trees are identical to the
+    # helper forms they replace (round(sum(x)) / sum of per-row integer
+    # cents / round(avg, 4); `1 - l_discount` parses to the same
+    # int-minus-double Subtract as F.lit(1) - col), so every value is
+    # bit-identical — this is the flagship entry() query, built on
+    # every driver smoke check and bench rep, and its construction was
+    # 0.154 s of its ~0.3 s drained power time (guide §7.3).
     li = table(spark, sf_dir, "lineitem")
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            money_sum(F.col("l_quantity")).alias("sum_qty"),
+            F.expr("CAST(round(sum(l_quantity)) AS BIGINT) AS sum_qty"),
             # exact cents: raw 2-decimal column (rule 3 caveat)
-            cents_sum(F.col("l_extendedprice")).alias("sum_base_price_cents"),
-            money_sum(revenue()).alias("sum_disc_price"),
-            money_sum(revenue() * (F.lit(1) + F.col("l_tax"))).alias("sum_charge"),
-            avg4("l_quantity").alias("avg_qty"),
-            avg4("l_extendedprice").alias("avg_price"),
-            avg4("l_discount").alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
+            F.expr(
+                "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)"
+                " AS sum_base_price_cents"
+            ),
+            F.expr(
+                "CAST(round(sum(l_extendedprice * (1 - l_discount))) AS BIGINT)"
+                " AS sum_disc_price"
+            ),
+            F.expr(
+                "CAST(round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)))"
+                " AS BIGINT) AS sum_charge"
+            ),
+            F.expr("round(avg(l_quantity), 4) AS avg_qty"),
+            F.expr("round(avg(l_extendedprice), 4) AS avg_price"),
+            F.expr("round(avg(l_discount), 4) AS avg_disc"),
+            F.expr("count(1) AS count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
     )

@@ -37,6 +37,19 @@ def get_spark(
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # Join-strategy preference, env-parameterised (r13 opt round,
+        # AB_SMJ_r13.json): at the 1000x volume point with an 8 GiB
+        # heap, preferSortMergeJoin=false completed the full subset 15%
+        # faster than the SMJ control (224 vs 265 s) and bounds the
+        # buffered-SMJ match-group heap spike that forced r12's 16 GiB
+        # record — per-partition hash builds replace sorted-run
+        # buffering. Default stays "true" (Spark's default) so the
+        # driver's sf0.1 bench and the longitudinal series are
+        # untouched; the volume protocol at mult>=300 sets it false.
+        .config(
+            "spark.sql.join.preferSortMergeJoin",
+            os.environ.get("SPARK_GRAFT_PREFER_SMJ", "true"),
+        )
         # FAIR scheduling so concurrent query streams (bench throughput
         # run, any multi-tenant caller) share executors instead of
         # FIFO head-of-line blocking. No effect on single-stream runs.

@@ -434,6 +434,14 @@ def main() -> None:
     from lens_warehouse_spark.session import get_spark
 
     spark = get_spark("volume_bench")
+    if mult >= 300 and "SPARK_GRAFT_PREFER_SMJ" not in os.environ:
+        # Volume-protocol adoption (r13 opt round, AB_SMJ_r13.json —
+        # see session.py): at mult>=300 shuffled-hash-join preference
+        # bounds the buffered-SMJ heap spike at 8 GiB and is 15%
+        # cheaper than the SMJ control at 1000x. Runtime SQL conf, so
+        # setting it here (not at session build) is equivalent; an
+        # explicit env override still wins for A/B runs.
+        spark.conf.set("spark.sql.join.preferSortMergeJoin", "false")
     warm_plans(spark, VOLUME_SUBSET)
     report = volume_scaling_report(spark, base_sf_dir, mult)
     out_path = os.path.join(
