@@ -76,6 +76,49 @@ def test_identical_docs_have_identical_signature(spark):
     assert sigs[1] == sigs[2]
 
 
+def test_minhash_single_expr_agg_matches_per_seed_column_tree(spark):
+    """r13 opt round: minhash_signatures builds its n_hashes min()
+    aggregates as ONE parsed SQL expression (plan-construction cost,
+    guide §7.3). This pins that the parsed form is bit-identical to
+    the per-seed Column tree it replaced — a SQL integer literal seed
+    must parse to the same INT literal F.lit(seed) built, or every
+    seeded minimum silently shifts."""
+    from pyspark.sql import functions as F
+
+    from lens_warehouse_spark.llm.dedup import (
+        N_HASHES,
+        _shingle_hash_expr,
+        _token_hash_expr,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i} a b c d e f g h{i} j k") for i in range(25)],
+        "doc_id long, text string",
+    )
+    new = minhash_signatures(docs)
+    toks = docs.select("doc_id", F.split("text", " ").alias("__t")).select(
+        "doc_id", F.expr(_token_hash_expr("__t")).alias("__th")
+    )
+    exploded = toks.select(
+        "doc_id", F.explode(F.expr(_shingle_hash_expr("__th"))).alias("__s")
+    )
+    old = (
+        exploded.groupBy("doc_id")
+        .agg(
+            *[
+                F.min(F.xxhash64(F.lit(seed), F.col("__s"))).alias(f"__h{seed}")
+                for seed in range(N_HASHES)
+            ]
+        )
+        .select(
+            "doc_id",
+            F.array(*[f"__h{seed}" for seed in range(N_HASHES)]).alias("sig"),
+        )
+    )
+    assert new.exceptAll(old).count() == 0
+    assert old.exceptAll(new).count() == 0
+
+
 def test_simhash_identical_and_near(spark):
     base = " ".join(f"tok{i}" for i in range(40))
     near = " ".join(f"tok{i}" for i in range(39)) + " tokX"

@@ -391,6 +391,12 @@ def volume_scaling_report(spark, base_sf_dir: str, mult: int = 10) -> dict:
             "spark_driver_memory": spark.conf.get(
                 "spark.driver.memory", "unset"
             ),
+            # r13: the adopted mult>=300 join lever must travel with
+            # the artifact (AB_SMJ_r13.json) — ratio movement between
+            # rounds is attributable to it exactly like the heap.
+            "prefer_sort_merge_join": spark.conf.get(
+                "spark.sql.join.preferSortMergeJoin", "true"
+            ),
             **gate,
         },
         "subset": VOLUME_SUBSET,
