@@ -321,6 +321,10 @@ _VERDICT_RESAMPLE = {
     # feeds the fused/auto cohort strategies (u5d already tiered).
     "l2_minhash_neardup": 13,
     "l2f_minhash_threshold": 13,
+    # (continuation) simhash's 64 vote aggregates -> one parsed SQL
+    # array expression (dedup.py simhash; same E3.1 lever) — feeds l2c
+    # (l40 already tiered above at its r13 entry).
+    "l2c_simhash": 13,
     "u5_cohort_count_fused": 13,
     "u5e_cohort_count_auto": 13,
 }

@@ -432,19 +432,37 @@ def l2b_jaccard_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # token xxhash64s; near-dup distance = bit_count(xor). Rows-only.
 # ---------------------------------------------------------------------------
 def simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Add ``simhash`` BIGINT column. One explode + one groupBy."""
+    """Add ``simhash`` BIGINT column. One explode + one groupBy.
+
+    r13 (opt round 1, continuation): the 64 per-bit vote aggregates are
+    ONE parsed SQL array expression instead of ~6 Py4J column calls per
+    bit (the E3.1 minhash lever, guide §7.3 plan-construction cost).
+    The aggregate tree is identical — SQL ``CASE WHEN ((h >> j) & 1) = 1
+    THEN 1 ELSE -1 END`` parses to the same int-literal CaseWhen the
+    ``F.when(...).otherwise(-1)`` chain built, and Catalyst extracts the
+    64 ``sum()``s out of the array() wrapper into the same partial/final
+    HashAggregate — so every vote (and the packed signature) is
+    bit-identical; pinned by
+    tests/test_dedup.py::test_simhash_single_expr_agg_matches_per_bit_column_tree
+    (exceptAll both directions == 0). Paired build A/B: see
+    OPTIMIZATION_r13.md E7."""
     toks = df.select(
         "doc_id", F.explode(F.array_distinct(F.split(text_col, " "))).alias("tok")
     ).withColumn("h", F.xxhash64("tok"))
-    votes = [
-        F.sum(
-            F.when(F.expr(f"(h >> {j}) & 1") == 1, 1).otherwise(-1)
-        ).alias(f"b{j}")
+    # shiftright(h, j), NOT `h >> j`: combining `array(`, `CASE WHEN`
+    # and the `>>` operator token in one parsed string trips a Spark
+    # 4.1 parser-prediction quirk (PARSE_SYNTAX_ERROR at 'WHEN' —
+    # `array(sum(CASE WHEN h > 0 ...))` parses, and so does
+    # `sum(CASE WHEN ((h >> 1) & 1) = 1 ...)` without the array()
+    # wrapper; only the three together fail). `>>` IS ShiftRight, so
+    # the function spelling parses to the identical expression tree.
+    votes = ", ".join(
+        f"sum(CASE WHEN (shiftright(h, {j}) & 1) = 1 THEN 1 ELSE -1 END)"
         for j in range(64)
-    ]
-    per_doc = toks.groupBy("doc_id").agg(*votes)
+    )
+    per_doc = toks.groupBy("doc_id").agg(F.expr(f"array({votes})").alias("__v"))
     packed = " | ".join(
-        f"(CAST(CASE WHEN b{j} > 0 THEN 1 ELSE 0 END AS BIGINT) << {j})"
+        f"(CAST(CASE WHEN __v[{j}] > 0 THEN 1 ELSE 0 END AS BIGINT) << {j})"
         for j in range(64)
     )
     return per_doc.select("doc_id", F.expr(packed).alias("simhash"))

@@ -119,6 +119,43 @@ def test_minhash_single_expr_agg_matches_per_seed_column_tree(spark):
     assert old.exceptAll(new).count() == 0
 
 
+def test_simhash_single_expr_agg_matches_per_bit_column_tree(spark):
+    """r13 opt round (continuation): simhash builds its 64 per-bit vote
+    aggregates as ONE parsed SQL array expression (plan-construction
+    cost, guide §7.3 — the E3.1 minhash lever applied to the l2c/l40
+    path). This pins that the parsed form is bit-identical to the
+    per-bit Column tree it replaced: SQL ``CASE WHEN ((h >> j) & 1) = 1
+    THEN 1 ELSE -1 END`` must parse to the same int-literal CaseWhen
+    ``F.when(...).otherwise(-1)`` built, or packed signatures silently
+    shift."""
+    docs = spark.createDataFrame(
+        [(i, f"tok{i} a b c d e f g h{i} j k") for i in range(25)]
+        + [(100, "solo")],
+        "doc_id long, text string",
+    )
+    new = simhash(docs)
+    toks = docs.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
+    ).withColumn("h", F.xxhash64("tok"))
+    votes = [
+        F.sum(
+            F.when(F.expr(f"(h >> {j}) & 1") == 1, 1).otherwise(-1)
+        ).alias(f"b{j}")
+        for j in range(64)
+    ]
+    packed = " | ".join(
+        f"(CAST(CASE WHEN b{j} > 0 THEN 1 ELSE 0 END AS BIGINT) << {j})"
+        for j in range(64)
+    )
+    old = (
+        toks.groupBy("doc_id")
+        .agg(*votes)
+        .select("doc_id", F.expr(packed).alias("simhash"))
+    )
+    assert new.exceptAll(old).count() == 0
+    assert old.exceptAll(new).count() == 0
+
+
 def test_simhash_identical_and_near(spark):
     base = " ".join(f"tok{i}" for i in range(40))
     near = " ".join(f"tok{i}" for i in range(39)) + " tokX"
