@@ -1481,13 +1481,23 @@ def a26_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     totals = psums.agg(
         F.sum("__pa").alias("__ta"), F.sum("__pb").alias("__tb")
     )
+    # nullif-guarded denominators (r13 campaign, seed 20260818): a
+    # corpus where only ONE event class occurs (e.g. a single 'click'
+    # row) makes __ta or __tb zero, and Spark's ANSI division raises
+    # DIVIDE_BY_ZERO where DuckDB's returns NULL — the oracle emits
+    # (ks_d=NULL, n_click, n_view) for that shape. x/NULL is NULL on
+    # both engines, so nullif reproduces DuckDB exactly; when both
+    # classes exist (every fixed-SF corpus) the guard passes the
+    # nonzero total through and every value is bit-identical.
     diff = (
         local.join(F.broadcast(offsets), "__p")
         .crossJoin(F.broadcast(totals))
         .select(
             (
-                (F.col("__la") + F.col("__offa")).cast("double") / F.col("__ta")
-                - (F.col("__lb") + F.col("__offb")).cast("double") / F.col("__tb")
+                (F.col("__la") + F.col("__offa")).cast("double")
+                / F.nullif(F.col("__ta"), F.lit(0))
+                - (F.col("__lb") + F.col("__offb")).cast("double")
+                / F.nullif(F.col("__tb"), F.lit(0))
             ).alias("__d"),
             "__ta",
             "__tb",

@@ -142,3 +142,44 @@ class TestKsTest:
         )
         r = a26_ks_test(spark, str(tmp_path)).collect()[0]
         assert r["ks_d"] == 1.0
+
+    def test_one_class_corpus_matches_oracle_null_d(self, spark, tmp_path):
+        # r13 campaign (seed 20260818, corpus n_events=1): a corpus
+        # whose filtered events hold only ONE class makes a per-class
+        # total zero — Spark's ANSI division raised DIVIDE_BY_ZERO
+        # where the DuckDB oracle returns (ks_d=NULL, n_click, n_view).
+        # The nullif denominator guard must reproduce the oracle row
+        # exactly, and an events table with no click/view rows at all
+        # must stay an empty result on both engines.
+        import os
+
+        import duckdb
+
+        from lens_warehouse_spark import registry
+        from lens_warehouse_spark.operators.aggregates import a26_ks_test
+
+        registry.load_all()
+        oracle = registry.ORACLES["a26_ks_test"]
+        rows = [(0, "click", 1.5), (1, "error", 9.0)]
+        spark.createDataFrame(
+            rows, "event_id long, event_type string, value double"
+        ).write.mode("overwrite").parquet(
+            os.path.join(str(tmp_path), "events.parquet")
+        )
+        got = a26_ks_test(spark, str(tmp_path)).collect()
+        con = duckdb.connect()
+        con.execute("CREATE TABLE events(event_id BIGINT, event_type VARCHAR, value DOUBLE)")
+        con.executemany("INSERT INTO events VALUES (?, ?, ?)", rows)
+        want = con.execute(oracle).fetchall()
+        assert [(r["ks_d"], r["n_click"], r["n_view"]) for r in got] == want
+        assert want == [(None, 1, 0)]
+        # No click/view rows at all: both engines emit the empty set.
+        spark.createDataFrame(
+            [(0, "error", 9.0)], "event_id long, event_type string, value double"
+        ).write.mode("overwrite").parquet(
+            os.path.join(str(tmp_path), "events.parquet")
+        )
+        assert a26_ks_test(spark, str(tmp_path)).collect() == []
+        con.execute("DELETE FROM events")
+        con.execute("INSERT INTO events VALUES (0, 'error', 9.0)")
+        assert con.execute(oracle).fetchall() == []
