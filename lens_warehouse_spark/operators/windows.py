@@ -314,7 +314,16 @@ def w8_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("value"), 6).alias("mu"),
         F.round(F.stddev_samp("value"), 6).alias("sigma"),
     )
-    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    # nullif-guarded sigma (r13, the a26 lever): a group whose values
+    # are all equal — or whose true stddev rounds to 0.000000 — has
+    # sigma exactly 0, and Spark's ANSI division raises DIVIDE_BY_ZERO
+    # inside the filter where DuckDB's x/0 yields NULL and the NULL
+    # comparison silently drops the group's rows. x/NULL is NULL on
+    # both engines, so the guard reproduces the oracle's semantics;
+    # whenever sigma != 0 (every fixed-SF corpus) the value path is
+    # bit-identical. sigma NULL (single-row group) was already NULL-
+    # safe on both sides.
+    z = (F.col("value") - F.col("mu")) / F.nullif(F.col("sigma"), F.lit(0.0))
     return (
         ev.join(F.broadcast(stats), "event_type")
         .filter(F.abs(z) > 3.0)
