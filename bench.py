@@ -225,6 +225,14 @@ def compact_headline(out: dict) -> str:
         "unit": out["unit"],
         "queries": out["queries"],
         "sf": out["sf"],
+        # Core-count self-attribution (r13 verdict #1): requested vs
+        # resolved parallelism must travel in the driver-parsed line so
+        # a low-core arm is distinguishable from a mislabeled 32-core
+        # run. Never shed: they are the point of the r14 fix.
+        "cores_requested": out.get("cores_requested"),
+        "cores_resolved": out.get("cores_resolved"),
+        "cores_affinity": out.get("cores_affinity"),
+        "master": out.get("master"),
         "power_total_sec": out.get("power_total_sec"),
         "throughput_median5": out.get("throughput_median5"),
         "ratio_sequential": seq.get("ratio_sequential"),
@@ -256,7 +264,11 @@ def compact_headline(out: dict) -> str:
         for k in ("regressed", "drift_median", "uniform_drift",
                   "gate_loadavg_5m", "duckdb_sequential_sec",
                   "warmup_protocol", "est_mins_since_heavy", "detail",
-                  "drain_depth", "predicted_framing_band"):
+                  "drain_depth", "predicted_framing_band",
+                  # sheddable tail of the cores block: master/affinity
+                  # are redundant once requested+resolved survive
+                  # (those two are never shed, like ``failed``).
+                  "master", "cores_affinity"):
             compact.pop(k, None)
             line = json.dumps(compact)
             if len(line) <= 1800:
@@ -287,6 +299,25 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     registry.load_all()
     spark = get_spark("bench")
+    # Core-count self-attribution (r13 verdict #1): the driver's 8-core
+    # arm read per-query times identical to the 32-core run —
+    # `suspect_cpus_ignored` — because its restriction was applied via
+    # CPU affinity/cgroup, which the old literal local[32] default
+    # ignored, and nothing in the artifact recorded what parallelism
+    # the session ACTUALLY ran with. Emit requested (env), resolved
+    # (the live scheduler's defaultParallelism) and detected-affinity
+    # counts plus the master string so every BENCH artifact proves
+    # which happened. session.py now defaults cpus from affinity.
+    try:
+        affinity = len(os.sched_getaffinity(0))
+    except (AttributeError, OSError):
+        affinity = os.cpu_count()
+    cores = {
+        "cores_requested": os.environ.get("SPARK_GRAFT_CPUS"),
+        "cores_resolved": spark.sparkContext.defaultParallelism,
+        "cores_affinity": affinity,
+        "master": spark.sparkContext.master,
+    }
     # JMH-style warmup: run every headline plan once at the smallest SF so
     # JVM JIT + whole-stage-codegen compilation happen outside the timed
     # region. Timed runs below execute at the target SF only.
@@ -488,6 +519,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
+        **cores,
         "mode": "throughput_batch",
         "streams": STREAMS,
         "power_total_sec": round(sum(timings.values()), 3),

@@ -15,13 +15,29 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _detected_cpus() -> int:
+    """Cores this process may actually run on, not cores the box has.
+
+    r13 verdict #1: the driver's low-core bench arm read identical
+    per-query times at "8 cores" because its restriction was applied
+    via CPU affinity/cgroup, not ``$SPARK_GRAFT_CPUS`` — and the old
+    literal default "32" silently ran local[32] anyway. Defaulting from
+    ``sched_getaffinity`` makes an affinity-restricted run build a
+    matching local[N]; an explicit env var still wins (contract).
+    """
+    try:
+        return len(os.sched_getaffinity(0))
+    except (AttributeError, OSError):  # non-Linux fallback
+        return os.cpu_count() or 32
+
+
 def get_spark(
     app_name: str = "lens-warehouse-spark",
     cpus: str | int | None = None,
     shuffle_partitions: str | int | None = None,
 ) -> SparkSession:
     """Build (or reuse) a local SparkSession with scale-sane defaults."""
-    cpus = str(cpus or os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    cpus = str(cpus or os.environ.get("SPARK_GRAFT_CPUS") or _detected_cpus())
     shuffle = str(shuffle_partitions or os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
     return (
         SparkSession.builder.master(f"local[{cpus}]")
@@ -49,6 +65,19 @@ def get_spark(
         .config(
             "spark.sql.join.preferSortMergeJoin",
             os.environ.get("SPARK_GRAFT_PREFER_SMJ", "true"),
+        )
+        # Shuffle/spill codec, env-parameterised (r14 opt round, guide
+        # §2.3): default stays Spark's lz4 — local-mode sf0.1 shuffles
+        # are KB-scale AQE-coalesced loopback transfers where the
+        # codec trade has nothing to buy (no NIC, no disk pressure), so
+        # no local bench movement is expected or claimed. On a real
+        # cluster zstd's markedly better ratio cuts network shuffle
+        # bytes for a bit more CPU (see SCALE.md); set
+        # SPARK_GRAFT_SHUFFLE_CODEC=zstd there and measure shuffle
+        # bytes written + stage time per guide §2.3.
+        .config(
+            "spark.io.compression.codec",
+            os.environ.get("SPARK_GRAFT_SHUFFLE_CODEC", "lz4"),
         )
         # FAIR scheduling so concurrent query streams (bench throughput
         # run, any multi-tenant caller) share executors instead of

@@ -154,6 +154,52 @@ def test_drain_depth_fields_in_headline():
     assert parsed["est_mins_since_heavy"] == 33
 
 
+def test_cores_attribution_in_headline():
+    """r13 verdict #1: the driver's low-core arm was indistinguishable
+    from a mislabeled 32-core run because nothing recorded the RESOLVED
+    parallelism. requested+resolved must survive even worst-case
+    shedding; a run where the two disagree must be visible as such."""
+    rec = dict(
+        _SYNTH,
+        cores_requested="8",
+        cores_resolved=32,  # the r13 failure shape: asked 8, ran 32
+        cores_affinity=32,
+        master="local[32]",
+    )
+    parsed = json.loads(bench.compact_headline(rec))
+    assert parsed["cores_requested"] == "8"
+    assert parsed["cores_resolved"] == 32
+    # Worst-case shedding (oversized queries dict): the two attribution
+    # scalars still travel, like ``failed``.
+    fat = dict(rec)
+    fat["queries"] = {
+        f"extremely_long_query_name_for_overflow_test_{i:03d}": 0.111
+        for i in range(60)
+    }
+    line = bench.compact_headline(fat)
+    assert len(line) <= 1800
+    shed = json.loads(line)
+    assert shed["cores_requested"] == "8"
+    assert shed["cores_resolved"] == 32
+
+
+def test_session_default_cpus_tracks_affinity():
+    """session.get_spark must default local[N] from detected CPU
+    affinity (r13 verdict #1), not a literal 32, while an explicit
+    $SPARK_GRAFT_CPUS still wins."""
+    from lens_warehouse_spark import session as s
+
+    assert s._detected_cpus() == len(os.sched_getaffinity(0))
+    # The resolution expression itself: env set -> env; unset -> affinity.
+    env = {"SPARK_GRAFT_CPUS": "7"}
+    assert str(None or env.get("SPARK_GRAFT_CPUS") or s._detected_cpus()) == "7"
+    env = {}
+    assert (
+        str(None or env.get("SPARK_GRAFT_CPUS") or s._detected_cpus())
+        == str(len(os.sched_getaffinity(0)))
+    )
+
+
 def test_drain_depth_classifier_matches_baseline_calibration():
     """The classifier must reproduce BASELINE.md's drain-depth table:
     every recorded (load5, load15) -> framing observation lands in the

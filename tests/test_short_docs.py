@@ -111,6 +111,22 @@ def test_l9_single_language_corpus(spark, tmp_path_factory):
     assert preds == {1: "en", 2: "en", 3: "en"}
 
 
+def test_l9_label_vocabulary_paths_agree(spark, short_sf_dir, monkeypatch):
+    """r14 opt round: the driver-side pyarrow label read replaced the
+    Spark distinct+collect job inside l9's plan construction. Both
+    paths must return the identical sorted non-null label list on the
+    same sf_dir (the row gate picks between them; semantics may not
+    depend on which fires)."""
+    from lens_warehouse_spark.llm import textstats as ts
+
+    fast = ts._label_vocabulary(spark, short_sf_dir)
+    monkeypatch.setattr(ts, "_LABEL_SCAN_ROW_LIMIT", -1)  # force Spark path
+    slow = ts._label_vocabulary(spark, short_sf_dir)
+    assert fast == slow
+    assert fast == sorted(set(fast))
+    assert None not in fast and fast  # non-null, non-empty on this corpus
+
+
 def test_l28_arrow_chunker_matches_lambda_on_adversarial_spacing(spark):
     """The l28 chunk strings are built by an Arrow pandas_udf (measured
     -28% at 100x, tools/ab_l28.py); its contract is EXACT equality with
