@@ -564,6 +564,20 @@ def l20_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
         .distinct()
     )
+    # r14 execution-side A/Bs (AB_L20_r14.json), both NEGATIVE at the
+    # 10% adoption bar — the pipeline is at its boundary floor:
+    # - dedup key md5(norm text) -> xxhash64 (guide §2.3 narrower
+    #   shuffle key): full-query wash (0.736 vs 0.746 best; the keep
+    #   branch is only 0.09 s of 0.74 isolated). Kept md5: it is the
+    #   oracle's spelling and the exchange it feeds is not the cost.
+    # - dropping contaminated's .distinct() (left_anti ignores build
+    #   duplicates; one whole exchange removed): 0.699 vs 0.752 best,
+    #   noise-dominated — and at scale the distinct SHRINKS the
+    #   broadcast ~8x (167 raw vs 20 distinct rows at sf0.1), so the
+    #   safe shape also measured no worse. Kept.
+    # Branch decomposition (isolated, noop sink): repetitive 0.432 s,
+    # grams5_join 0.362 s, keep 0.09 s — the two dominant branches sit
+    # on the round-4b volume-scale pins above; no unpinned lever left.
     bucket = md5_bucket(F.col("doc_id"))
     return (
         docs.join(keep, "doc_id", "left_semi")

@@ -515,7 +515,20 @@ def compile_visits_fused(
     pass evaluates every order-level and subject-level atom as a row
     condition (subject attrs are just columns of the joined row);
     lineitem atoms ride a single lineitem ⋈ orders branch. Same single
-    bitmask-gate shuffle (_cnf_gate) as compile_visits_tagged."""
+    bitmask-gate shuffle (_cnf_gate) as compile_visits_tagged.
+
+    REJECTED A/B (r14 opt round, AB_U5D_r14.json): repartitioning the
+    tagged union by subject_id before the gate shares ONE exchange
+    between the gate's (subject, visit) group-by and u5d's downstream
+    countDistinct(subject) expansion (HashPartitioning(subject)
+    satisfies both), measured ~10% faster at sf0.1 — but ONLY because
+    one stage's fixed cost disappears at toy scale. It forfeits the
+    map-side partial bit_or, so the surviving exchange carries RAW
+    occurrence rows: 296k vs 132k combined pairs at sf0.1 (2.1x the
+    bytes), keyed by subject alone (hot-subject skew; aggregation
+    exchanges are not AQE-skew-splittable). At the 100 TB design point
+    shuffle bytes dominate stage count — keep the combine. Don't
+    re-try without a real cluster measurement."""
     n = len(query.disjunctions)
     work: list[tuple[Atom, int]] = [
         (a, i) for i, d in enumerate(query.disjunctions) for a in d
