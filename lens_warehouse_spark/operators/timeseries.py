@@ -240,11 +240,25 @@ def sessionize_islands(events: DataFrame, gap_ms: int) -> DataFrame:
     session_window remains the right primitive on the STREAMING path
     (t9) where the island rewrite needs unbounded state. Semantics
     match session_window exactly: merge when the gap is < gap_ms,
-    split at >= gap_ms."""
-    ev = events.select(
-        "user_id", "event_id", F.unix_millis(as_ts("ts")).alias("ms")
-    )
-    w = Window.partitionBy("user_id").orderBy("ms", "event_id")
+    split at >= gap_ms.
+
+    r14 opt round (guide §2.3, shuffle fewer bytes): the event_id
+    window tiebreak is DROPPED. Every output column is tie-order
+    invariant — tied rows have gap 0 < gap_ms, so the new-session
+    flags, the island boundaries, min(ms) and count per island are all
+    functions of the ms sequence alone regardless of how ties are
+    ordered (the same invariance argument sessionize_arrayfold's
+    contract proves; pinned by the ties cases in tests/test_engine.py
+    and the tie-heavy oracle comparison there). Dropping it
+    cuts the user_id exchange from 24 to 16 bytes/row (-33%), narrows
+    the window sort from 3 keys to 2, and prunes event_id out of the
+    parquet scan. Measured at the 100x point (10M events, noop sink,
+    interleaved pairs, exceptAll-equal both ways): 3.824 -> 3.394 s
+    best, B faster in all 5 pairs. The DuckDB oracle keeps its
+    ORDER BY ms, event_id spelling — tie invariance is exactly why
+    both spellings agree."""
+    ev = events.select("user_id", F.unix_millis(as_ts("ts")).alias("ms"))
+    w = Window.partitionBy("user_id").orderBy("ms")
     gap = F.col("ms") - F.lag("ms").over(w)
     flagged = ev.withColumn(
         "new_sess",

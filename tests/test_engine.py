@@ -370,6 +370,53 @@ def test_interval_grammar_compound_and_decimal():
             _interval_ms(bad)
 
 
+def test_t3_no_tiebreak_matches_oracle_on_tie_heavy_corpus(spark, tmp_path):
+    """r14 opt round: sessionize_islands dropped the event_id window
+    tiebreak (guide §2.3 — 33% fewer exchange bytes; outputs are
+    tie-order invariant because tied rows have gap 0). The DuckDB
+    oracle still spells ORDER BY ms, event_id. Pin the invariance the
+    optimization rests on: on a corpus that is MOSTLY exact-duplicate
+    timestamps (including ties straddling session boundaries), the
+    registered t3 must equal its oracle row-for-row."""
+    import duckdb
+
+    from lens_warehouse_spark import registry
+
+    registry.load_all()
+    gap = 1_800_000
+    rows = []
+    eid = 0
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+    for uid in range(1, 8):
+        for island in range(3):
+            t0 = island * (gap * 2) + uid  # islands separated by 2*gap
+            for ms in (t0, t0, t0, t0 + 5, t0 + 5, t0 + gap - 1):
+                eid += 1
+                rows.append(
+                    (eid, base + datetime.timedelta(milliseconds=ms), uid,
+                     "click", 1.0)
+                )
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+        "event_type string, amount double"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{sf}/events.parquet")
+    got = sorted(
+        tuple(r) for r in registry.QUERIES["t3_session_window"](spark, sf).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf}/events.parquet/*.parquet')"  # Spark writes a dir
+    )
+    want = sorted(tuple(r) for r in con.execute(
+        registry.ORACLES["t3_session_window"]).fetchall())
+    assert got == want
+    assert len(got) == 7 * 3  # every (user, island) pair survives as one row
+
+
 def test_sessionize_arrayfold_equals_islands_adversarial(spark):
     """The round-7 array-fold sessionizer (t3's graded form) must equal
     the windowed islands form EXACTLY on the cases a fold gets wrong:
